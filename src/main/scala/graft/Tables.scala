@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.Column
+
+/** Test-table access for the driver-generated parquet star schema
+  * (see TESTDATA.md / FIXTURES.md).
+  *
+  * All engine queries read through here so that column pruning and
+  * predicate pushdown reach the parquet scan (the reads are plain
+  * `spark.read.parquet`, fully Catalyst-visible — no caching layer
+  * that would hide pushdown).
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(path(sfDir, name))
+
+  /** Register every test table as a temp view named after the table. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}
+
+/** Numeric helpers shared by the declared queries.
+  *
+  * Double summation is order-dependent, and Spark and the DuckDB oracle
+  * will not add partitions in the same order. Casting each addend to a
+  * decimal makes the sum exact (and therefore order-independent); the
+  * final cast back to double is a single deterministic conversion that
+  * yields bit-identical values in both engines. Every money/quantity
+  * aggregate in the declared inventory goes through these.
+  */
+object Num {
+  /** Exact, order-independent sum of a (≤4-decimal-digit) double column. */
+  def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(27, scale))).cast(DoubleType)
+
+  /** Exact average: decimal sum divided by count, both deterministic. */
+  def davg(c: Column, scale: Int = 4): Column =
+    (sum(c.cast(DecimalType(27, scale))).cast(DoubleType) / count(c))
+
+  /** SQL fragment mirroring [[dsum]] for the DuckDB oracle. */
+  def dsumSql(expr: String, scale: Int = 4): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(27,$scale))) AS DOUBLE)"
+
+  /** SQL fragment mirroring [[davg]]. */
+  def davgSql(expr: String, scale: Int = 4): String =
+    s"(CAST(SUM(CAST($expr AS DECIMAL(27,$scale))) AS DOUBLE) / COUNT($expr))"
+}

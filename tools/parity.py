@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/parity.py <sfDir> <verifyOutDir>
+
+For each query in <verifyOutDir>/oracle_sql.json:
+  - read the Spark result parquet written by graft.Verify
+  - run the oracle SQL in DuckDB with views over <sfDir>/*.parquet
+  - sort columns by name, compare row-by-row values (with a tiny float
+    tolerance report so we can see WHERE a hash compare would diverge)
+"""
+import sys, json, glob, os
+import duckdb
+import math
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+
+con = duckdb.connect()
+for f in glob.glob(f"{sf_dir}/*.parquet"):
+    name = os.path.basename(f)[:-len(".parquet")]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
+
+oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+n_pass = n_fail = 0
+for name, sql in sorted(oracles.items()):
+    spark_dir = f"{out_dir}/{name}"
+    if not os.path.isdir(spark_dir):
+        print(f"FAIL {name}: no spark output dir")
+        n_fail += 1
+        continue
+    try:
+        got = con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'")
+        want = con.sql(sql)
+    except Exception as e:
+        print(f"FAIL {name}: {e}")
+        n_fail += 1
+        continue
+    gcols, wcols = sorted(got.columns), sorted(want.columns)
+    if [c.lower() for c in gcols] != [c.lower() for c in wcols]:
+        print(f"FAIL {name}: columns differ spark={gcols} oracle={wcols}")
+        n_fail += 1
+        continue
+    grows = got.select(", ".join(f'"{c}"' for c in gcols)).fetchall()
+    wrows = want.select(", ".join(f'"{c}"' for c in wcols)).fetchall()
+    if len(grows) != len(wrows):
+        print(f"FAIL {name}: rowcount spark={len(grows)} oracle={len(wrows)}")
+        n_fail += 1
+        continue
+    bad = None
+    for i, (g, w) in enumerate(zip(grows, wrows)):
+        for j, (a, b) in enumerate(zip(g, w)):
+            if a == b:
+                continue
+            if isinstance(a, float) and isinstance(b, float):
+                if (math.isnan(a) and math.isnan(b)):
+                    continue
+                bad = (i, gcols[j], a, b, abs(a - b))
+                break
+            bad = (i, gcols[j], a, b, None)
+            break
+        if bad:
+            break
+    if bad:
+        i, c, a, b, d = bad
+        print(f"FAIL {name}: row {i} col {c}: spark={a!r} oracle={b!r}"
+              + (f" absdiff={d:.3e}" if d is not None else ""))
+        n_fail += 1
+    else:
+        print(f"PASS {name} ({len(grows)} rows)")
+        n_pass += 1
+print(f"\n{n_pass} pass, {n_fail} fail, {len(oracles)} total")
+sys.exit(1 if n_fail else 0)
