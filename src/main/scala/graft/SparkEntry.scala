@@ -1,26 +1,28 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.Relational
+import graft.queries.{Events, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * `queries` maps operator names (SURVEY.md §2 inventory) to functions
   * `(spark, sfDir) => DataFrame`; `oracleSql` carries the equivalent
   * DuckDB SQL over the same parquet tables with IDENTICAL output column
-  * names and ordering.
+  * names and ordering. Entries without an oracle get the driver's
+  * weaker rows-only check.
   */
 object SparkEntry {
 
+  private def registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
+    Relational.registry ++ Events.registry
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q01PricingSummary(spark, "/root/testdata/sf0.001")
+    Relational.q01(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q01_pricing_summary" -> (Relational.q01PricingSummary _)
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map { case (name, fn, _) => name -> fn }.toMap
 
-  def oracleSql: Map[String, String] = Map(
-    "q01_pricing_summary" -> Relational.q01Sql
-  )
+  def oracleSql: Map[String, String] =
+    registry.collect { case (name, _, Some(sql)) => name -> sql }.toMap
 }

@@ -21,7 +21,20 @@ object Tables {
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(path(sfDir, name))
+    if (name == "events") loadEvents(spark, sfDir) else
+      spark.read.parquet(path(sfDir, name))
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
+    * read as a timestamp. Read it as a raw nanosecond long (legacy conf)
+    * and truncate to microseconds — the same truncation Spark ≤3.x
+    * applied implicitly, and what every oracle query assumes.
+    */
+  private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(path(sfDir, "events"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
 
   /** Register every test table as a temp view named after the table. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

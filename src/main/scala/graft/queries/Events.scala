@@ -1,0 +1,142 @@
+package graft.queries
+
+import graft.{Num, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Batch analytics over the `events` table (JSON props, time windows,
+  * sessionization). The streaming variants of these shapes live in
+  * [[graft.streaming.EventStreams]]; these batch forms are the
+  * oracle-checkable versions.
+  *
+  * `events.ts` is nanosecond-precision parquet; Spark truncates to µs
+  * while DuckDB keeps ns — so every oracle-checked query truncates `ts`
+  * to full seconds (or coarser) before any comparison or output.
+  */
+object Events {
+  private def ev(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "events")
+
+  // ---------------------------------------------------------------- q23
+  /** JSON extraction (`from_json`) + per-type stats over the parsed key. */
+  def q23(spark: SparkSession, sfDir: String): DataFrame =
+    ev(spark, sfDir)
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k", IntegerType))))
+          .getField("k").as("k"),
+        col("value"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).cast(LongType).as("sum_k"),
+        min(col("k")).cast(IntegerType).as("min_k"),
+        max(col("k")).cast(IntegerType).as("max_k"),
+        Num.dsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+
+  val q23Sql: String =
+    s"""SELECT event_type, COUNT(*) AS n,
+       |  CAST(SUM(CAST(json_extract_string(props, '$$.k') AS INT)) AS BIGINT) AS sum_k,
+       |  CAST(MIN(CAST(json_extract_string(props, '$$.k') AS INT)) AS INT) AS min_k,
+       |  CAST(MAX(CAST(json_extract_string(props, '$$.k') AS INT)) AS INT) AS max_k,
+       |  ${Num.dsumSql("value")} AS sum_value
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q24
+  /** Tumbling daily window: the batch twin of the streaming windowed agg.
+    * Shuffles only (day, event_type) — cardinality-bounded at any scale.
+    */
+  def q24(spark: SparkSession, sfDir: String): DataFrame =
+    ev(spark, sfDir)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("sum_value"))
+      .orderBy(col("day"), col("event_type"))
+
+  val q24Sql: String =
+    s"""SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day, event_type,
+       |  COUNT(*) AS n, ${Num.dsumSql("value")} AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q25
+  /** Sessionization via gap detection: lag → new-session flag → running
+    * sum as session id → per-session stats. One shuffle on user_id; all
+    * three window functions share the same partitioning.
+    * Timestamps truncated to seconds first (ns-vs-µs parity).
+    */
+  def q25(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_s"), col("event_id"))
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        date_trunc("second", col("ts")).as("ts_s"), col("value"))
+      .withColumn("prev_ts", lag(col("ts_s"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts_s").cast("long") - col("prev_ts").cast("long") > 1800, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(cum).cast(LongType))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("ts_s").cast("long")) - min(col("ts_s").cast("long")))
+          .cast(LongType).as("duration_s"),
+        Num.dsum(col("value")).as("sum_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val q25Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, DATE_TRUNC('second', ts) AS ts_s, value FROM events),
+       |flagged AS (
+       |  SELECT user_id, event_id, ts_s, value,
+       |    CASE WHEN LAG(ts_s) OVER w IS NULL
+       |         OR DATE_DIFF('second', LAG(ts_s) OVER w, ts_s) > 1800
+       |    THEN 1 ELSE 0 END AS new_session
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+       |sessions AS (
+       |  SELECT user_id, event_id, ts_s, value,
+       |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       |  FROM flagged)
+       |SELECT user_id, session_id, COUNT(*) AS n_events,
+       |  CAST(DATE_DIFF('second', MIN(ts_s), MAX(ts_s)) AS BIGINT) AS duration_s,
+       |  ${Num.dsumSql("value")} AS sum_value
+       |FROM sessions GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+
+  // ---------------------------------------------------------------- q26
+  /** Per-user funnel: conditional aggregation (pivot-by-hand) + first/last
+    * event via min/max struct ordering.
+    */
+  def q26(spark: SparkSession, sfDir: String): DataFrame =
+    ev(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("event_type") === "view", 1)).as("n_view"),
+        count(when(col("event_type") === "click", 1)).as("n_click"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+        count(when(col("event_type") === "signup", 1)).as("n_signup"),
+        count(when(col("event_type") === "error", 1)).as("n_error"),
+        min(struct(col("event_id"), col("event_type"))).getField("event_type").as("first_type"),
+        max(struct(col("event_id"), col("event_type"))).getField("event_type").as("last_type"))
+      .orderBy(col("user_id"))
+
+  val q26Sql: String =
+    """SELECT user_id, COUNT(*) AS n,
+      |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+      |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+      |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+      |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+      |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+      |  ARG_MIN(event_type, event_id) AS first_type,
+      |  ARG_MAX(event_type, event_id) AS last_type
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q23_events_json_stats", q23 _, Some(q23Sql)),
+    ("q24_events_daily_window", q24 _, Some(q24Sql)),
+    ("q25_events_sessionization", q25 _, Some(q25Sql)),
+    ("q26_events_user_funnel", q26 _, Some(q26Sql))
+  )
+}

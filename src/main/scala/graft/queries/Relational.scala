@@ -1,26 +1,35 @@
 package graft.queries
 
 import graft.{Num, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** TPC-H-flavoured relational inventory over the driver testdata.
   *
-  * Every query is deterministic (total ORDER BY) and numerically
-  * oracle-safe (decimal-cast sums, see [[graft.Num]]). Each has a
-  * matching DuckDB oracle in [[graft.SparkEntry.oracleSql]] with
-  * identical output column names.
+  * Every query is deterministic (total ORDER BY — ties fully broken by a
+  * unique key) and numerically oracle-safe (decimal-cast sums, see
+  * [[graft.Num]]; math functions applied to already-exact aggregate
+  * scalars, never summed per-row). Each has a DuckDB oracle in
+  * [[graft.SparkEntry.oracleSql]] with identical output column names.
+  *
+  * Scale notes (the 100 TB lens): every aggregate here shuffles only its
+  * grouping keys (partial aggregation is automatic); dimension joins
+  * (nation/region/supplier/part at TPC-H proportions) are explicitly
+  * `broadcast()`; the one quadratic operator (q22 theta join) is keyed on
+  * `p_size` first so it is an equi-join with a bounded per-key fan-out,
+  * not a cross product.
   */
 object Relational {
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    Tables.load(spark, sfDir, name)
 
-  /** TPC-H Q1: pricing summary report.
-    * Scan + filter (pushed to parquet) + hash aggregate with partial
-    * (map-side) aggregation — the canonical "survives 100×" shape: one
-    * shuffle of 4 grouping keys regardless of input size.
-    */
-  def q01PricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.load(spark, sfDir, "lineitem")
-    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+  // ---------------------------------------------------------------- q01
+  /** TPC-H Q1: scan + pushed filter + partial/final hash aggregate. */
+  def q01(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         Num.dsum(col("l_quantity")).as("sum_qty"),
@@ -30,7 +39,6 @@ object Relational {
         Num.davg(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
-  }
 
   val q01Sql: String =
     s"""SELECT l_returnflag, l_linestatus,
@@ -44,4 +52,458 @@ object Relational {
        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
        |GROUP BY l_returnflag, l_linestatus
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q02
+  /** Global top-k: TakeOrderedAndProject — no full sort at scale. */
+  def q02(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderdate").cast("date").as("o_date"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  val q02Sql: String =
+    """SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS o_date
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q03
+  /** TPC-H Q3: 3-way join (broadcast filtered customer) + agg + top-k. */
+  def q03(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = t(spark, sfDir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(spark, sfDir, "orders")
+      .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+    val l = t(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") > lit("1999-01-01").cast("timestamp"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_date"))
+      .agg(Num.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"), col("revenue"), col("o_date"))
+  }
+
+  val q03Sql: String =
+    s"""SELECT l_orderkey,
+       |  ${Num.dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       |  CAST(o_orderdate AS DATE) AS o_date
+       |FROM customer, orders, lineitem
+       |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+       |  AND l_orderkey = o_orderkey
+       |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+       |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q04
+  /** TPC-H Q4 shape: EXISTS as a left-semi join, never a fan-out join. */
+  def q04(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders")
+    val l = t(spark, sfDir, "lineitem").filter(col("l_quantity") > 45)
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q04Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders WHERE EXISTS (
+      |  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q05
+  /** TPC-H Q5 shape: star join — fact shuffled once, all dims broadcast. */
+  def q05(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = t(spark, sfDir, "lineitem")
+    val o = t(spark, sfDir, "orders")
+    val c = t(spark, sfDir, "customer")
+    val n = t(spark, sfDir, "nation")
+    val r = t(spark, sfDir, "region")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(Num.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val q05Sql: String =
+    s"""SELECT r_name, n_name,
+       |  ${Num.dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       |  COUNT(*) AS n_lines
+       |FROM lineitem, orders, customer, nation, region
+       |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+       |  AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+       |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q06
+  /** TPC-H Q6: pure pushed-down filter + single-row aggregate. */
+  def q06(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(Num.dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n"))
+
+  val q06Sql: String =
+    s"""SELECT ${Num.dsumSql("l_extendedprice * l_discount")} AS revenue, COUNT(*) AS n
+       |FROM lineitem
+       |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  // ---------------------------------------------------------------- q07
+  /** Broadcast dim join: brand-level volume. */
+  def q07(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = t(spark, sfDir, "lineitem")
+    val p = t(spark, sfDir, "part")
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(Num.dsum(col("l_quantity")).as("sum_qty"),
+        Num.dsum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("p_brand"))
+  }
+
+  val q07Sql: String =
+    s"""SELECT p_brand, ${Num.dsumSql("l_quantity")} AS sum_qty,
+       |  ${Num.dsumSql("l_extendedprice")} AS sum_price, COUNT(*) AS n_lines
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  // ---------------------------------------------------------------- q08
+  /** Left-semi join: customers that have at least one order. */
+  def q08(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = t(spark, sfDir, "customer")
+    val o = t(spark, sfDir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"), Num.davg(col("c_acctbal")).as("avg_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q08Sql: String =
+    s"""SELECT c_mktsegment, COUNT(*) AS n_customers, ${Num.davgSql("c_acctbal")} AS avg_bal
+       |FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q09
+  /** Left-anti join: customers with no pending ('P') orders. */
+  def q09(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = t(spark, sfDir, "customer")
+    val o = t(spark, sfDir, "orders").filter(col("o_orderstatus") === "P")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val q09Sql: String =
+    """SELECT c_nationkey, COUNT(*) AS n_customers
+      |FROM customer WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- q10
+  /** Per-group top-k via row_number window (shuffle on custkey only). */
+  def q10(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(spark, sfDir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val q10Sql: String =
+    """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  // ---------------------------------------------------------------- q11
+  /** Running (cumulative) sum per customer — decimal-exact window sum. */
+  def q11(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_date"),
+        sum(col("o_totalprice").cast(DecimalType(27, 4))).over(w)
+          .cast(DoubleType).as("running_total"),
+        lag(col("o_totalprice"), 1, 0.0)
+          .over(Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_orderdate"), col("o_orderkey"))).as("prev_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q11Sql: String =
+    """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+      |  COALESCE(LAG(o_totalprice, 1) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0.0) AS prev_price
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q12
+  /** Ranking window zoo: rank / dense_rank / ntile over parts per brand. */
+  def q12(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    t(spark, sfDir, "part")
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("p_brand"), col("rnk"), col("p_partkey"))
+  }
+
+  val q12Sql: String =
+    """SELECT p_brand, p_partkey, p_retailprice, rnk, drnk, quartile FROM (
+      |  SELECT p_brand, p_partkey, p_retailprice,
+      |    RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk, NTILE(4) OVER w AS quartile
+      |  FROM part
+      |  WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey))
+      |WHERE rnk <= 5 ORDER BY p_brand, rnk, p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q13
+  /** ROLLUP with null-free output keys (COALESCE to 'ALL'). */
+  def q13(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(Num.dsum(col("l_extendedprice")).as("sum_price"), count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_price"), col("n"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  val q13Sql: String =
+    s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+       |  ${Num.dsumSql("l_extendedprice")} AS sum_price, COUNT(*) AS n
+       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       |ORDER BY returnflag, linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  /** CUBE over order status × priority. */
+  def q14(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), Num.dsum(col("o_totalprice")).as("sum_price"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("sum_price"))
+      .orderBy(col("status"), col("priority"))
+
+  val q14Sql: String =
+    s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       |  COALESCE(o_orderpriority, 'ALL') AS priority,
+       |  COUNT(*) AS n, ${Num.dsumSql("o_totalprice")} AS sum_price
+       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+       |ORDER BY status, priority""".stripMargin
+
+  // ---------------------------------------------------------------- q15
+  /** Set operations: UNION / INTERSECT / EXCEPT cardinalities. */
+  def q15(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = t(spark, sfDir, "customer")
+    val building = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val machinery = c.filter(col("c_mktsegment") === "MACHINERY").select(col("c_custkey"))
+    val withOrders = t(spark, sfDir, "orders").select(col("o_custkey").as("c_custkey"))
+    def one(op: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
+    one("except", building.except(withOrders))
+      .unionAll(one("intersect", building.intersect(withOrders)))
+      .unionAll(one("union", building.union(machinery).distinct()))
+      .orderBy(col("op"))
+  }
+
+  val q15Sql: String =
+    """WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+      |     machinery AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'),
+      |     w_orders AS (SELECT o_custkey AS c_custkey FROM orders)
+      |SELECT 'except' AS op, COUNT(*) AS n FROM (SELECT * FROM building EXCEPT SELECT * FROM w_orders)
+      |UNION ALL
+      |SELECT 'intersect' AS op, COUNT(*) AS n FROM (SELECT * FROM building INTERSECT SELECT * FROM w_orders)
+      |UNION ALL
+      |SELECT 'union' AS op, COUNT(*) AS n FROM (SELECT DISTINCT c_custkey FROM (SELECT * FROM building UNION ALL SELECT * FROM machinery))
+      |ORDER BY op""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  /** Exact distinct aggregates (expand + two-phase under the hood). */
+  def q16(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_lines"))
+
+  val q16Sql: String =
+    """SELECT COUNT(DISTINCT l_orderkey) AS n_orders, COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_lines FROM lineitem""".stripMargin
+
+  // ---------------------------------------------------------------- q17
+  /** String-function surface over part (all codegen'd built-ins). */
+  def q17(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "part")
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        substring(col("p_name"), 1, 8).as("prefix"),
+        length(col("p_name")).cast("int").as("name_len"),
+        regexp_replace(col("p_name"), " ", "_").as("snake"),
+        concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+        instr(col("p_name"), "a").cast("int").as("first_a"),
+        reverse(col("p_name")).as("rname"))
+      .orderBy(col("p_partkey"))
+
+  val q17Sql: String =
+    """SELECT p_partkey, UPPER(p_name) AS uname, SUBSTRING(p_name, 1, 8) AS prefix,
+      |  CAST(LENGTH(p_name) AS INT) AS name_len, REPLACE(p_name, ' ', '_') AS snake,
+      |  CONCAT_WS('/', p_brand, p_type) AS brand_type,
+      |  LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+      |  CAST(STRPOS(p_name, 'a') AS INT) AS first_a, REVERSE(p_name) AS rname
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q18
+  /** Date/time surface: trunc, extract, diff, add. */
+  def q18(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .groupBy(year(col("o_orderdate")).cast("int").as("o_year"),
+        month(col("o_orderdate")).cast("int").as("o_month"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_orderdate").cast("date")).as("first_day"),
+        max(date_add(col("o_orderdate").cast("date"), 30)).as("max_plus30"),
+        max(datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")))
+          .cast("int").as("max_days_since"))
+      .orderBy(col("o_year"), col("o_month"))
+
+  val q18Sql: String =
+    """SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year, CAST(MONTH(o_orderdate) AS INT) AS o_month,
+      |  COUNT(*) AS n, MIN(CAST(o_orderdate AS DATE)) AS first_day,
+      |  CAST(MAX(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY) AS DATE) AS max_plus30,
+      |  CAST(MAX(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))) AS INT) AS max_days_since
+      |FROM orders GROUP BY 1, 2 ORDER BY o_year, o_month""".stripMargin
+
+  // ---------------------------------------------------------------- q19
+  /** Math functions applied to exact aggregate scalars (deterministic). */
+  def q19(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(Num.dsum(col("l_quantity")).as("sum_qty"),
+        Num.dsum(col("l_extendedprice")).as("sum_price"))
+      .select(col("l_returnflag"),
+        round(sqrt(col("sum_qty")), 6).as("sqrt_qty"),
+        round(log(col("sum_price")), 6).as("ln_price"),
+        round(pow(col("sum_qty"), lit(1.5)) / col("sum_price"), 6).as("ratio"),
+        floor(col("sum_qty")).cast("bigint").as("floor_qty"),
+        ceil(col("sum_price")).cast("bigint").as("ceil_price"))
+      .orderBy(col("l_returnflag"))
+
+  val q19Sql: String =
+    s"""WITH g AS (
+       |  SELECT l_returnflag, ${Num.dsumSql("l_quantity")} AS sum_qty,
+       |    ${Num.dsumSql("l_extendedprice")} AS sum_price
+       |  FROM lineitem GROUP BY l_returnflag)
+       |SELECT l_returnflag, ROUND(SQRT(sum_qty), 6) AS sqrt_qty,
+       |  ROUND(LN(sum_price), 6) AS ln_price,
+       |  ROUND(POW(sum_qty, 1.5) / sum_price, 6) AS ratio,
+       |  CAST(FLOOR(sum_qty) AS BIGINT) AS floor_qty,
+       |  CAST(CEIL(sum_price) AS BIGINT) AS ceil_price
+       |FROM g ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q20
+  /** CASE WHEN bucketing + conditional aggregation. */
+  def q20(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .select(col("o_totalprice"), col("o_orderstatus"),
+        when(col("o_totalprice") < 50000, "small")
+          .when(col("o_totalprice") < 150000, "medium")
+          .otherwise("large").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
+        Num.dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("bucket"))
+
+  val q20Sql: String =
+    s"""SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+       |            WHEN o_totalprice < 150000 THEN 'medium'
+       |            ELSE 'large' END AS bucket,
+       |  COUNT(*) AS n,
+       |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+       |  ${Num.dsumSql("o_totalprice")} AS sum_price
+       |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q21
+  /** Scalar-subquery threshold (decimal-exact, so both engines agree). */
+  def q21(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = t(spark, sfDir, "customer")
+    val thr = c.agg((sum(col("c_acctbal").cast(DecimalType(27, 4))).cast(DoubleType)
+      / count(lit(1))).as("thr"))
+    c.crossJoin(broadcast(thr))
+      .filter(col("c_acctbal") > col("thr"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_rich"), Num.davg(col("c_acctbal")).as("avg_bal"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val q21Sql: String =
+    s"""SELECT c_nationkey, COUNT(*) AS n_rich, ${Num.davgSql("c_acctbal")} AS avg_bal
+       |FROM customer
+       |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(27,4))) AS DOUBLE) / COUNT(*) FROM customer)
+       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+  /** Theta join keyed on p_size: equi-key + inequality residual, so the
+    * quadratic blow-up is bounded per size group (never a cross join).
+    */
+  def q22(spark: SparkSession, sfDir: String): DataFrame = {
+    val p1 = t(spark, sfDir, "part").select(col("p_size"),
+      col("p_partkey").as("k1"), col("p_retailprice").as("price1"))
+    val p2 = t(spark, sfDir, "part").select(col("p_size").as("p_size2"),
+      col("p_partkey").as("k2"), col("p_retailprice").as("price2"))
+    p1.join(p2, p1("p_size") === p2("p_size2") && col("price1") > col("price2"))
+      .groupBy(col("p_size"))
+      .agg(count(lit(1)).as("n_pairs"),
+        Num.dsum(col("price1") - col("price2")).as("sum_gap"))
+      .orderBy(col("p_size"))
+  }
+
+  val q22Sql: String =
+    s"""SELECT p1.p_size, COUNT(*) AS n_pairs,
+       |  ${Num.dsumSql("p1.p_retailprice - p2.p_retailprice")} AS sum_gap
+       |FROM part p1 JOIN part p2
+       |  ON p1.p_size = p2.p_size AND p1.p_retailprice > p2.p_retailprice
+       |GROUP BY p1.p_size ORDER BY p1.p_size""".stripMargin
+
+  /** name → (query fn, oracle SQL). */
+  val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q01_pricing_summary", q01 _, Some(q01Sql)),
+    ("q02_top_orders", q02 _, Some(q02Sql)),
+    ("q03_shipping_priority", q03 _, Some(q03Sql)),
+    ("q04_order_priority_semijoin", q04 _, Some(q04Sql)),
+    ("q05_star_join_revenue", q05 _, Some(q05Sql)),
+    ("q06_filter_agg", q06 _, Some(q06Sql)),
+    ("q07_broadcast_brand_volume", q07 _, Some(q07Sql)),
+    ("q08_semi_join_customers", q08 _, Some(q08Sql)),
+    ("q09_anti_join_customers", q09 _, Some(q09Sql)),
+    ("q10_window_topk_per_group", q10 _, Some(q10Sql)),
+    ("q11_window_running_total", q11 _, Some(q11Sql)),
+    ("q12_window_ranking", q12 _, Some(q12Sql)),
+    ("q13_rollup", q13 _, Some(q13Sql)),
+    ("q14_cube", q14 _, Some(q14Sql)),
+    ("q15_set_operations", q15 _, Some(q15Sql)),
+    ("q16_distinct_counts", q16 _, Some(q16Sql)),
+    ("q17_string_functions", q17 _, Some(q17Sql)),
+    ("q18_date_functions", q18 _, Some(q18Sql)),
+    ("q19_math_functions", q19 _, Some(q19Sql)),
+    ("q20_case_buckets", q20 _, Some(q20Sql)),
+    ("q21_scalar_subquery", q21 _, Some(q21Sql)),
+    ("q22_theta_join_price_gaps", q22 _, Some(q22Sql))
+  )
 }
