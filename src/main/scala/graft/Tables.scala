@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.Column
 
 /** Test-table access for the driver-generated parquet star schema
@@ -25,16 +25,20 @@ object Tables {
       spark.read.parquet(path(sfDir, name))
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read as a timestamp. Read it as a raw nanosecond long (legacy conf)
-    * and truncate to microseconds — the same truncation Spark ≤3.x
-    * applied implicitly, and what every oracle query assumes.
+    * infer as a timestamp. An explicit schema reads the INT64 physical
+    * column as a raw nanosecond long (no session conf mutation), which we
+    * truncate to microseconds — the same truncation Spark ≤3.x applied
+    * implicitly, and what every oracle query assumes.
     */
-  private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path(sfDir, "events"))
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private def loadEvents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.schema(eventsRawSchema).parquet(path(sfDir, "events"))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
-  }
 
   /** Register every test table as a temp view named after the table. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
