@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions.expr
+
+/** Registration of the engine's native expressions.
+  *
+  * Two paths, same builder:
+  *  - [[GraftExtensions]] via `SparkSession.builder.withExtensions` —
+  *    the library-integration path (`spark.sql.extensions` on a
+  *    cluster);
+  *  - [[GraftFunctions.ensureRegistered]] — per-session programmatic
+  *    registration, so queries work on any caller-provided session
+  *    (the driver contract passes us its own).
+  */
+object GraftFunctions {
+  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "poly_hash" -> (children => PolyHash(children.head)))
+
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    fns.foreach { case (name, builder) =>
+      if (!reg.functionExists(FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+
+  /** `poly_hash` over a SQL expression string, as a Column. */
+  def polyHash(sqlExpr: String): Column = expr(s"poly_hash($sqlExpr)")
+}
+
+/** `spark.sql.extensions`-compatible installer. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("poly_hash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
+      (children: Seq[Expression]) => PolyHash(children.head)))
+  }
+}

@@ -1,0 +1,250 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{GraftFunctions, PolyHash}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` — the LLM-pipeline family
+  * (exact, n-gram Jaccard, MinHash+LSH, SimHash).
+  *
+  * Every pipeline here is *arithmetically portable*: shingle hashing
+  * uses [[graft.functions.PolyHash]] (a codegen'd Catalyst expression
+  * whose value any SQL engine can reproduce with a `list_reduce`), so
+  * the DuckDB oracle recomputes the identical MinHash signatures, LSH
+  * buckets and SimHash fingerprints — the full pipeline is
+  * hash-checked, not just row counts.
+  *
+  * Scale design (the 100 TB lens):
+  *  - exact dedup shuffles once on the content hash — never on the
+  *    text itself (256-bit key vs KBs of payload);
+  *  - the Jaccard near-dup join is *prefix-filtered* (PPJoin-style):
+  *    candidates must share a shingle among their rarest
+  *    `|S| - ceil(t|S|) + 1` shingles (global rarity order), which is
+  *    lossless for Jaccard ≥ t and prunes the quadratic blow-up that a
+  *    naive shared-shingle join hits on stop-shingles;
+  *  - MinHash/LSH replaces the all-pairs problem with equi-joins on
+  *    band keys — the candidate set is per-bucket quadratic, not
+  *    global;
+  *  - SimHash bands (4×8 bits) are pigeonhole-lossless for hamming ≤ 3.
+  */
+object Dedup {
+  private val P = PolyHash.Mod // 2^31 - 1
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    Tables.load(spark, sfDir, "documents")
+  }
+
+  /** (doc_id, shingles: distinct word n-grams, sz). */
+  private def shingles(d: DataFrame, n: Int): DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col("doc_id"), array_distinct(expr(
+        s"transform(sequence(0, size(toks)-$n), i -> concat_ws(' ', ${(0 until n).map(k => s"toks[i+$k]").mkString(", ")}))"))
+        .as("shingles"))
+      .withColumn("sz", size(col("shingles")))
+
+  /** DuckDB fragment mirroring [[shingles]] (1-based list indexing). */
+  private def shinglesSql(n: Int): String = {
+    val parts = (0 until n).map(k => s"s[i+$k]").mkString(" || ' ' || ")
+    s"""sh AS (
+       |  SELECT doc_id, list_distinct([$parts for i in range(1, len(s) - ${n - 2})]) AS shingles
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
+       |  WHERE len(s) >= $n
+       |)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q27
+  /** Exact dedup: content-hash grouping, min-id survivor policy.
+    * One shuffle on the 256-bit hash; the re-join to per-doc rows is a
+    * broadcast at dim scale and a hash join on the same key otherwise.
+    */
+  def q27(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+      .select(col("doc_id"), sha2(col("text"), 256).as("text_sha"))
+    val g = d.groupBy(col("text_sha"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+    d.join(g, "text_sha")
+      .select(col("doc_id"), col("text_sha"), col("n_copies"),
+        (col("doc_id") === col("keep_id")).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q27Sql: String =
+    """WITH h AS (SELECT doc_id, sha256(text) AS text_sha FROM documents),
+      |g AS (SELECT text_sha, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+      |      FROM h GROUP BY text_sha)
+      |SELECT doc_id, h.text_sha, n_copies, (doc_id = keep_id) AS kept
+      |FROM h JOIN g USING (text_sha) ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q28
+  /** N-gram Jaccard near-dup join, prefix-filtered.
+    *
+    * Jaccard ≥ 3/5 over distinct word 3-grams. Prefix length uses
+    * exact integer arithmetic (`ceil(3·sz/5) = (3·sz+4) div 5`) — a
+    * float `ceil(0.6*sz)` can overshoot at representation boundaries
+    * and silently break the lossless guarantee.
+    */
+  def q28(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingles(docs(spark, sfDir), 3)
+    val ex = sh.select(col("doc_id"), col("sz"), explode(col("shingles")).as("shingle"))
+    val dfreq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("dfreq"))
+    val prefix = ex.join(dfreq, "shingle")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("dfreq"), col("shingle"))))
+      .where(col("rnk") <= col("sz") - expr("(3*sz + 4) div 5") + 1)
+      .select(col("doc_id"), col("shingle"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+    val s1 = sh.select(col("doc_id").as("d1"), col("shingles").as("sh1"), col("sz").as("sz1"))
+    val s2 = sh.select(col("doc_id").as("d2"), col("shingles").as("sh2"), col("sz").as("sz2"))
+    cand.join(s1, "d1").join(s2, "d2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jac", col("inter") / (col("sz1") + col("sz2") - col("inter")))
+      .where(col("jac") >= 0.6)
+      .select(col("d1"), col("d2"), round(col("jac"), 6).as("jac"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val q28Sql: String =
+    s"""WITH ${shinglesSql(3)},
+       |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |         FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+       |j AS (SELECT d1, d2,
+       |        len(list_intersect(x.shingles, y.shingles)) /
+       |        CAST(len(x.shingles) + len(y.shingles)
+       |             - len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) AS jac
+       |      FROM cand JOIN sh x ON x.doc_id = d1 JOIN sh y ON y.doc_id = d2)
+       |SELECT d1, d2, ROUND(jac, 6) AS jac FROM j WHERE jac >= 0.6
+       |ORDER BY d1, d2""".stripMargin
+
+  // ---------------------------------------------------------------- q29
+  /** MinHash signatures + LSH banding + verification.
+    *
+    * 12 portable hash functions `h_i(x) = (a_i·x + b_i) mod (2^31-1)`
+    * over poly-hashed 3-gram shingles; 4 bands × 3 rows. Candidates
+    * share at least one full band key; each candidate carries its
+    * signature-estimated similarity and the exact Jaccard.
+    */
+  def q29(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingles(docs(spark, sfDir), 3)
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .select(col("doc_id"), GraftFunctions.polyHash("shingle").as("x"))
+    val params = spark.range(12).select(col("id").cast("int").as("i"),
+      ((col("id") * 7919 + 1) % P).as("a"), ((col("id") * 104729 + 12345) % P).as("b"))
+    val sig = ex.crossJoin(broadcast(params))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min((col("a") * col("x") + col("b")) % P).as("mh"))
+    val bandKey = sig.groupBy(col("doc_id"), expr("i div 3").as("band"))
+      .agg(expr("concat_ws(',', transform(array_sort(collect_list(struct(i, mh))), s -> cast(s.mh as string)))").as("bkey"))
+    val cand = bandKey.as("a").join(bandKey.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+    val est = cand
+      .join(sig.select(col("doc_id").as("d1"), col("i"), col("mh").as("mh1")), "d1")
+      .join(sig.select(col("doc_id").as("d2"), col("i"), col("mh").as("mh2")),
+        Seq("d2", "i"))
+      .groupBy(col("d1"), col("d2"))
+      .agg((sum(when(col("mh1") === col("mh2"), 1).otherwise(0)) / 12.0).as("est_sim"))
+    val s1 = sh.select(col("doc_id").as("d1"), col("shingles").as("sh1"), col("sz").as("sz1"))
+    val s2 = sh.select(col("doc_id").as("d2"), col("shingles").as("sh2"), col("sz").as("sz2"))
+    est.join(s1, "d1").join(s2, "d2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .select(col("d1"), col("d2"), round(col("est_sim"), 6).as("est_sim"),
+        round(col("inter") / (col("sz1") + col("sz2") - col("inter")), 6).as("jac"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val q29Sql: String =
+    s"""WITH ${shinglesSql(3)},
+       |ex AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh),
+       |hx AS (SELECT doc_id, ${PolyHash.duckdbSql("shingle")} AS x FROM ex),
+       |params AS (SELECT i, (i*7919 + 1) % $P AS a, (i*104729 + 12345) % $P AS b
+       |           FROM range(0, 12) t(i)),
+       |sig AS (SELECT doc_id, i, MIN((a*x + b) % $P) AS mh
+       |        FROM hx CROSS JOIN params GROUP BY doc_id, i),
+       |bandkey AS (SELECT doc_id, i // 3 AS band,
+       |              string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bkey
+       |            FROM sig GROUP BY doc_id, i // 3),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |         FROM bandkey a JOIN bandkey b
+       |         ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |est AS (SELECT d1, d2,
+       |          SUM(CASE WHEN m1.mh = m2.mh THEN 1 ELSE 0 END) / 12.0 AS est_sim
+       |        FROM cand
+       |        JOIN sig m1 ON m1.doc_id = d1 JOIN sig m2 ON m2.doc_id = d2 AND m1.i = m2.i
+       |        GROUP BY d1, d2)
+       |SELECT d1, d2, ROUND(est_sim, 6) AS est_sim,
+       |  ROUND(len(list_intersect(x.shingles, y.shingles)) /
+       |        CAST(len(x.shingles) + len(y.shingles)
+       |             - len(list_intersect(x.shingles, y.shingles)) AS DOUBLE), 6) AS jac
+       |FROM est JOIN sh x ON x.doc_id = d1 JOIN sh y ON y.doc_id = d2
+       |ORDER BY d1, d2""".stripMargin
+
+  // ---------------------------------------------------------------- q30
+  /** SimHash near-dup: 32-bit weighted-bigram fingerprints, 4×8-bit
+    * band blocking (lossless for hamming ≤ 3), XOR popcount verify.
+    */
+  def q30(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val grams = d.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks)-2), i -> concat_ws(' ', toks[i], toks[i+1]))")).as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("w"))
+      .select(col("doc_id"), GraftFunctions.polyHash("gram").as("x"), col("w"))
+    val bits = grams
+      .select(col("doc_id"), col("x"), col("w"), explode(expr("sequence(0, 31)")).as("j"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(expr("(((x >> j) & 1) * 2 - 1) * w")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("if(s > 0, cast(1 as bigint) << j, 0)")).as("fp"))
+    val banded = bits.select(col("doc_id"), col("fp"),
+        explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("bkey", expr("(fp >> (band * 8)) & 255"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.fp").as("fp1"), col("b.fp").as("fp2")).distinct()
+    cand.withColumn("hamming", expr("bit_count(fp1 ^ fp2)"))
+      .where(col("hamming") <= 3)
+      .select(col("d1"), col("d2"), col("fp1"), col("fp2"),
+        col("hamming").cast("int").as("hamming"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val q30Sql: String =
+    s"""WITH grams AS (
+       |  SELECT doc_id, g.gram, COUNT(*) AS w FROM (
+       |    SELECT doc_id, unnest([s[i] || ' ' || s[i+1] for i in range(1, len(s))]) AS gram
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
+       |    WHERE len(s) >= 2) g
+       |  GROUP BY doc_id, g.gram),
+       |hx AS (SELECT doc_id, ${PolyHash.duckdbSql("gram")} AS x, w FROM grams),
+       |bits AS (SELECT doc_id, j, SUM((((x >> j) & 1) * 2 - 1) * w) AS s
+       |         FROM hx CROSS JOIN range(0, 32) t(j) GROUP BY doc_id, j),
+       |fps AS (SELECT doc_id, SUM(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS fp
+       |        FROM bits GROUP BY doc_id),
+       |banded AS (SELECT doc_id, fp, band, (fp >> (band * 8)) & 255 AS bkey
+       |           FROM fps CROSS JOIN range(0, 4) t(band)),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       |                a.fp AS fp1, b.fp AS fp2
+       |         FROM banded a JOIN banded b
+       |         ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+       |SELECT d1, d2, fp1, fp2, CAST(bit_count(xor(fp1, fp2)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(fp1, fp2)) <= 3
+       |ORDER BY d1, d2""".stripMargin
+
+  val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q27_exact_dedup", q27 _, Some(q27Sql)),
+    ("q28_ngram_jaccard_neardup", q28 _, Some(q28Sql)),
+    ("q29_minhash_lsh_neardup", q29 _, Some(q29Sql)),
+    ("q30_simhash_neardup", q30 _, Some(q30Sql))
+  )
+}
