@@ -1,0 +1,200 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over `embeddings` (`array<float>[64]`).
+  *
+  * Numeric portability: every dot product folds per-dimension DOUBLE
+  * products into a DECIMAL(38,12) accumulator — exact and therefore
+  * order-independent, so Spark's in-row `zip_with`+`aggregate` fold and
+  * the oracle's unordered SQL SUM produce bit-identical values (the
+  * same trick as [[graft.Num]], extended to vector math). Cosines and
+  * rankings then agree exactly across engines.
+  *
+  * Scale design (100 TB lens):
+  *  - q31 (brute force) is the *correctness baseline*: the pair fan-out
+  *    is an explicit crossJoin with the smaller side broadcast. It is
+  *    quadratic by definition — the scale path is q32;
+  *  - q32 buckets vectors by random-hyperplane LSH (deterministic
+  *    pseudo-random planes), turning all-pairs into per-bucket pairs —
+  *    an equi-join on the bucket id that shuffles each vector once.
+  *    At 100 TB the bucket count scales with the corpus (more planes),
+  *    keeping per-bucket cardinality bounded; singleton-bucket vectors
+  *    simply yield no neighbor (standard ANN recall trade-off,
+  *    mitigated by multi-probe/repetition — both are unions of the
+  *    same plan);
+  *  - q33 computes per-label centroids — the coarse-quantizer step of
+  *    an IVF index — with one shuffle keyed on (label, dim).
+  */
+object Similarity {
+
+  private def emb(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "embeddings")
+
+  /** Exact, order-independent dot product of two float arrays (in-row
+    * codegen'd fold, no shuffle).
+    */
+  private def dot(c1: String, c2: String): String =
+    s"""cast(aggregate(
+       |  zip_with($c1, $c2, (x, y) ->
+       |    cast(cast(x as double) * cast(y as double) as decimal(38,12))),
+       |  cast(0 as decimal(38,12)),
+       |  (acc, v) -> cast(acc + v as decimal(38,12))) as double)""".stripMargin
+
+  /** DuckDB mirror of [[dot]]: unordered SUM over an exact DECIMAL —
+    * `$i` must range over 0..63 from a `range(0, 64) t(i)` cross join.
+    */
+  private def dotSqlDuck(c1: String, c2: String): String =
+    s"CAST(SUM(CAST(CAST($c1[i+1] AS DOUBLE) * CAST($c2[i+1] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)"
+
+  // ---------------------------------------------------------------- q31
+  /** Brute-force cosine top-k (k=3) per vector — the exact baseline. */
+  def q31(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+      .withColumn("nrm", sqrt(expr(dot("embedding", "embedding"))))
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nrm").as("nb"))
+    val pairs = a.join(broadcast(b), col("va") =!= col("vb"))
+      .withColumn("cos", expr(dot("ea", "eb")) / (col("na") * col("nb")))
+    val w = Window.partitionBy(col("va")).orderBy(col("cos").desc, col("vb"))
+    pairs.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("va"), col("rn"), col("vb"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("va"), col("rn"))
+  }
+
+  val q31Sql: String =
+    s"""WITH nrm AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSqlDuck("embedding", "embedding")}) AS nrm
+       |  FROM embeddings CROSS JOIN range(0, 64) t(i) GROUP BY vec_id, embedding),
+       |pairs AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb,
+       |    ${dotSqlDuck("a.embedding", "b.embedding")} / (ANY_VALUE(a.nrm) * ANY_VALUE(b.nrm)) AS cos
+       |  FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id
+       |  CROSS JOIN range(0, 64) t(i)
+       |  GROUP BY a.vec_id, b.vec_id),
+       |ranked AS (
+       |  SELECT va, vb, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rn
+       |  FROM pairs)
+       |SELECT va, rn, vb, ROUND(cos, 6) AS cos FROM ranked WHERE rn <= 3
+       |ORDER BY va, rn""".stripMargin
+
+  // ---------------------------------------------------------------- q32
+  /** LSH-bucketed approximate nearest neighbor: 4 deterministic
+    * pseudo-random hyperplanes → 16 sign buckets → exact top-1 within
+    * bucket. The bucket id is computed in-row; the only shuffle is the
+    * per-bucket self-join.
+    */
+  private val planeVal =
+    // deterministic pseudo-random plane coefficient in [-1, 1) for (j, i)
+    "(((CAST(1103515245 AS BIGINT) * (j * 64 + i) + 12345) % 2147483648) / 1073741824.0 - 1.0)"
+
+  def q32(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+      .withColumn("nrm", sqrt(expr(dot("embedding", "embedding"))))
+    // per-plane signed projection, exact decimal fold over dimensions
+    val proj = e.select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(expr("sequence(0, 3)")).as("j"))
+      .withColumn("s", expr(
+        s"""cast(aggregate(sequence(0, 63), cast(0 as decimal(38,12)), (acc, i) ->
+           |  cast(acc + cast(cast(embedding[i] as double) * $planeVal as decimal(38,12))
+           |       as decimal(38,12))) as double)""".stripMargin))
+    val bucketed = proj.groupBy(col("vec_id"))
+      .agg(sum(expr("if(s > 0, cast(1 as bigint) << j, 0)")).as("bucket"),
+        first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
+    val a = bucketed.select(col("bucket"), col("vec_id").as("va"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("vb"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val pairs = a.join(b, Seq("bucket")).where(col("va") =!= col("vb"))
+      .withColumn("cos", expr(dot("ea", "eb")) / (col("na") * col("nb")))
+    val w = Window.partitionBy(col("va")).orderBy(col("cos").desc, col("vb"))
+    pairs.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("va"), col("bucket").cast("long").as("bucket"),
+        col("vb").as("nn"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("va"))
+  }
+
+  val q32Sql: String =
+    s"""WITH nrm AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSqlDuck("embedding", "embedding")}) AS nrm
+       |  FROM embeddings CROSS JOIN range(0, 64) t(i) GROUP BY vec_id, embedding),
+       |proj AS (
+       |  SELECT vec_id, j,
+       |    CAST(SUM(CAST(CAST(embedding[i+1] AS DOUBLE) * $planeVal
+       |             AS DECIMAL(38,12))) AS DOUBLE) AS s
+       |  FROM nrm CROSS JOIN range(0, 4) tj(j) CROSS JOIN range(0, 64) t(i)
+       |  GROUP BY vec_id, j),
+       |bucketed AS (
+       |  SELECT vec_id, SUM(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS bucket
+       |  FROM proj GROUP BY vec_id),
+       |pairs AS (
+       |  SELECT x.bucket, a.vec_id AS va, b.vec_id AS vb,
+       |    ${dotSqlDuck("a.embedding", "b.embedding")} / (ANY_VALUE(a.nrm) * ANY_VALUE(b.nrm)) AS cos
+       |  FROM bucketed x JOIN nrm a ON a.vec_id = x.vec_id
+       |  JOIN bucketed y ON y.bucket = x.bucket AND y.vec_id <> x.vec_id
+       |  JOIN nrm b ON b.vec_id = y.vec_id
+       |  CROSS JOIN range(0, 64) t(i)
+       |  GROUP BY x.bucket, a.vec_id, b.vec_id),
+       |ranked AS (
+       |  SELECT va, bucket, vb, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rn
+       |  FROM pairs)
+       |SELECT va, CAST(bucket AS BIGINT) AS bucket, vb AS nn, ROUND(cos, 6) AS cos
+       |FROM ranked WHERE rn = 1 ORDER BY va""".stripMargin
+
+  // ---------------------------------------------------------------- q33
+  /** Per-label centroids + within-cluster cohesion — the IVF coarse
+    * quantizer as a query: explode to (label, dim, x), one shuffle on
+    * (label, dim) for exact centroid sums, then per-vector distances.
+    */
+  def q33(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val dims = e.select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .withColumn("x", col("x").cast("double"))
+    val centroids = dims.groupBy(col("label"), col("i"))
+      .agg((sum(col("x").cast("decimal(38,12)")).cast("double") /
+        count(lit(1))).as("c"))
+    val dist = dims.join(centroids, Seq("label", "i"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sqrt(sum(expr("cast((x - c) * (x - c) as decimal(38,12))"))
+        .cast("double")).as("d"))
+    dist.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        (sum(col("d").cast("decimal(38,12)")).cast("double") /
+          count(lit(1))).as("avg_dist"))
+      .select(col("label"), col("n_vectors"), round(col("avg_dist"), 6).as("avg_dist"))
+      .orderBy(col("label"))
+  }
+
+  val q33Sql: String =
+    """WITH dims AS (
+      |  SELECT vec_id, label, i, CAST(embedding[i+1] AS DOUBLE) AS x
+      |  FROM embeddings CROSS JOIN range(0, 64) t(i)),
+      |centroids AS (
+      |  SELECT label, i,
+      |    CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS c
+      |  FROM dims GROUP BY label, i),
+      |dist AS (
+      |  SELECT vec_id, d.label,
+      |    sqrt(CAST(SUM(CAST((x - c) * (x - c) AS DECIMAL(38,12))) AS DOUBLE)) AS dd
+      |  FROM dims d JOIN centroids USING (label, i)
+      |  GROUP BY vec_id, d.label)
+      |SELECT label, COUNT(*) AS n_vectors,
+      |  ROUND(CAST(SUM(CAST(dd AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS avg_dist
+      |FROM dist GROUP BY label ORDER BY label""".stripMargin
+
+  val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q31_cosine_knn", q31 _, Some(q31Sql)),
+    ("q32_ann_lsh_buckets", q32 _, Some(q32Sql)),
+    ("q33_label_centroids", q33 _, Some(q33Sql))
+  )
+}
