@@ -1,0 +1,224 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents`: token statistics,
+  * heuristic language identification, quality scoring, and winnowing
+  * fingerprints — the per-document preprocessing stages of a training
+  * -data pipeline.
+  *
+  * Scale design: every operator is embarrassingly per-document (in-row
+  * higher-order functions, no explode unless a distinct-count
+  * genuinely needs one), aggregated with cardinality-bounded group
+  * keys (lang × source). The only shuffles are the final group-bys.
+  */
+object Text {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
+    Tables.load(spark, sfDir, "documents")
+  }
+
+  /** BPE-ish regex: letter runs, digit runs, single other non-space —
+    * same dialect-neutral pattern in Java regex and RE2.
+    */
+  private val BpePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+  private val stop: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
+  private val langs = stop.keys.toSeq.sorted // de, en, es, fr, zh
+
+  private def scoreExpr(lang: String): String =
+    s"size(filter(toks, t -> array_contains(array(${stop(lang).map(w => s"'$w'").mkString(",")}), t)))"
+
+  private def scoreSqlDuck(lang: String): String =
+    s"len(list_filter(s, t -> list_contains([${stop(lang).map(w => s"'$w'").mkString(",")}], t)))"
+
+  // ---------------------------------------------------------------- q34
+  /** Token statistics per (lang, source): whitespace tokens, distinct
+    * vocabulary, longest token, BPE-ish regex token count.
+    */
+  def q34(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+      .select(col("lang"), col("source"), col("doc_id"),
+        split(col("text"), " ").as("toks"), col("text"))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("max_tok_len", expr("array_max(transform(toks, t -> length(t)))").cast("int"))
+      .withColumn("n_bpe", expr(s"size(regexp_extract_all(text, '$BpePattern', 0))").cast("long"))
+    val perGroup = d.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        (sum(col("n_toks")) / count(lit(1))).as("avg_tokens"),
+        max(col("max_tok_len")).as("max_tok_len"),
+        sum(col("n_bpe")).as("n_bpe_tokens"))
+    val vocab = d.select(col("lang"), col("source"), explode(col("toks")).as("tok"))
+      .groupBy(col("lang"), col("source"))
+      .agg(countDistinct(col("tok")).as("n_vocab"))
+    perGroup.join(vocab, Seq("lang", "source"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        round(col("avg_tokens"), 6).as("avg_tokens"), col("max_tok_len"),
+        col("n_bpe_tokens"), col("n_vocab"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val q34Sql: String =
+    s"""WITH d AS (
+       |  SELECT lang, source, doc_id, string_split(text, ' ') AS s, text FROM documents),
+       |per_doc AS (
+       |  SELECT lang, source, doc_id, len(s)::BIGINT AS n_toks,
+       |    list_max(list_transform(s, t -> length(t)))::INT AS max_tok_len,
+       |    len(regexp_extract_all(text, '$BpePattern'))::BIGINT AS n_bpe
+       |  FROM d),
+       |per_group AS (
+       |  SELECT lang, source, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(n_toks) AS BIGINT) / COUNT(*) AS avg_tokens,
+       |    MAX(max_tok_len) AS max_tok_len,
+       |    CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens
+       |  FROM per_doc GROUP BY lang, source),
+       |vocab AS (
+       |  SELECT lang, source, COUNT(DISTINCT tok) AS n_vocab FROM (
+       |    SELECT lang, source, unnest(s) AS tok FROM d)
+       |  GROUP BY lang, source)
+       |SELECT lang, source, n_docs, n_tokens, ROUND(avg_tokens, 6) AS avg_tokens,
+       |  max_tok_len, n_bpe_tokens, n_vocab
+       |FROM per_group JOIN vocab USING (lang, source)
+       |ORDER BY lang, source""".stripMargin
+
+  // ---------------------------------------------------------------- q35
+  /** Heuristic language-ID (stopword-occurrence argmax, alphabetical
+    * tie-break) vs the labeled lang: a confusion matrix.
+    */
+  def q35(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = docs(spark, sfDir)
+      .select(col("lang"), split(col("text"), " ").as("toks"))
+    val withScores = langs.foldLeft(scored) { (df, l) =>
+      df.withColumn(s"s_$l", expr(scoreExpr(l)))
+    }
+    // fixed-priority argmax: alphabetical order wins ties
+    val predicted = langs.init.foldRight(lit(langs.last)) { (l, rest) =>
+      val others = langs.filterNot(_ == l)
+      when(others.map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _), lit(l))
+        .otherwise(rest)
+    }
+    withScores.withColumn("predicted", predicted)
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  val q35Sql: String = {
+    val scoreCols = langs.map(l => s"${scoreSqlDuck(l)} AS s_$l").mkString(",\n    ")
+    val caseChain = langs.init.map { l =>
+      val conds = langs.filterNot(_ == l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n      ")
+    s"""WITH scored AS (
+       |  SELECT lang,
+       |    $scoreCols
+       |  FROM (SELECT lang, string_split(text, ' ') AS s FROM documents))
+       |SELECT lang,
+       |  CASE $caseChain ELSE '${langs.last}' END AS predicted,
+       |  COUNT(*) AS n
+       |FROM scored GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q36
+  /** Quality scoring: length/stopword/short-token signals combined
+    * into a deterministic [0,1] score, bucketed per lang.
+    */
+  def q36(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        split(col("text"), " ").as("toks"))
+      .withColumn("n_toks", size(col("toks")))
+      .withColumn("n_stop",
+        expr(s"size(filter(toks, t -> array_contains(array(${
+          stop.values.flatten.toSeq.distinct.sorted.map(w => s"'$w'").mkString(",")}), t)))"))
+      .withColumn("n_short", expr("size(filter(toks, t -> length(t) <= 2))"))
+      .withColumn("score",
+        least(lit(1.0), col("n_toks") / 100.0) * 0.5
+          + (col("n_stop") / col("n_toks")) * 0.25
+          + (lit(1.0) - col("n_short") / col("n_toks")) * 0.25)
+      .withColumn("bucket",
+        when(col("score") >= 0.7, "high")
+          .when(col("score") >= 0.45, "medium").otherwise("low"))
+    d.groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round((sum(col("score").cast("decimal(38,12)")).cast("double") /
+          count(lit(1))), 6).as("avg_score"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  val q36Sql: String = {
+    val allStops = stop.values.flatten.toSeq.distinct.sorted.map(w => s"'$w'").mkString(",")
+    s"""WITH d AS (
+       |  SELECT lang, doc_id, n_chars, string_split(text, ' ') AS s FROM documents),
+       |scored AS (
+       |  SELECT lang,
+       |    LEAST(1.0, len(s) / 100.0) * 0.5
+       |      + (len(list_filter(s, t -> list_contains([$allStops], t))) / CAST(len(s) AS DOUBLE)) * 0.25
+       |      + (1.0 - len(list_filter(s, t -> length(t) <= 2)) / CAST(len(s) AS DOUBLE)) * 0.25 AS score
+       |  FROM d),
+       |bucketed AS (
+       |  SELECT lang, score,
+       |    CASE WHEN score >= 0.7 THEN 'high'
+       |         WHEN score >= 0.45 THEN 'medium' ELSE 'low' END AS bucket
+       |  FROM scored)
+       |SELECT lang, bucket, COUNT(*) AS n,
+       |  ROUND(CAST(SUM(CAST(score AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS avg_score
+       |FROM bucketed GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q37
+  /** Winnowing fingerprints: char 8-gram poly-hashes, window-16 minima,
+    * distinct selected hashes — all in-row, with an order-independent
+    * checksum so the result is one bounded row per document.
+    */
+  def q37(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 8; val w = 16
+    docs(spark, sfDir)
+      .where(length(col("text")) >= k + w - 1)
+      .select(col("doc_id"),
+        expr(s"transform(sequence(1, length(text) - ${k - 1}), i -> poly_hash(substring(text, i, $k)))").as("kh"))
+      .select(col("doc_id"),
+        expr(s"array_distinct(transform(sequence(1, size(kh) - ${w - 1}), i -> array_min(slice(kh, i, $w))))").as("sel"),
+        size(col("kh")).as("n_kgrams"))
+      .select(col("doc_id"), col("n_kgrams"), size(col("sel")).as("n_selected"),
+        expr("aggregate(sel, cast(0 as bigint), (acc, v) -> (acc + v) % 2147483647)").as("checksum_naive"),
+        expr("array_min(sel)").as("min_fp"), expr("array_max(sel)").as("max_fp"))
+      .withColumn("checksum", expr("checksum_naive")).drop("checksum_naive")
+      .orderBy(col("doc_id"))
+  }
+
+  val q37Sql: String = {
+    val k = 8; val w = 16
+    val ph = graft.functions.PolyHash
+    s"""WITH kh AS (
+       |  SELECT doc_id,
+       |    [list_reduce(list_prepend(0::BIGINT, [unicode(c)::BIGINT for c in string_split(substring(text, i, $k), '')]), (acc, c) -> (acc * ${ph.Base} + c) % ${ph.Mod}) for i in range(1, length(text) - ${k - 2})] AS kh
+       |  FROM documents WHERE length(text) >= ${k + w - 1}),
+       |sel AS (
+       |  SELECT doc_id, len(kh) AS n_kgrams,
+       |    list_distinct([list_min(kh[i:i+${w - 1}]) for i in range(1, len(kh) - ${w - 2})]) AS sel
+       |  FROM kh)
+       |SELECT doc_id, n_kgrams, len(sel) AS n_selected,
+       |  list_reduce(list_prepend(0::BIGINT, sel), (acc, v) -> (acc + v) % ${ph.Mod}) AS checksum,
+       |  list_min(sel) AS min_fp, list_max(sel) AS max_fp
+       |FROM sel ORDER BY doc_id""".stripMargin
+  }
+
+  val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q34_token_stats", q34 _, Some(q34Sql)),
+    ("q35_lang_id_confusion", q35 _, Some(q35Sql)),
+    ("q36_quality_score", q36 _, Some(q36Sql)),
+    ("q37_winnow_fingerprint", q37 _, Some(q37Sql))
+  )
+}
