@@ -133,10 +133,100 @@ object Events {
       |  ARG_MAX(event_type, event_id) AS last_type
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q38
+  /** As-of join, completing the theta/range/as-of family: each
+    * purchase is matched to the most recent strictly-prior view of the
+    * same user. Implemented as a single window pass over the unioned
+    * ordered stream — one shuffle on user_id, no join at all (the
+    * union+window formulation of as-of, which at any scale beats a
+    * per-row backward range join).
+    */
+  def q38(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_s"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev(spark, sfDir)
+      .where(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        date_trunc("second", col("ts")).cast("long").as("ts_s"))
+      .withColumn("prior_view",
+        last(when(col("event_type") === "view",
+          struct(col("ts_s"), col("event_id"))), ignoreNulls = true).over(byUser))
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        col("prior_view.event_id").as("view_event_id"),
+        (col("ts_s") - col("prior_view.ts_s")).as("gap_s"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val q38Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s
+      |  FROM events WHERE event_type IN ('view', 'purchase')),
+      |w AS (
+      |  SELECT user_id, event_id, event_type, ts_s,
+      |    last_value(CASE WHEN event_type = 'view'
+      |               THEN struct_pack(ts_s := ts_s, event_id := event_id) END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_view
+      |  FROM e)
+      |SELECT user_id, event_id,
+      |  prior_view.event_id AS view_event_id,
+      |  ts_s - prior_view.ts_s AS gap_s
+      |FROM w WHERE event_type = 'purchase'
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q39
+  /** Range join, time-bucketed: views of the same user within the hour
+    * before each purchase. Instead of an inequality-only join (BNLJ at
+    * scale), views land in hour buckets and each purchase probes its
+    * two covering buckets — an equi-join on (user_id, bucket) with a
+    * cheap residual range filter. Bucket fan-out is a constant 2.
+    */
+  def q39(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = ev(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        date_trunc("second", col("ts")).cast("long").as("ts_s"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_s"))
+    val views = e.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts_s").as("v_ts"), col("value"),
+        expr("ts_s div 3600").as("bucket"))
+    val probes = purchases
+      .withColumn("bucket", explode(expr("array(ts_s div 3600 - 1, ts_s div 3600)")))
+    val joined = probes.join(views, Seq("user_id", "bucket"))
+      .where(col("v_ts") >= col("ts_s") - 3600 && col("v_ts") < col("ts_s"))
+      .groupBy(col("user_id"), col("event_id"))
+      .agg(count(lit(1)).as("n_views_1h"), Num.dsum(col("value")).as("view_value_1h"))
+    purchases.join(joined, Seq("user_id", "event_id"), "left")
+      .select(col("user_id"), col("event_id"),
+        coalesce(col("n_views_1h"), lit(0L)).as("n_views_1h"),
+        coalesce(col("view_value_1h"), lit(0.0)).as("view_value_1h"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val q39Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, value,
+       |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s
+       |  FROM events),
+       |p AS (SELECT user_id, event_id, ts_s FROM e WHERE event_type = 'purchase'),
+       |v AS (SELECT user_id, ts_s AS v_ts, value FROM e WHERE event_type = 'view')
+       |SELECT p.user_id, p.event_id,
+       |  COUNT(v.v_ts) AS n_views_1h,
+       |  COALESCE(${Num.dsumSql("v.value")}, 0.0) AS view_value_1h
+       |FROM p LEFT JOIN v
+       |  ON v.user_id = p.user_id AND v.v_ts >= p.ts_s - 3600 AND v.v_ts < p.ts_s
+       |GROUP BY p.user_id, p.event_id
+       |ORDER BY p.user_id, p.event_id""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_events_json_stats", q23 _, Some(q23Sql)),
     ("q24_events_daily_window", q24 _, Some(q24Sql)),
     ("q25_events_sessionization", q25 _, Some(q25Sql)),
-    ("q26_events_user_funnel", q26 _, Some(q26Sql))
+    ("q26_events_user_funnel", q26 _, Some(q26Sql)),
+    ("q38_asof_prior_view", q38 _, Some(q38Sql)),
+    ("q39_range_join_views_1h", q39 _, Some(q39Sql))
   )
 }
