@@ -1,0 +1,96 @@
+package graft.queries
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked Structured Streaming queries: the `events` parquet
+  * replayed through a real streaming execution (file source →
+  * watermarked stateful operators → memory sink, Trigger.AvailableNow)
+  * whose deterministic end state equals a batch query the DuckDB
+  * oracle can express. Watermark/late-data *behavioral* semantics are
+  * asserted separately in the MemoryStream test suite (append mode).
+  */
+object Streaming {
+
+  private def run(spark: SparkSession, sfDir: String, name: String,
+                  f: DataFrame => DataFrame): DataFrame =
+    EventStreams.runToTable(spark, f(EventStreams.source(spark, sfDir)), name)
+
+  // ---------------------------------------------------------------- q40
+  def q40(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir, "stream_daily", EventStreams.dailyCounts)
+      .orderBy(col("day"), col("event_type"))
+
+  val q40Sql: String =
+    s"""SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day, event_type,
+       |  COUNT(*) AS n, ${graft.Num.dsumSql("value")} AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q41
+  def q41(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir, "stream_sliding", EventStreams.slidingCounts)
+      .orderBy(col("w_start"), col("event_type"))
+
+  /** Each event belongs to exactly two 6h/3h sliding windows: the one
+    * starting at its 3h slot and the previous one.
+    */
+  val q41Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(floor(epoch(ts) / 10800) AS BIGINT) * 10800 AS s0
+      |  FROM events),
+      |assigned AS (
+      |  SELECT event_type, s0 AS w_start FROM e
+      |  UNION ALL
+      |  SELECT event_type, s0 - 10800 AS w_start FROM e)
+      |SELECT w_start, event_type, COUNT(*) AS n
+      |FROM assigned GROUP BY w_start, event_type
+      |ORDER BY w_start, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q42
+  def q42(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir, "stream_sessions", EventStreams.sessionStats)
+      .orderBy(col("user_id"), col("session_start_s"))
+
+  /** Session-window semantics: an event at exactly gap seconds after
+    * the previous one starts a NEW session (Spark sessions are
+    * end-exclusive), hence the `>= 1800` split below; end = last+gap.
+    */
+  val q42Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, value,
+       |    CAST(epoch(DATE_TRUNC('second', ts)) AS BIGINT) AS ts_s
+       |  FROM events),
+       |flagged AS (
+       |  SELECT user_id, value, ts_s,
+       |    CASE WHEN LAG(ts_s) OVER w IS NULL
+       |         OR ts_s - LAG(ts_s) OVER w >= 1800 THEN 1 ELSE 0 END AS new_session
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s)),
+       |sessions AS (
+       |  SELECT user_id, value, ts_s,
+       |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM flagged)
+       |SELECT user_id, MIN(ts_s) AS session_start_s,
+       |  MAX(ts_s) + 1800 AS session_end_s,
+       |  COUNT(*) AS n_events, ${graft.Num.dsumSql("value")} AS sum_value
+       |FROM sessions GROUP BY user_id, sid
+       |ORDER BY user_id, session_start_s""".stripMargin
+
+  // ---------------------------------------------------------------- q43
+  def q43(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir, "stream_dedup", EventStreams.dedupedDailyActors)
+      .orderBy(col("day"))
+
+  val q43Sql: String =
+    """SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+      |  COUNT(DISTINCT (user_id, event_type)) AS n_active_pairs
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
+  val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q40_stream_daily_window", q40 _, Some(q40Sql)),
+    ("q41_stream_sliding_window", q41 _, Some(q41Sql)),
+    ("q42_stream_session_window", q42 _, Some(q42Sql)),
+    ("q43_stream_dedup_daily", q43 _, Some(q43Sql))
+  )
+}

@@ -1,0 +1,115 @@
+package graft.streaming
+
+import graft.{Num, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the `events` table.
+  *
+  * The transforms are plain `DataFrame => DataFrame` builders, shared
+  * by three consumers:
+  *  - the oracle-checked engine queries (parquet file source replayed
+  *    with `Trigger.AvailableNow`, complete output into a memory sink
+  *    — deterministic end-state, equal to the batch twin);
+  *  - the `MemoryStream` test-suite, which drives append mode and
+  *    asserts the *streaming-only* semantics: watermark advancement,
+  *    window finalization, late-data drop;
+  *  - batch DataFrames (the builders don't care — that twin-ness is
+  *    the point of Structured Streaming).
+  *
+  * Scale design: every stateful op is keyed the way its batch twin
+  * shuffles (window×type, user session), and every append-mode
+  * pipeline carries a watermark so state is bounded — no
+  * grow-forever aggregations (SURVEY §2.2 streaming row).
+  */
+object EventStreams {
+
+  /** Streaming source over the driver-generated events parquet, same
+    * ns→µs timestamp normalization as [[Tables.loadEvents]].
+    *
+    * The file source wants a *directory* it can watch for arriving
+    * files; the test table is a single parquet file, so it is staged
+    * into a temp directory — which is exactly the production shape
+    * (files landing in a watched path).
+    */
+  def source(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(Tables.path(sfDir, "events")),
+      dir.resolve("events-000.parquet"))
+    spark.readStream.schema(raw).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  // --- transform builders (stream/batch agnostic) ----------------------
+
+  /** Tumbling 1-day windows per event type. */
+  def dailyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("sum_value"))
+      .select(col("window.start").cast("date").as("day"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding 6-hour windows every 3 hours. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours", "3 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("w_start"),
+        col("event_type"), col("n"))
+
+  /** Per-user session windows, 30-minute gap (ts truncated to seconds
+    * so the batch oracle's gap arithmetic matches exactly).
+    */
+  def sessionStats(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", date_trunc("second", col("ts")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), Num.dsum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").cast("long").as("session_start_s"),
+        col("session_window.end").cast("long").as("session_end_s"),
+        col("n_events"), col("sum_value"))
+
+  /** Streaming dedup (first writer wins per key) then a daily count:
+    * the key includes the day so watermarked state can expire.
+    */
+  def dedupedDailyActors(events: DataFrame): DataFrame =
+    events
+      .withColumn("day", date_trunc("day", col("ts")).cast("date"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("day", "user_id", "event_type")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active_pairs"))
+
+  // --- runner -----------------------------------------------------------
+
+  /** Replays the file source to exhaustion (`Trigger.AvailableNow`)
+    * into a memory sink in complete mode and returns the final table —
+    * a real streaming execution with a deterministic, batch-equal
+    * end state.
+    */
+  def runToTable(spark: SparkSession, streamed: DataFrame, name: String): DataFrame = {
+    val checkpoint =
+      java.nio.file.Files.createTempDirectory(s"graft-ckpt-$name").toString
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

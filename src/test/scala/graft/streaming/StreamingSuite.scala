@@ -1,0 +1,105 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+                    event_type: String, value: Double, props: String)
+
+/** Streaming-only semantics that the oracle-checked AvailableNow
+  * queries cannot show: watermark advancement, append-mode window
+  * finalization, late-data drop, session merge/split, streaming dedup
+  * (SURVEY §5.2 #7, FIXTURES.md "late-data tests").
+  */
+class StreamingSuite extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.hive
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+  private def ev(id: Long, t: String, user: Long = 1L, typ: String = "view",
+                 value: Double = 1.0): Ev = Ev(id, ts(t), user, typ, value, "{}")
+
+  private def ckpt(): String =
+    java.nio.file.Files.createTempDirectory("graft-test-ckpt").toString
+
+  test("watermark finalizes windows in append mode and drops late data") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams.dailyCounts(input.toDF)
+      .writeStream.format("memory").queryName("wm_daily")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      // two day-1 events; a day-2 event pushes the watermark past day-1
+      input.addData(
+        ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 12:00:00"),
+        ev(3, "2024-01-02 02:00:00"))
+      q.processAllAvailable()
+      // watermark is now 2024-01-02 01:00 (max - 1h) → day-1 finalized
+      val afterFirst = s.table("wm_daily").collect()
+      assert(afterFirst.map(r => (r.getDate(0).toString, r.getLong(2))).toSet ==
+        Set(("2024-01-01", 2L)))
+
+      // a LATE day-1 event (before the watermark) must be dropped;
+      // a day-3 event closes day-2
+      input.addData(
+        ev(4, "2024-01-01 23:00:00"), // late: < watermark
+        ev(5, "2024-01-03 06:00:00"))
+      q.processAllAvailable()
+      val rows = s.table("wm_daily").collect()
+        .map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(rows.contains(("2024-01-01", "view", 2L)),
+        "late event must not change the finalized day-1 window")
+      assert(rows.contains(("2024-01-02", "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("session windows merge events within the gap and split beyond it") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams.sessionStats(input.toDF)
+      .writeStream.format("memory").queryName("wm_sessions")
+      .outputMode("complete").option("checkpointLocation", ckpt()).start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 10:00:00"), // session A
+        ev(2, "2024-01-01 10:10:00"), // merges: gap 10min < 30min
+        ev(3, "2024-01-01 11:00:00"), // splits: gap 50min
+        ev(4, "2024-01-01 10:20:00", user = 2L)) // separate key
+      q.processAllAvailable()
+      val rows = s.table("wm_sessions").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val t0 = ts("2024-01-01 10:00:00").getTime / 1000
+      assert(rows == Set(
+        (1L, t0, t0 + 600 + 1800, 2L),          // A: 10:00..10:10+gap
+        (1L, t0 + 3600, t0 + 3600 + 1800, 1L),  // B: 11:00+gap
+        (2L, t0 + 1200, t0 + 1200 + 1800, 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup keeps the first record per key") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams.dedupedDailyActors(input.toDF)
+      .writeStream.format("memory").queryName("wm_dedup")
+      .outputMode("complete").option("checkpointLocation", ckpt()).start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", user = 1L, typ = "view"),
+        ev(2, "2024-01-01 11:00:00", user = 1L, typ = "view"),   // dup pair
+        ev(3, "2024-01-01 12:00:00", user = 1L, typ = "click"),
+        ev(4, "2024-01-02 09:00:00", user = 1L, typ = "view"))   // new day
+      q.processAllAvailable()
+      val rows = s.table("wm_dedup").collect()
+        .map(r => (r.getDate(0).toString, r.getLong(1))).toSet
+      assert(rows == Set(("2024-01-01", 2L), ("2024-01-02", 1L)))
+    } finally q.stop()
+  }
+}
