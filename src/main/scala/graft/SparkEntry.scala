@@ -15,7 +15,8 @@ object SparkEntry {
 
   private def registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Relational.registry ++ Events.registry ++ Dedup.registry ++
-      Similarity.registry ++ Text.registry ++ Streaming.registry
+      Similarity.registry ++ Text.registry ++ Streaming.registry ++
+      graft.multimodal.Multimodal.registry
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
