@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions.expr
   */
 object GraftFunctions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "poly_hash" -> (children => PolyHash(children.head)))
+    "poly_hash" -> (children => PolyHash(children.head)),
+    "vector_dot_scaled" -> (children => VectorDotScaled(children(0), children(1))))
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -38,5 +39,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
       (children: Seq[Expression]) => PolyHash(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("vector_dot_scaled"),
+      new ExpressionInfo(classOf[VectorDotScaled].getName, "vector_dot_scaled"),
+      (children: Seq[Expression]) => VectorDotScaled(children(0), children(1))))
   }
 }

@@ -88,21 +88,35 @@ object Dedup {
     * and silently break the lossless guarantee.
     */
   def q28(spark: SparkSession, sfDir: String): DataFrame = {
+    // shingle identity = poly_hash (8-byte join/intersect keys instead
+    // of ~20-byte strings — same sets in the oracle, which applies the
+    // identical hash). The per-doc table feeds four plan branches
+    // (dfreq, both prefix sides, both verify sides); Spark has no CTE
+    // materialization, so persist it instead of tokenizing 4× —
+    // it is ~1% of input size (hashes, not text).
     val sh = shingles(docs(spark, sfDir), 3)
-    val ex = sh.select(col("doc_id"), col("sz"), explode(col("shingles")).as("shingle"))
-    val dfreq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("dfreq"))
-    val prefix = ex.join(dfreq, "shingle")
+      .select(col("doc_id"),
+        expr("array_sort(array_distinct(transform(shingles, s -> poly_hash(s))))").as("hs"))
+      .withColumn("sz", size(col("hs")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = sh.select(col("doc_id"), col("sz"), explode(col("hs")).as("h"))
+    val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("dfreq"))
+    val prefix = ex.join(dfreq, "h")
       .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("dfreq"), col("shingle"))))
+        Window.partitionBy(col("doc_id")).orderBy(col("dfreq"), col("h"))))
       .where(col("rnk") <= col("sz") - expr("(3*sz + 4) div 5") + 1)
-      .select(col("doc_id"), col("shingle"))
+      .select(col("doc_id"), col("h"), col("sz"))
+    // length filter (also lossless): J ≥ 3/5 ⟹ min(sz) ≥ 3/5·max(sz);
+    // applied inside the join condition so dissimilar-size pairs never
+    // reach the distinct
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.sz") * 5 >= col("b.sz") * 3 && col("b.sz") * 5 >= col("a.sz") * 3)
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
-    val s1 = sh.select(col("doc_id").as("d1"), col("shingles").as("sh1"), col("sz").as("sz1"))
-    val s2 = sh.select(col("doc_id").as("d2"), col("shingles").as("sh2"), col("sz").as("sz2"))
+    val s1 = sh.select(col("doc_id").as("d1"), col("hs").as("hs1"), col("sz").as("sz1"))
+    val s2 = sh.select(col("doc_id").as("d2"), col("hs").as("hs2"), col("sz").as("sz2"))
     cand.join(s1, "d1").join(s2, "d2")
-      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("inter", size(array_intersect(col("hs1"), col("hs2"))))
       .withColumn("jac", col("inter") / (col("sz1") + col("sz2") - col("inter")))
       .where(col("jac") >= 0.6)
       .select(col("d1"), col("d2"), round(col("jac"), 6).as("jac"))
@@ -111,14 +125,17 @@ object Dedup {
 
   val q28Sql: String =
     s"""WITH ${shinglesSql(3)},
-       |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |hsh AS (SELECT doc_id,
+       |          list_distinct(list_transform(shingles, s -> ${PolyHash.duckdbSql("s")})) AS hs
+       |        FROM sh),
+       |ex AS (SELECT doc_id, unnest(hs) AS h FROM hsh),
        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-       |         FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+       |         FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id),
        |j AS (SELECT d1, d2,
-       |        len(list_intersect(x.shingles, y.shingles)) /
-       |        CAST(len(x.shingles) + len(y.shingles)
-       |             - len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) AS jac
-       |      FROM cand JOIN sh x ON x.doc_id = d1 JOIN sh y ON y.doc_id = d2)
+       |        len(list_intersect(x.hs, y.hs)) /
+       |        CAST(len(x.hs) + len(y.hs)
+       |             - len(list_intersect(x.hs, y.hs)) AS DOUBLE) AS jac
+       |      FROM cand JOIN hsh x ON x.doc_id = d1 JOIN hsh y ON y.doc_id = d2)
        |SELECT d1, d2, ROUND(jac, 6) AS jac FROM j WHERE jac >= 0.6
        |ORDER BY d1, d2""".stripMargin
 

@@ -1,54 +1,51 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.GraftFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over `embeddings` (`array<float>[64]`).
   *
-  * Numeric portability: every dot product folds per-dimension DOUBLE
-  * products into a DECIMAL(38,12) accumulator — exact and therefore
-  * order-independent, so Spark's in-row `zip_with`+`aggregate` fold and
-  * the oracle's unordered SQL SUM produce bit-identical values (the
-  * same trick as [[graft.Num]], extended to vector math). Cosines and
-  * rankings then agree exactly across engines.
+  * Numeric portability: dot products are computed by
+  * [[graft.functions.VectorDotScaled]] — per-dimension double products
+  * rounded to integer 1e-12 units and summed as longs. The sum is
+  * exact, order-independent, and inside whole-stage codegen (the
+  * Decimal-typed fold it replaced ran interpreted and was the round-1
+  * bench's worst offender); the oracle reproduces it with
+  * `SUM(CAST(round(x*y*1e12) AS BIGINT))`. Cosines and rankings then
+  * agree bit-for-bit across engines.
   *
   * Scale design (100 TB lens):
-  *  - q31 (brute force) is the *correctness baseline*: the pair fan-out
-  *    is an explicit crossJoin with the smaller side broadcast. It is
-  *    quadratic by definition — the scale path is q32;
+  *  - q31 (brute force) is the *correctness baseline*: the pair
+  *    fan-out is an explicit crossJoin with the smaller side
+  *    broadcast. It is quadratic by definition — the scale path is
+  *    q32;
   *  - q32 buckets vectors by random-hyperplane LSH (deterministic
   *    pseudo-random planes), turning all-pairs into per-bucket pairs —
   *    an equi-join on the bucket id that shuffles each vector once.
-  *    At 100 TB the bucket count scales with the corpus (more planes),
-  *    keeping per-bucket cardinality bounded; singleton-bucket vectors
-  *    simply yield no neighbor (standard ANN recall trade-off,
-  *    mitigated by multi-probe/repetition — both are unions of the
-  *    same plan);
+  *    At 100 TB the plane count grows with the corpus, keeping
+  *    per-bucket cardinality bounded; singleton-bucket vectors yield
+  *    no neighbor (standard ANN recall trade-off, mitigated by
+  *    multi-probe/repetition — unions of the same plan);
   *  - q33 computes per-label centroids — the coarse-quantizer step of
   *    an IVF index — with one shuffle keyed on (label, dim).
   */
 object Similarity {
 
-  private def emb(spark: SparkSession, sfDir: String): DataFrame =
+  private def emb(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(spark)
     Tables.load(spark, sfDir, "embeddings")
+  }
 
-  /** Exact, order-independent dot product of two float arrays (in-row
-    * codegen'd fold, no shuffle).
-    */
+  /** Exact dot product as a double (codegen'd scaled-long sum). */
   private def dot(c1: String, c2: String): String =
-    s"""cast(aggregate(
-       |  zip_with($c1, $c2, (x, y) ->
-       |    cast(cast(x as double) * cast(y as double) as decimal(38,12))),
-       |  cast(0 as decimal(38,12)),
-       |  (acc, v) -> cast(acc + v as decimal(38,12))) as double)""".stripMargin
+    s"cast(vector_dot_scaled($c1, $c2) as double) / 1e12"
 
-  /** DuckDB mirror of [[dot]]: unordered SUM over an exact DECIMAL —
-    * `$i` must range over 0..63 from a `range(0, 64) t(i)` cross join.
-    */
+  /** DuckDB mirror: `$i` ranges over 0..63 from `range(0, 64) t(i)`. */
   private def dotSqlDuck(c1: String, c2: String): String =
-    s"CAST(SUM(CAST(CAST($c1[i+1] AS DOUBLE) * CAST($c2[i+1] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)"
+    s"CAST(SUM(CAST(round(CAST($c1[i+1] AS DOUBLE) * CAST($c2[i+1] AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12"
 
   // ---------------------------------------------------------------- q31
   /** Brute-force cosine top-k (k=3) per vector — the exact baseline. */
@@ -73,7 +70,7 @@ object Similarity {
        |  FROM embeddings CROSS JOIN range(0, 64) t(i) GROUP BY vec_id, embedding),
        |pairs AS (
        |  SELECT a.vec_id AS va, b.vec_id AS vb,
-       |    ${dotSqlDuck("a.embedding", "b.embedding")} / (ANY_VALUE(a.nrm) * ANY_VALUE(b.nrm)) AS cos
+       |    (${dotSqlDuck("a.embedding", "b.embedding")}) / (ANY_VALUE(a.nrm) * ANY_VALUE(b.nrm)) AS cos
        |  FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id
        |  CROSS JOIN range(0, 64) t(i)
        |  GROUP BY a.vec_id, b.vec_id),
@@ -87,7 +84,7 @@ object Similarity {
   // ---------------------------------------------------------------- q32
   /** LSH-bucketed approximate nearest neighbor: 4 deterministic
     * pseudo-random hyperplanes → 16 sign buckets → exact top-1 within
-    * bucket. The bucket id is computed in-row; the only shuffle is the
+    * bucket. Bucket ids are computed in-row; the only shuffle is the
     * per-bucket self-join.
     */
   private val planeVal =
@@ -97,13 +94,12 @@ object Similarity {
   def q32(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir)
       .withColumn("nrm", sqrt(expr(dot("embedding", "embedding"))))
-    // per-plane signed projection, exact decimal fold over dimensions
+    // per-plane signed projection: scaled-long fold over dimensions
     val proj = e.select(col("vec_id"), col("embedding"), col("nrm"),
         explode(expr("sequence(0, 3)")).as("j"))
       .withColumn("s", expr(
-        s"""cast(aggregate(sequence(0, 63), cast(0 as decimal(38,12)), (acc, i) ->
-           |  cast(acc + cast(cast(embedding[i] as double) * $planeVal as decimal(38,12))
-           |       as decimal(38,12))) as double)""".stripMargin))
+        s"""aggregate(sequence(0, 63), cast(0 as bigint), (acc, i) ->
+           |  acc + cast(round(cast(embedding[i] as double) * $planeVal * 1e12) as bigint))""".stripMargin))
     val bucketed = proj.groupBy(col("vec_id"))
       .agg(sum(expr("if(s > 0, cast(1 as bigint) << j, 0)")).as("bucket"),
         first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
@@ -128,8 +124,8 @@ object Similarity {
        |  FROM embeddings CROSS JOIN range(0, 64) t(i) GROUP BY vec_id, embedding),
        |proj AS (
        |  SELECT vec_id, j,
-       |    CAST(SUM(CAST(CAST(embedding[i+1] AS DOUBLE) * $planeVal
-       |             AS DECIMAL(38,12))) AS DOUBLE) AS s
+       |    SUM(CAST(round(CAST(embedding[i+1] AS DOUBLE) * $planeVal * 1e12)
+       |             AS BIGINT)) AS s
        |  FROM nrm CROSS JOIN range(0, 4) tj(j) CROSS JOIN range(0, 64) t(i)
        |  GROUP BY vec_id, j),
        |bucketed AS (
@@ -137,7 +133,7 @@ object Similarity {
        |  FROM proj GROUP BY vec_id),
        |pairs AS (
        |  SELECT x.bucket, a.vec_id AS va, b.vec_id AS vb,
-       |    ${dotSqlDuck("a.embedding", "b.embedding")} / (ANY_VALUE(a.nrm) * ANY_VALUE(b.nrm)) AS cos
+       |    (${dotSqlDuck("a.embedding", "b.embedding")}) / (ANY_VALUE(a.nrm) * ANY_VALUE(b.nrm)) AS cos
        |  FROM bucketed x JOIN nrm a ON a.vec_id = x.vec_id
        |  JOIN bucketed y ON y.bucket = x.bucket AND y.vec_id <> x.vec_id
        |  JOIN nrm b ON b.vec_id = y.vec_id

@@ -1,0 +1,61 @@
+package graft.functions
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native-expression semantics: interpreted vs codegen parity and the
+  * cross-engine value contract (expected values mirror the oracle's
+  * list_reduce / round() arithmetic).
+  */
+class ExpressionSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.hive
+
+  test("PolyHash.hash matches the portable fold (incl. multibyte)") {
+    assert(PolyHash.hash("hello") == 99162322L)
+    assert(PolyHash.hash("héllo 世界") == 394285854L)
+    assert(PolyHash.hash("x") == 120L)
+    assert(PolyHash.hash("") == 0L)
+  }
+
+  test("poly_hash SQL function: codegen path equals the Scala fold") {
+    GraftFunctions.ensureRegistered(spark)
+    val rows = spark.sql(
+      "SELECT poly_hash(v) FROM VALUES ('hello'), ('héllo 世界'), ('') t(v)")
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(99162322L, 394285854L, 0L))
+  }
+
+  test("vector_dot_scaled: exact scaled-long sum, both eval paths") {
+    GraftFunctions.ensureRegistered(spark)
+    val df = spark.sql(
+      """SELECT vector_dot_scaled(
+        |  array(cast(0.5 as float), cast(-1.5 as float)),
+        |  array(cast(2.0 as float), cast(1.0 as float)))""".stripMargin)
+    // 0.5*2.0 = 1.0 → 1e12; -1.5*1.0 = -1.5 → -1.5e12; sum = -5e11
+    assert(df.head.getLong(0) == -500000000000L)
+    // interpreted path agrees
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val lit1 = Literal.create(ArrayData.toArrayData(Array(0.5f, -1.5f)), ArrayType(FloatType))
+    val lit2 = Literal.create(ArrayData.toArrayData(Array(2.0f, 1.0f)), ArrayType(FloatType))
+    assert(VectorDotScaled(lit1, lit2).eval(null) == -500000000000L)
+  }
+
+  test("vector_dot_scaled: codegen equals interpreted on mixed-sign data") {
+    GraftFunctions.ensureRegistered(spark)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val a = Array.tabulate(64)(i => (math.sin(i * 1.7) * (if (i % 3 == 0) -1 else 1)).toFloat)
+    val b = Array.tabulate(64)(i => (math.cos(i * 0.9) * (if (i % 5 == 0) -1 else 1)).toFloat)
+    val interpreted = VectorDotScaled(
+      Literal.create(ArrayData.toArrayData(a), ArrayType(FloatType)),
+      Literal.create(ArrayData.toArrayData(b), ArrayType(FloatType))).eval(null)
+    val sqlArr = (x: Array[Float]) => x.map(v => s"cast($v as float)").mkString("array(", ",", ")")
+    val codegen = spark.sql(
+      s"SELECT vector_dot_scaled(${sqlArr(a)}, ${sqlArr(b)})").head.getLong(0)
+    assert(codegen == interpreted)
+  }
+}
