@@ -224,7 +224,14 @@ object Relational {
       |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
 
   // ---------------------------------------------------------------- q11
-  /** Running (cumulative) sum per customer — decimal-exact window sum. */
+  /** Running (cumulative) sum per customer — decimal-exact window sum.
+    *
+    * Scale note: the trailing total ORDER BY returns the whole table —
+    * oracle-driven determinism, not a production shape. At 100 TB the
+    * window computation itself is fine (one shuffle on o_custkey,
+    * per-key sorted scan); the consumer would drop the global sort and
+    * write partitioned output, or bound with a per-key limit.
+    */
   def q11(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -347,7 +354,12 @@ object Relational {
       |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_lines FROM lineitem""".stripMargin
 
   // ---------------------------------------------------------------- q17
-  /** String-function surface over part (all codegen'd built-ins). */
+  /** String-function surface over part (all codegen'd built-ins).
+    *
+    * Scale note: like q11, the total ORDER BY over the full table is
+    * parity-only; the per-row string work is embarrassingly parallel
+    * and the production form omits the global sort.
+    */
   def q17(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "part")
       .select(col("p_partkey"),

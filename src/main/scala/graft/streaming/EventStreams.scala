@@ -1,10 +1,14 @@
 package graft.streaming
 
 import graft.{Num, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
+
+/** State/output row of [[EventStreams.userRunningCounts]]. */
+final case class UserCounts(user_id: Long, n_events: Long,
+                            n_purchases: Long, n_batches: Long)
 
 /** Structured Streaming over the `events` table.
   *
@@ -91,6 +95,32 @@ object EventStreams {
       .dropDuplicates("day", "user_id", "event_type")
       .groupBy(col("day"))
       .agg(count(lit(1)).as("n_active_pairs"))
+
+  /** Custom stateful operator (`flatMapGroupsWithState`): per-user
+    * running counters that survive across micro-batches — the escape
+    * hatch for state machines the built-in windows can't express
+    * (SURVEY §2.2 streaming row). Emits one updated row per user per
+    * batch; state is explicit and bounded per key.
+    */
+  def userRunningCounts(events: DataFrame): Dataset[UserCounts] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.select(col("user_id"), col("event_type"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserCounts, UserCounts](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (user: Long, rows: Iterator[(Long, String)], state: GroupState[UserCounts]) =>
+          val prev = state.getOption.getOrElse(UserCounts(user, 0L, 0L, 0L))
+          var n = prev.n_events; var np = prev.n_purchases
+          rows.foreach { case (_, typ) =>
+            n += 1; if (typ == "purchase") np += 1
+          }
+          val next = UserCounts(user, n, np, prev.n_batches + 1)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
 
   // --- runner -----------------------------------------------------------
 

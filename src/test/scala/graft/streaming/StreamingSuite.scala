@@ -82,6 +82,32 @@ class StreamingSuite extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState: per-user state survives micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams.userRunningCounts(input.toDF)
+      .writeStream.format("memory").queryName("wm_state")
+      .outputMode("update").option("checkpointLocation", ckpt()).start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", user = 1L, typ = "view"),
+        ev(2, "2024-01-01 10:01:00", user = 1L, typ = "purchase"),
+        ev(3, "2024-01-01 10:02:00", user = 2L, typ = "view"))
+      q.processAllAvailable()
+      input.addData(
+        ev(4, "2024-01-01 11:00:00", user = 1L, typ = "purchase"))
+      q.processAllAvailable()
+      // update mode appends one row per user per batch; latest per user wins
+      val latest = s.table("wm_state").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1).map { case (u, rows) => u -> rows.maxBy(_._4) }
+      assert(latest(1L) == ((1L, 3L, 2L, 2L))) // 3 events, 2 purchases, 2 batches
+      assert(latest(2L) == ((2L, 1L, 0L, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps the first record per key") {
     val s = spark
     import s.implicits._
