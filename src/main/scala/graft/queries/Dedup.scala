@@ -148,30 +148,36 @@ object Dedup {
     * signature-estimated similarity and the exact Jaccard.
     */
   def q29(spark: SparkSession, sfDir: String): DataFrame = {
+    // one-pass signatures via the typed MinHash Aggregator (k-long
+    // buffer + map-side combine — no 12-way row explosion, one shuffle
+    // on doc_id); bands and the signature-agreement estimate are then
+    // in-row array ops over the signature
+    val minhash = udaf(new graft.functions.MinHashAggregator(12))
     val sh = shingles(docs(spark, sfDir), 3)
-    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-      .select(col("doc_id"), GraftFunctions.polyHash("shingle").as("x"))
-    val params = spark.range(12).select(col("id").cast("int").as("i"),
-      ((col("id") * 7919 + 1) % P).as("a"), ((col("id") * 104729 + 12345) % P).as("b"))
-    val sig = ex.crossJoin(broadcast(params))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min((col("a") * col("x") + col("b")) % P).as("mh"))
-    val bandKey = sig.groupBy(col("doc_id"), expr("i div 3").as("band"))
-      .agg(expr("concat_ws(',', transform(array_sort(collect_list(struct(i, mh))), s -> cast(s.mh as string)))").as("bkey"))
-    val cand = bandKey.as("a").join(bandKey.as("b"),
+      .select(col("doc_id"),
+        expr("array_sort(array_distinct(transform(shingles, s -> poly_hash(s))))").as("hs"))
+      .withColumn("sz", size(col("hs")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = sh.select(col("doc_id"), col("sz"), col("hs"), explode(col("hs")).as("x"))
+      .groupBy(col("doc_id"))
+      .agg(minhash(col("x")).as("sig"), first(col("sz")).as("sz"),
+        first(col("hs")).as("hs"))
+    val banded = sig.select(col("doc_id"), col("sig"), col("sz"), col("hs"),
+        explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("bkey", expr(
+        "concat_ws(',', cast(sig[band*3] as string), cast(sig[band*3+1] as string), cast(sig[band*3+2] as string))"))
+    val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
-    val est = cand
-      .join(sig.select(col("doc_id").as("d1"), col("i"), col("mh").as("mh1")), "d1")
-      .join(sig.select(col("doc_id").as("d2"), col("i"), col("mh").as("mh2")),
-        Seq("d2", "i"))
-      .groupBy(col("d1"), col("d2"))
-      .agg((sum(when(col("mh1") === col("mh2"), 1).otherwise(0)) / 12.0).as("est_sim"))
-    val s1 = sh.select(col("doc_id").as("d1"), col("shingles").as("sh1"), col("sz").as("sz1"))
-    val s2 = sh.select(col("doc_id").as("d2"), col("shingles").as("sh2"), col("sz").as("sz2"))
-    est.join(s1, "d1").join(s2, "d2")
-      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.sig").as("sig1"), col("b.sig").as("sig2"),
+        col("a.hs").as("hs1"), col("b.hs").as("hs2"),
+        col("a.sz").as("sz1"), col("b.sz").as("sz2"))
+      .dropDuplicates("d1", "d2")
+    cand
+      .withColumn("est_sim",
+        expr("size(filter(zip_with(sig1, sig2, (x, y) -> x = y), b -> b))") / 12.0)
+      .withColumn("inter", size(array_intersect(col("hs1"), col("hs2"))))
       .select(col("d1"), col("d2"), round(col("est_sim"), 6).as("est_sim"),
         round(col("inter") / (col("sz1") + col("sz2") - col("inter")), 6).as("jac"))
       .orderBy(col("d1"), col("d2"))
@@ -179,8 +185,10 @@ object Dedup {
 
   val q29Sql: String =
     s"""WITH ${shinglesSql(3)},
-       |ex AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh),
-       |hx AS (SELECT doc_id, ${PolyHash.duckdbSql("shingle")} AS x FROM ex),
+       |hsh AS (SELECT doc_id,
+       |          list_distinct(list_transform(shingles, s -> ${PolyHash.duckdbSql("s")})) AS hs
+       |        FROM sh),
+       |hx AS (SELECT doc_id, unnest(hs) AS x FROM hsh),
        |params AS (SELECT i, (i*7919 + 1) % $P AS a, (i*104729 + 12345) % $P AS b
        |           FROM range(0, 12) t(i)),
        |sig AS (SELECT doc_id, i, MIN((a*x + b) % $P) AS mh
@@ -197,10 +205,10 @@ object Dedup {
        |        JOIN sig m1 ON m1.doc_id = d1 JOIN sig m2 ON m2.doc_id = d2 AND m1.i = m2.i
        |        GROUP BY d1, d2)
        |SELECT d1, d2, ROUND(est_sim, 6) AS est_sim,
-       |  ROUND(len(list_intersect(x.shingles, y.shingles)) /
-       |        CAST(len(x.shingles) + len(y.shingles)
-       |             - len(list_intersect(x.shingles, y.shingles)) AS DOUBLE), 6) AS jac
-       |FROM est JOIN sh x ON x.doc_id = d1 JOIN sh y ON y.doc_id = d2
+       |  ROUND(len(list_intersect(x.hs, y.hs)) /
+       |        CAST(len(x.hs) + len(y.hs)
+       |             - len(list_intersect(x.hs, y.hs)) AS DOUBLE), 6) AS jac
+       |FROM est JOIN hsh x ON x.doc_id = d1 JOIN hsh y ON y.doc_id = d2
        |ORDER BY d1, d2""".stripMargin
 
   // ---------------------------------------------------------------- q30
