@@ -9,7 +9,17 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = Sessions.local("graft-verify")
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
+    // clean slate: a stale result dir from a previous run must never
+    // mask a now-failing query in the compare
+    val root = new java.io.File(outDir)
+    if (root.exists) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete()
+      }
+      rm(root)
+    }
+    root.mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -18,7 +18,9 @@ import org.apache.spark.sql.functions.expr
 object GraftFunctions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "poly_hash" -> (children => PolyHash(children.head)),
-    "vector_dot_scaled" -> (children => VectorDotScaled(children(0), children(1))))
+    "vector_dot_scaled" -> (children => VectorDotScaled(children(0), children(1))),
+    "winnow_stats" -> (children => WinnowStats(children.head,
+      children(1).eval().asInstanceOf[Int], children(2).eval().asInstanceOf[Int])))
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -221,12 +221,37 @@ object Events {
        |GROUP BY p.user_id, p.event_id
        |ORDER BY p.user_id, p.event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q45
+  /** Salted two-stage aggregation — the skew pattern as a first-class
+    * operator. A hot key (one bot user at 100 TB) turns a plain
+    * `groupBy(user_id)` into a single-straggler stage; salting splits
+    * each key across 8 partial groups, shuffles the *partials*, and
+    * recombines — identical results (decimal partials re-sum exactly),
+    * bounded per-task key width. The oracle is the unsalted query.
+    */
+  def q45(spark: SparkSession, sfDir: String): DataFrame = {
+    val partials = ev(spark, sfDir)
+      .withColumn("salt", pmod(col("event_id"), lit(8)))
+      .groupBy(col("user_id"), col("salt"))
+      .agg(count(lit(1)).as("pn"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(27, 4))).as("pv"))
+    partials.groupBy(col("user_id"))
+      .agg(sum(col("pn")).as("n"),
+        sum(col("pv")).cast(org.apache.spark.sql.types.DoubleType).as("sum_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val q45Sql: String =
+    s"""SELECT user_id, COUNT(*) AS n, ${Num.dsumSql("value")} AS sum_value
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_events_json_stats", q23 _, Some(q23Sql)),
     ("q24_events_daily_window", q24 _, Some(q24Sql)),
     ("q25_events_sessionization", q25 _, Some(q25Sql)),
     ("q26_events_user_funnel", q26 _, Some(q26Sql)),
     ("q38_asof_prior_view", q38 _, Some(q38Sql)),
-    ("q39_range_join_views_1h", q39 _, Some(q39Sql))
+    ("q39_range_join_views_1h", q39 _, Some(q39Sql)),
+    ("q45_skew_salted_agg", q45 _, Some(q45Sql))
   )
 }

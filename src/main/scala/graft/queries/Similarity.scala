@@ -48,7 +48,12 @@ object Similarity {
     s"CAST(SUM(CAST(round(CAST($c1[i+1] AS DOUBLE) * CAST($c2[i+1] AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12"
 
   // ---------------------------------------------------------------- q31
-  /** Brute-force cosine top-k (k=3) per vector — the exact baseline. */
+  /** Brute-force cosine top-k (k=3) per vector — the exact baseline.
+    * Per-group top-k runs as a typed aggregation
+    * ([[graft.functions.TopKNeighbors]]): the map side reduces each
+    * group to ≤k rows before the shuffle, where the row_number-window
+    * form it replaced shuffled and fully sorted all n² candidates.
+    */
   def q31(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir)
       .withColumn("nrm", sqrt(expr(dot("embedding", "embedding"))))
@@ -56,10 +61,12 @@ object Similarity {
     val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nrm").as("nb"))
     val pairs = a.join(broadcast(b), col("va") =!= col("vb"))
       .withColumn("cos", expr(dot("ea", "eb")) / (col("na") * col("nb")))
-    val w = Window.partitionBy(col("va")).orderBy(col("cos").desc, col("vb"))
-    pairs.withColumn("rn", row_number().over(w))
-      .where(col("rn") <= 3)
-      .select(col("va"), col("rn"), col("vb"), round(col("cos"), 6).as("cos"))
+    val topk = udaf(new graft.functions.TopKNeighbors(3))
+    pairs.groupBy(col("va"))
+      .agg(topk(col("vb"), col("cos")).as("top"))
+      .select(col("va"), posexplode(col("top")).as(Seq("pos", "n")))
+      .select(col("va"), (col("pos") + 1).cast("int").as("rn"),
+        col("n._1").as("vb"), round(col("n._2"), 6).as("cos"))
       .orderBy(col("va"), col("rn"))
   }
 

@@ -179,22 +179,23 @@ object Text {
 
   // ---------------------------------------------------------------- q37
   /** Winnowing fingerprints: char 8-gram poly-hashes, window-16 minima,
-    * distinct selected hashes — all in-row, with an order-independent
-    * checksum so the result is one bounded row per document.
+    * distinct selected hashes, reduced to a bounded row per document
+    * with an order-independent checksum.
+    *
+    * Runs as one native O(L) pass ([[graft.functions.WinnowStats]]:
+    * rolling hash + monotonic-deque minima) — the declarative
+    * `transform(sequence…, array_min(slice…))` form it replaced is
+    * O(L·(k+w)) and was a bench hot spot; the oracle still computes
+    * that naive form, pinning the rolling arithmetic to the spec.
     */
   def q37(spark: SparkSession, sfDir: String): DataFrame = {
     val k = 8; val w = 16
     docs(spark, sfDir)
       .where(length(col("text")) >= k + w - 1)
-      .select(col("doc_id"),
-        expr(s"transform(sequence(1, length(text) - ${k - 1}), i -> poly_hash(substring(text, i, $k)))").as("kh"))
-      .select(col("doc_id"),
-        expr(s"array_distinct(transform(sequence(1, size(kh) - ${w - 1}), i -> array_min(slice(kh, i, $w))))").as("sel"),
-        size(col("kh")).as("n_kgrams"))
-      .select(col("doc_id"), col("n_kgrams"), size(col("sel")).as("n_selected"),
-        expr("aggregate(sel, cast(0 as bigint), (acc, v) -> (acc + v) % 2147483647)").as("checksum_naive"),
-        expr("array_min(sel)").as("min_fp"), expr("array_max(sel)").as("max_fp"))
-      .withColumn("checksum", expr("checksum_naive")).drop("checksum_naive")
+      .select(col("doc_id"), expr(s"winnow_stats(text, $k, $w)").as("ws"))
+      .select(col("doc_id"), col("ws.n_kgrams").as("n_kgrams"),
+        col("ws.n_selected").as("n_selected"), col("ws.checksum").as("checksum"),
+        col("ws.min_fp").as("min_fp"), col("ws.max_fp").as("max_fp"))
       .orderBy(col("doc_id"))
   }
 

@@ -66,6 +66,16 @@ class CatalogExtractSuite extends AnyFunSuite with BeforeAndAfterAll {
     s.sql(s"""CREATE TABLE fixdb2.extra (x INT) USING parquet
              |LOCATION '$dataDir/extra'""".stripMargin)
     Seq(1, 2).toDF("x").write.mode("overwrite").parquet(s"$dataDir/extra")
+
+    // fixdb2.bucketed_hive — Hive bucketing converts to Spark DDL
+    s.sql("""CREATE TABLE fixdb2.bucketed_hive (a INT, b STRING)
+            |CLUSTERED BY (a) INTO 4 BUCKETS STORED AS ORC""".stripMargin)
+
+    // fixdb2.csv_serde_hive — custom SerDe that Spark DDL cannot
+    // express → plain SHOW CREATE TABLE errors → AS SERDE fallback
+    s.sql("""CREATE TABLE fixdb2.csv_serde_hive (a STRING, b STRING)
+            |ROW FORMAT SERDE 'org.apache.hadoop.hive.serde2.OpenCSVSerde'
+            |STORED AS TEXTFILE""".stripMargin)
   }
 
   // --- catalog sources (§2.1 #1, #2) -----------------------------------
@@ -83,7 +93,21 @@ class CatalogExtractSuite extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("count pre-pass (§2.1 #3)") {
-    assert(CatalogOps.countTables(spark, Seq("fixdb", "fixdb2"), "*") == 6)
+    assert(CatalogOps.countTables(spark, Seq("fixdb", "fixdb2"), "*") == 8)
+  }
+
+  test("Hive-bucketed table converts to Spark bucketed DDL (§2.1 #6)") {
+    val sql = DdlExtractor.tableCreateSql(spark, "fixdb2", "bucketed_hive")
+    assert(sql.contains("CLUSTERED BY"))
+    assert(sql.contains("INTO 4 BUCKETS"))
+    assert(sql.endsWith(";"))
+    assert(!sql.contains("transient_lastDdlTime"))
+  }
+
+  test("custom-SerDe table falls back to AS SERDE Hive DDL (§2.1 #6)") {
+    val sql = DdlExtractor.tableCreateSql(spark, "fixdb2", "csv_serde_hive")
+    assert(sql.contains("ROW FORMAT SERDE 'org.apache.hadoop.hive.serde2.OpenCSVSerde'"))
+    assert(sql.endsWith(";"))
   }
 
   // --- DDL lookup (§2.1 #6-#8) -----------------------------------------
@@ -146,7 +170,7 @@ class CatalogExtractSuite extends AnyFunSuite with BeforeAndAfterAll {
     val result = DdlExtract.extract(spark, "fix*", "*", ctx)
     val script = result.script
     assert(result.databases == Seq("fixdb", "fixdb2"))
-    assert(result.tableCount == 6)
+    assert(result.tableCount == 8)
     assert(result.errorCount == 1) // conflict_part
     assert(script.contains("CREATE DATABASE IF NOT EXISTS fixdb;\nUSE fixdb;\n"))
     assert(script.contains("CREATE DATABASE IF NOT EXISTS fixdb2;\nUSE fixdb2;\n"))
