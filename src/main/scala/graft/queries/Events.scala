@@ -245,6 +245,37 @@ object Events {
     s"""SELECT user_id, COUNT(*) AS n, ${Num.dsumSql("value")} AS sum_value
        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q46
+  /** Map-function surface: `props` parsed as MAP<STRING,INT> (dynamic
+    * keys, unlike q23's fixed struct), then map_keys/explode/value
+    * aggregation per key name.
+    */
+  def q46(spark: SparkSession, sfDir: String): DataFrame =
+    ev(spark, sfDir)
+      .select(col("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.IntegerType)).as("m"))
+      .select(col("event_type"), size(col("m")).as("n_keys"),
+        explode(col("m")).as(Seq("key", "v")))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).cast(org.apache.spark.sql.types.LongType).as("sum_v"),
+        min(col("v")).cast(org.apache.spark.sql.types.IntegerType).as("min_v"),
+        max(col("v")).cast(org.apache.spark.sql.types.IntegerType).as("max_v"),
+        countDistinct(col("event_type")).as("n_types"))
+      .orderBy(col("key"))
+
+  val q46Sql: String =
+    """WITH kv AS (
+      |  SELECT event_type, unnest(json_keys(props)) AS key,
+      |    CAST(json_extract_string(props, '$.' || unnest(json_keys(props))) AS INT) AS v
+      |  FROM events)
+      |SELECT key, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sum_v,
+      |  CAST(MIN(v) AS INT) AS min_v, CAST(MAX(v) AS INT) AS max_v,
+      |  COUNT(DISTINCT event_type) AS n_types
+      |FROM kv GROUP BY key ORDER BY key""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_events_json_stats", q23 _, Some(q23Sql)),
     ("q24_events_daily_window", q24 _, Some(q24Sql)),
@@ -252,6 +283,7 @@ object Events {
     ("q26_events_user_funnel", q26 _, Some(q26Sql)),
     ("q38_asof_prior_view", q38 _, Some(q38Sql)),
     ("q39_range_join_views_1h", q39 _, Some(q39Sql)),
-    ("q45_skew_salted_agg", q45 _, Some(q45Sql))
+    ("q45_skew_salted_agg", q45 _, Some(q45Sql)),
+    ("q46_map_functions", q46 _, Some(q46Sql))
   )
 }

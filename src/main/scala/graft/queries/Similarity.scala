@@ -195,9 +195,65 @@ object Similarity {
       |  ROUND(CAST(SUM(CAST(dd AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS avg_dist
       |FROM dist GROUP BY label ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------- q47
+  /** Embedding-cosine near-dup pairs: same hyperplane-LSH bucketing as
+    * q32, but emitting all within-bucket pairs over a similarity
+    * threshold instead of top-1 — the embedding-space dedup operator.
+    * Cross-bucket pairs are unseen by design (ANN recall trade-off;
+    * multi-probe = union of rotated-plane runs of this same plan); the
+    * oracle applies identical bucketing, so the contract is exact.
+    */
+  def q47(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+      .withColumn("nrm", sqrt(expr(dot("embedding", "embedding"))))
+    val proj = e.select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(expr("sequence(0, 3)")).as("j"))
+      .withColumn("s", expr(
+        s"""aggregate(sequence(0, 63), cast(0 as bigint), (acc, i) ->
+           |  acc + cast(round(cast(embedding[i] as double) * $planeVal * 1e12) as bigint))""".stripMargin))
+    val bucketed = proj.groupBy(col("vec_id"))
+      .agg(sum(expr("if(s > 0, cast(1 as bigint) << j, 0)")).as("bucket"),
+        first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
+    val a = bucketed.select(col("bucket"), col("vec_id").as("va"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("vb"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("bucket")).where(col("va") < col("vb"))
+      .withColumn("cos", expr(dot("ea", "eb")) / (col("na") * col("nb")))
+      .where(col("cos") >= 0.4)
+      .select(col("va"), col("vb"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("va"), col("vb"))
+  }
+
+  val q47Sql: String =
+    s"""WITH nrm AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSqlDuck("embedding", "embedding")}) AS nrm
+       |  FROM embeddings CROSS JOIN range(0, 64) t(i) GROUP BY vec_id, embedding),
+       |proj AS (
+       |  SELECT vec_id, j,
+       |    SUM(CAST(round(CAST(embedding[i+1] AS DOUBLE) * $planeVal * 1e12)
+       |             AS BIGINT)) AS s
+       |  FROM nrm CROSS JOIN range(0, 4) tj(j) CROSS JOIN range(0, 64) t(i)
+       |  GROUP BY vec_id, j),
+       |bucketed AS (
+       |  SELECT vec_id, SUM(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS bucket
+       |  FROM proj GROUP BY vec_id),
+       |pairs AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb,
+       |    (${dotSqlDuck("a.embedding", "b.embedding")}) / (ANY_VALUE(a.nrm) * ANY_VALUE(b.nrm)) AS cos
+       |  FROM bucketed x JOIN nrm a ON a.vec_id = x.vec_id
+       |  JOIN bucketed y ON y.bucket = x.bucket AND x.vec_id < y.vec_id
+       |  JOIN nrm b ON b.vec_id = y.vec_id
+       |  CROSS JOIN range(0, 64) t(i)
+       |  GROUP BY a.vec_id, b.vec_id)
+       |SELECT va, vb, ROUND(cos, 6) AS cos FROM pairs WHERE cos >= 0.4
+       |ORDER BY va, vb""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q31_cosine_knn", q31 _, Some(q31Sql)),
     ("q32_ann_lsh_buckets", q32 _, Some(q32Sql)),
-    ("q33_label_centroids", q33 _, Some(q33Sql))
+    ("q33_label_centroids", q33 _, Some(q33Sql)),
+    ("q47_embedding_cosine_neardup", q47 _, Some(q47Sql))
   )
 }
