@@ -28,6 +28,14 @@ object Bench {
 
     materialize(SparkEntry.queries("q01_pricing_summary")(spark, sfDir)) // warm-up
 
+    // per-query state cleanup so accumulated caches / memory-sink
+    // tables from earlier queries don't tax later timings
+    def resetState(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.catalog.listTables().collect()
+        .filter(_.isTemporary).foreach(t => spark.catalog.dropTempView(t.name))
+    }
+
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -36,7 +44,9 @@ object Bench {
         catch { case e: Throwable =>
           errors += s"$name: ${e.toString.take(300)}"; false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val dt = (System.nanoTime() - t0) / 1e9
+      resetState()
+      name -> (if (ok) dt else -1.0)
     }
     val qs = results.map { case (k, v) => s"${Json.quote(k)}:$v" }
       .mkString("{", ",", "}")

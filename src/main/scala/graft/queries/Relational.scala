@@ -493,6 +493,55 @@ object Relational {
        |  ON p1.p_size = p2.p_size AND p1.p_retailprice > p2.p_retailprice
        |GROUP BY p1.p_size ORDER BY p1.p_size""".stripMargin
 
+  // ---------------------------------------------------------------- q49
+  /** Exact interpolated percentiles per group. Both engines use the
+    * same linear interpolation `(1-f)·a + f·b` over identically-sorted
+    * doubles, so the results agree bitwise.
+    */
+  def q49(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"),
+        expr("percentile(l_extendedprice, 0.9)").as("price_p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  val q49Sql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS p25,
+      |  quantile_cont(l_quantity, 0.5) AS p50,
+      |  quantile_cont(l_quantity, 0.75) AS p75,
+      |  quantile_cont(l_extendedprice, 0.9) AS price_p90,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q50
+  /** Pivot: order counts and exact sums per status, one column per
+    * priority (explicit value list → stable schema).
+    */
+  def q50(spark: SparkSession, sfDir: String): DataFrame = {
+    val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    t(spark, sfDir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", priorities)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("o_orderstatus") +: priorities.zipWithIndex.map { case (p, i) =>
+        col(s"`$p`").as(s"n_p${i + 1}") }: _*)
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val q50Sql: String =
+    """SELECT o_orderstatus,
+      |  COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_p1,
+      |  COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS n_p2,
+      |  COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS n_p3,
+      |  COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS n_p4,
+      |  COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS n_p5
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** name → (query fn, oracle SQL). */
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q01_pricing_summary", q01 _, Some(q01Sql)),
@@ -516,6 +565,8 @@ object Relational {
     ("q19_math_functions", q19 _, Some(q19Sql)),
     ("q20_case_buckets", q20 _, Some(q20Sql)),
     ("q21_scalar_subquery", q21 _, Some(q21Sql)),
-    ("q22_theta_join_price_gaps", q22 _, Some(q22Sql))
+    ("q22_theta_join_price_gaps", q22 _, Some(q22Sql)),
+    ("q49_exact_percentiles", q49 _, Some(q49Sql)),
+    ("q50_pivot_status_priority", q50 _, Some(q50Sql))
   )
 }

@@ -46,6 +46,43 @@ class BucketingSpec extends AnyFunSuite {
   }
 }
 
+/** Dynamic partition pruning: a join against a filtered dim must prune
+  * the partitioned fact's scan at runtime — at 100 TB the difference
+  * between scanning one partition and all of them.
+  */
+class DynamicPruningSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.hive
+
+  test("join against filtered dim triggers dynamic partition pruning") {
+    val s = spark
+    val sfDir = "/root/testdata/sf0.001"
+    s.sql("CREATE DATABASE IF NOT EXISTS dpp")
+    s.sql("DROP TABLE IF EXISTS dpp.orders_part")
+    Tables.load(s, sfDir, "orders")
+      .withColumn("o_priority_key",
+        org.apache.spark.sql.functions.substring(col("o_orderpriority"), 1, 1))
+      .write.partitionBy("o_priority_key").mode("overwrite")
+      .saveAsTable("dpp.orders_part")
+    // tiny on-disk dim (not constant-foldable), filtered to one value
+    s.sql("DROP TABLE IF EXISTS dpp.prio_dim")
+    import s.implicits._
+    Seq(("1", "urgent"), ("3", "medium"), ("5", "low"))
+      .toDF("o_priority_key", "label").write.mode("overwrite")
+      .saveAsTable("dpp.prio_dim")
+    val dim = s.table("dpp.prio_dim").where(col("label") === "urgent")
+    val joined = s.table("dpp.orders_part")
+      .join(dim, Seq("o_priority_key"))
+      .groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning"),
+      s"no dynamic pruning in plan:\n${plan.take(2000)}")
+    val n = joined.collect().head.getLong(1)
+    assert(n == Tables.load(s, sfDir, "orders")
+      .where("o_orderpriority LIKE '1%'").count())
+  }
+}
+
 /** The SQL-string interface over registered test tables: every table
   * from [[Tables.registerAll]] is queryable by name via `spark.sql`.
   */
