@@ -108,6 +108,33 @@ class StreamingSuite extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("parquet streaming sink: append-mode windows land as files") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft-stream-sink").toString
+    val input = MemoryStream[Ev]
+    val q = EventStreams.dailyCounts(input.toDF)
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt())
+      .outputMode("append").start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 12:00:00"),
+        ev(3, "2024-01-02 02:00:00"), // advances watermark past day 1
+        ev(4, "2024-01-03 06:00:00")) // finalizes day 2
+      q.processAllAvailable()
+      input.addData(ev(5, "2024-01-04 06:00:00"))
+      q.processAllAvailable()
+      val back = s.read.parquet(outDir)
+      val rows = back.collect()
+        .map(r => (r.getDate(0).toString, r.getLong(2))).toSet
+      assert(rows.contains(("2024-01-01", 2L)))
+      assert(rows.contains(("2024-01-02", 1L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps the first record per key") {
     val s = spark
     import s.implicits._
