@@ -542,6 +542,30 @@ object Relational {
       |  COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS n_p5
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------- q51
+  /** Unpivot (wide → long): lineitem's four measure columns melted to
+    * (measure, value) rows, then aggregated per measure — the inverse
+    * of q50's pivot, via the typed unpivot API.
+    */
+  def q51(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .unpivot(
+        Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "measure", "value")
+      .groupBy(col("measure"))
+      .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("total"))
+      .orderBy(col("measure"))
+
+  val q51Sql: String =
+    s"""WITH long AS (
+       |  SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+       |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+       |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+       |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+       |SELECT measure, COUNT(*) AS n, ${Num.dsumSql("value")} AS total
+       |FROM long GROUP BY measure ORDER BY measure""".stripMargin
+
   /** name → (query fn, oracle SQL). */
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q01_pricing_summary", q01 _, Some(q01Sql)),
@@ -567,6 +591,7 @@ object Relational {
     ("q21_scalar_subquery", q21 _, Some(q21Sql)),
     ("q22_theta_join_price_gaps", q22 _, Some(q22Sql)),
     ("q49_exact_percentiles", q49 _, Some(q49Sql)),
-    ("q50_pivot_status_priority", q50 _, Some(q50Sql))
+    ("q50_pivot_status_priority", q50 _, Some(q50Sql)),
+    ("q51_unpivot_measures", q51 _, Some(q51Sql))
   )
 }

@@ -46,22 +46,22 @@ object Text {
     * vocabulary, longest token, BPE-ish regex token count.
     */
   def q34(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = docs(spark, sfDir)
-      .select(col("lang"), col("source"), col("doc_id"),
-        split(col("text"), " ").as("toks"), col("text"))
-      .withColumn("n_toks", size(col("toks")).cast("long"))
-      .withColumn("max_tok_len", expr("array_max(transform(toks, t -> length(t)))").cast("int"))
-      .withColumn("n_bpe", expr(s"size(regexp_extract_all(text, '$BpePattern', 0))").cast("long"))
-    val perGroup = d.groupBy(col("lang"), col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_toks")).as("n_tokens"),
-        (sum(col("n_toks")) / count(lit(1))).as("avg_tokens"),
-        max(col("max_tok_len")).as("max_tok_len"),
-        sum(col("n_bpe")).as("n_bpe_tokens"))
-    val vocab = d.select(col("lang"), col("source"), explode(col("toks")).as("tok"))
-      .groupBy(col("lang"), col("source"))
-      .agg(countDistinct(col("tok")).as("n_vocab"))
-    perGroup.join(vocab, Seq("lang", "source"))
+    // single tokenize + explode: doc-level stats ride on the pos=0 row
+    // of each document, so one pass and one shuffle produce both the
+    // per-doc aggregates and the distinct-vocabulary count
+    val exploded = docs(spark, sfDir)
+      .select(col("lang"), col("source"),
+        split(col("text"), " ").as("toks"),
+        expr(s"size(regexp_extract_all(text, '$BpePattern', 0))").cast("long").as("n_bpe"))
+      .select(col("lang"), col("source"), col("n_bpe"),
+        posexplode(col("toks")).as(Seq("pos", "tok")))
+    exploded.groupBy(col("lang"), col("source"))
+      .agg(count(when(col("pos") === 0, 1)).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        (count(lit(1)) / count(when(col("pos") === 0, 1))).as("avg_tokens"),
+        max(length(col("tok"))).cast("int").as("max_tok_len"),
+        sum(when(col("pos") === 0, col("n_bpe"))).as("n_bpe_tokens"),
+        countDistinct(col("tok")).as("n_vocab"))
       .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
         round(col("avg_tokens"), 6).as("avg_tokens"), col("max_tok_len"),
         col("n_bpe_tokens"), col("n_vocab"))
