@@ -29,6 +29,8 @@ case class PolyHash(child: Expression) extends UnaryExpression {
       s"poly_hash requires a string argument, got ${child.dataType.sql}")
   override def dataType: DataType = LongType
   override def prettyName: String = "poly_hash"
+  // deterministic pure function: constant arguments fold at plan time
+  override def foldable: Boolean = child.foldable
 
   override protected def nullSafeEval(input: Any): Any =
     PolyHash.hash(input.asInstanceOf[UTF8String].toString)

@@ -40,6 +40,8 @@ case class VectorDotScaled(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "vector_dot_scaled"
+  // deterministic pure function: constant arguments fold at plan time
+  override def foldable: Boolean = left.foldable && right.foldable
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
