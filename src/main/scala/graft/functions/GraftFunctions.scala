@@ -20,7 +20,9 @@ object GraftFunctions {
     "poly_hash" -> (children => PolyHash(children.head)),
     "vector_dot_scaled" -> (children => VectorDotScaled(children(0), children(1))),
     "winnow_stats" -> (children => WinnowStats(children.head,
-      children(1).eval().asInstanceOf[Int], children(2).eval().asInstanceOf[Int])))
+      children(1).eval().asInstanceOf[Int], children(2).eval().asInstanceOf[Int])),
+    "topk_neighbors" -> (children => TopKNeighborsAgg(children(0), children(1),
+      children(2).eval().asInstanceOf[Int]).toAggregateExpression()))
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

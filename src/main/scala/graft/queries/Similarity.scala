@@ -61,12 +61,11 @@ object Similarity {
     val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nrm").as("nb"))
     val pairs = a.join(broadcast(b), col("va") =!= col("vb"))
       .withColumn("cos", expr(dot("ea", "eb")) / (col("na") * col("nb")))
-    val topk = udaf(new graft.functions.TopKNeighbors(3))
     pairs.groupBy(col("va"))
-      .agg(topk(col("vb"), col("cos")).as("top"))
+      .agg(expr("topk_neighbors(vb, cos, 3)").as("top"))
       .select(col("va"), posexplode(col("top")).as(Seq("pos", "n")))
       .select(col("va"), (col("pos") + 1).cast("int").as("rn"),
-        col("n._1").as("vb"), round(col("n._2"), 6).as("cos"))
+        col("n.vb").as("vb"), round(col("n.cos"), 6).as("cos"))
       .orderBy(col("va"), col("rn"))
   }
 

@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality gate over the whole declared inventory: no query may
+  * regress into a cartesian product, and broadcast nested-loop joins
+  * are allowed only where they are the intended physical shape
+  * (brute-force kNN's ≠-join and the skyline dominance anti-join).
+  * Catches accidental join-condition loss at plan level, before any
+  * benchmark run would.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.hive
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // BNLJ is the deliberate physical plan for these:
+  private val bnljAllowed = Set(
+    "q31_cosine_knn",       // all-pairs ≠ join (exact baseline)
+    "q48_skyline",          // dominance anti-join over tiny local skylines
+    "q21_scalar_subquery")  // 1-row broadcast threshold join
+
+  test("no declared query plans a cartesian product; BNLJ only where intended") {
+    // streaming queries execute on materialization, not plan-inspectable
+    // the same way — their plans are exercised by their own suite
+    val skip = Set("q40_stream_daily_window", "q41_stream_sliding_window",
+      "q42_stream_session_window", "q43_stream_dedup_daily")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => skip(n) }
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val cartesian = plan.contains("CartesianProduct")
+        val bnlj = plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name)
+        if (cartesian) Some(s"$name: CartesianProduct")
+        else if (bnlj) Some(s"$name: unexpected BroadcastNestedLoopJoin")
+        else None
+      }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}

@@ -205,6 +205,21 @@ class CatalogExtractSuite extends AnyFunSuite with BeforeAndAfterAll {
       "extracted script drifted from golden (GRAFT_REGEN_GOLDEN=1 to regenerate)")
   }
 
+  test("golden: qualified/ADD-mode script matches its golden file") {
+    val script = DdlExtract.extract(spark, "fixdb", "sales_part|upper_part", qualAdd).script
+    val normalized = script
+      .replace(s"file:$dataDir", "file:$DATA")
+      .replace(dataDir, "$DATA")
+    val goldenPath = java.nio.file.Paths.get("src/test/resources/golden/fixdb_qualified_add.sql")
+    if (sys.env.contains("GRAFT_REGEN_GOLDEN")) {
+      java.nio.file.Files.createDirectories(goldenPath.getParent)
+      java.nio.file.Files.writeString(goldenPath, normalized)
+    }
+    val golden = java.nio.file.Files.readString(goldenPath)
+    assert(normalized == golden,
+      "extracted script drifted from golden (GRAFT_REGEN_GOLDEN=1 to regenerate)")
+  }
+
   // --- round-trip replay (SURVEY §5.2 #5: the strongest check) ----------
   test("round-trip: extract → rename db → replay → catalogs match") {
     val pattern = "fruits|sales_part|defaults_part|upper_part"

@@ -43,6 +43,27 @@ class ExpressionSpec extends AnyFunSuite {
     assert(VectorDotScaled(lit1, lit2).eval(null) == -500000000000L)
   }
 
+  test("topk_neighbors: imperative aggregate equals the typed Aggregator") {
+    GraftFunctions.ensureRegistered(spark)
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // deterministic synthetic candidates incl. cosine ties
+    val df = (1 to 500).map { i =>
+      (i % 20L, (i * 37 % 100).toLong, (i * 31 % 7) / 7.0)
+    }.toDF("va", "vb", "cos").dropDuplicates("va", "vb")
+    val imperative = df.groupBy($"va")
+      .agg(expr("topk_neighbors(vb, cos, 3)").as("top"))
+      .select($"va", expr("transform(top, t -> struct(t.vb, t.cos))").as("top"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1).toList).toMap
+    val typed = udaf(new TopKNeighbors(3))
+    val viaUdaf = df.groupBy($"va").agg(typed($"vb", $"cos").as("top"))
+      .select($"va", expr("transform(top, t -> struct(t._1 as vb, t._2 as cos))").as("top"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1).toList).toMap
+    assert(imperative.keySet == viaUdaf.keySet)
+    imperative.foreach { case (k, v) => assert(viaUdaf(k) == v, s"group $k") }
+  }
+
   test("vector_dot_scaled: codegen equals interpreted on mixed-sign data") {
     GraftFunctions.ensureRegistered(spark)
     import org.apache.spark.sql.catalyst.expressions.Literal
