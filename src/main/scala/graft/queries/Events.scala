@@ -245,6 +245,56 @@ object Events {
     s"""SELECT user_id, COUNT(*) AS n, ${Num.dsumSql("value")} AS sum_value
        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q53
+  /** Skew-safe sessionization: q25's shuffle key is `user_id` alone, so
+    * one bot user at 100 TB makes one straggler task. This variant
+    * keys the shuffle on `(user_id, day)` — sessions are bounded to a
+    * calendar day (a documented semantic bound, standard for daily
+    * pipeline runs), so a hot user's events spread across as many
+    * tasks as days and per-task state stays bounded.
+    */
+  def q53(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUserDay = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts_s"), col("event_id"))
+    val cum = byUserDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        date_trunc("second", col("ts")).as("ts_s"), col("value"))
+      .withColumn("day", date_trunc("day", col("ts_s")).cast("date"))
+      .withColumn("prev_ts", lag(col("ts_s"), 1).over(byUserDay))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts_s").cast("long") - col("prev_ts").cast("long") > 1800, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(cum).cast(LongType))
+      .groupBy(col("user_id"), col("day"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("ts_s").cast("long")) - min(col("ts_s").cast("long")))
+          .cast(LongType).as("duration_s"),
+        Num.dsum(col("value")).as("sum_value"))
+      .orderBy(col("user_id"), col("day"), col("session_id"))
+  }
+
+  val q53Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, DATE_TRUNC('second', ts) AS ts_s,
+       |    CAST(DATE_TRUNC('day', ts) AS DATE) AS day, value FROM events),
+       |flagged AS (
+       |  SELECT user_id, event_id, day, ts_s, value,
+       |    CASE WHEN LAG(ts_s) OVER w IS NULL
+       |         OR DATE_DIFF('second', LAG(ts_s) OVER w, ts_s) > 1800
+       |    THEN 1 ELSE 0 END AS new_session
+       |  FROM e WINDOW w AS (PARTITION BY user_id, day ORDER BY ts_s, event_id)),
+       |sessions AS (
+       |  SELECT user_id, day, ts_s, value,
+       |    CAST(SUM(new_session) OVER (PARTITION BY user_id, day ORDER BY ts_s, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       |  FROM flagged)
+       |SELECT user_id, day, session_id, COUNT(*) AS n_events,
+       |  CAST(DATE_DIFF('second', MIN(ts_s), MAX(ts_s)) AS BIGINT) AS duration_s,
+       |  ${Num.dsumSql("value")} AS sum_value
+       |FROM sessions GROUP BY user_id, day, session_id
+       |ORDER BY user_id, day, session_id""".stripMargin
+
   // ---------------------------------------------------------------- q46
   /** Map-function surface: `props` parsed as MAP<STRING,INT> (dynamic
     * keys, unlike q23's fixed struct), then map_keys/explode/value
@@ -284,6 +334,7 @@ object Events {
     ("q38_asof_prior_view", q38 _, Some(q38Sql)),
     ("q39_range_join_views_1h", q39 _, Some(q39Sql)),
     ("q45_skew_salted_agg", q45 _, Some(q45Sql)),
-    ("q46_map_functions", q46 _, Some(q46Sql))
+    ("q46_map_functions", q46 _, Some(q46Sql)),
+    ("q53_sessionization_day_bucketed", q53 _, Some(q53Sql))
   )
 }

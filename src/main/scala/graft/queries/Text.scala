@@ -216,10 +216,43 @@ object Text {
        |FROM sel ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q52
+  /** Reproducible stratified sampling — the training-data subsampling
+    * primitive. Membership is `poly_hash(text) mod 100 < rate(lang)`:
+    * content-hash-based, so the sample is stable across runs, engines,
+    * partitionings and cluster sizes (seeded `sample()` is none of
+    * those), and rates are per-stratum (downsample dominant en, keep
+    * all zh).
+    */
+  def q52(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .withColumn("bucket", pmod(GraftFunctions.polyHash("text"), lit(100)))
+      .withColumn("rate",
+        when(col("lang") === "en", 20)
+          .when(col("lang") === "zh", 100)
+          .otherwise(50))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("bucket") < col("rate"), 1)).as("n_sampled"),
+        min(when(col("bucket") < col("rate"), col("doc_id"))).as("first_kept"))
+      .orderBy(col("lang"))
+
+  val q52Sql: String =
+    s"""WITH d AS (
+       |  SELECT lang, doc_id,
+       |    ${graft.functions.PolyHash.duckdbSql("text")} % 100 AS bucket,
+       |    CASE WHEN lang = 'en' THEN 20 WHEN lang = 'zh' THEN 100 ELSE 50 END AS rate
+       |  FROM documents)
+       |SELECT lang, COUNT(*) AS n_total,
+       |  COUNT(CASE WHEN bucket < rate THEN 1 END) AS n_sampled,
+       |  MIN(CASE WHEN bucket < rate THEN doc_id END) AS first_kept
+       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_token_stats", q34 _, Some(q34Sql)),
     ("q35_lang_id_confusion", q35 _, Some(q35Sql)),
     ("q36_quality_score", q36 _, Some(q36Sql)),
-    ("q37_winnow_fingerprint", q37 _, Some(q37Sql))
+    ("q37_winnow_fingerprint", q37 _, Some(q37Sql)),
+    ("q52_stratified_hash_sample", q52 _, Some(q52Sql))
   )
 }
