@@ -1,0 +1,149 @@
+package graft.llm
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Parameterized deduplication operators over any document corpus —
+  * the library API behind the declared q27–q30 queries (which pin one
+  * configuration each against the DuckDB oracle). All operators take
+  * (df, idCol, textCol) plus algorithm parameters and return plain
+  * DataFrames, so they compose with arbitrary pipelines.
+  *
+  * Scale designs are documented per operator in
+  * [[graft.queries.Dedup]]; thresholds are rationals (num/den) so
+  * prefix lengths use exact integer arithmetic.
+  */
+object TextDedup {
+
+  /** Exact dedup: content-hash grouping with a min-id survivor policy.
+    * Output: idCol, text_sha, n_copies, kept.
+    */
+  def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val d = df.select(col(idCol), sha2(col(textCol), 256).as("text_sha"))
+    val g = d.groupBy(col("text_sha"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
+    d.join(g, "text_sha")
+      .select(col(idCol), col("text_sha"), col("n_copies"),
+        (col(idCol) === col("keep_id")).as("kept"))
+  }
+
+  /** Per-document distinct word n-gram shingles, poly-hashed:
+    * (idCol, hs: sorted array<long>, sz).
+    */
+  def hashedShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(df.sparkSession)
+    df.select(col(idCol), split(col(textCol), " ").as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col(idCol), array_distinct(expr(
+        s"transform(sequence(0, size(toks)-$n), i -> concat_ws(' ', ${(0 until n).map(k => s"toks[i+$k]").mkString(", ")}))"))
+        .as("shingles"))
+      .select(col(idCol),
+        expr("array_sort(array_distinct(transform(shingles, s -> poly_hash(s))))").as("hs"))
+      .withColumn("sz", size(col("hs")))
+  }
+
+  /** Exact Jaccard near-dup pairs at threshold `tNum/tDen`, via
+    * prefix + length filtering (both lossless). Output: d1, d2, jac.
+    */
+  def jaccardNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          n: Int = 3, tNum: Int = 3, tDen: Int = 5): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
+    val sh = hashedShingles(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = sh.select(col(idCol), col("sz"), explode(col("hs")).as("h"))
+    val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("dfreq"))
+    val prefix = ex.join(dfreq, "h")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("dfreq"), col("h"))))
+      .where(col("rnk") <= col("sz") - expr(s"($tNum*sz + ${tDen - 1}) div $tDen") + 1)
+      .select(col(idCol), col("h"), col("sz"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col(s"a.h") === col(s"b.h") && col(s"a.$idCol") < col(s"b.$idCol") &&
+          col("a.sz") * tDen >= col("b.sz") * tNum &&
+          col("b.sz") * tDen >= col("a.sz") * tNum)
+      .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2")).distinct()
+    val s1 = sh.select(col(idCol).as("d1"), col("hs").as("hs1"), col("sz").as("sz1"))
+    val s2 = sh.select(col(idCol).as("d2"), col("hs").as("hs2"), col("sz").as("sz2"))
+    cand.join(s1, "d1").join(s2, "d2")
+      .withColumn("inter", size(array_intersect(col("hs1"), col("hs2"))))
+      .withColumn("jac", col("inter") / (col("sz1") + col("sz2") - col("inter")))
+      .where(col("jac") >= lit(tNum.toDouble / tDen))
+      .select(col("d1"), col("d2"), col("jac"))
+  }
+
+  /** MinHash signatures (one-pass UDAF) + LSH band candidates with
+    * signature-estimated and exact Jaccard similarity.
+    * Output: d1, d2, est_sim, jac. `k` must be `bands * rowsPerBand`.
+    */
+  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, k: Int = 12, bands: Int = 4): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val rows = k / bands
+    val minhash = udaf(new graft.functions.MinHashAggregator(k))
+    val sh = hashedShingles(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = sh.select(col(idCol), col("sz"), col("hs"), explode(col("hs")).as("x"))
+      .groupBy(col(idCol))
+      .agg(minhash(col("x")).as("sig"), first(col("sz")).as("sz"),
+        first(col("hs")).as("hs"))
+    val bandKeyExpr = (0 until rows)
+      .map(r => s"cast(sig[band*$rows+$r] as string)").mkString("concat_ws(',', ", ", ", ")")
+    val banded = sig.select(col(idCol), col("sig"), col("sz"), col("hs"),
+        explode(expr(s"sequence(0, ${bands - 1})")).as("band"))
+      .withColumn("bkey", expr(bandKeyExpr))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"),
+        col("a.sig").as("sig1"), col("b.sig").as("sig2"),
+        col("a.hs").as("hs1"), col("b.hs").as("hs2"),
+        col("a.sz").as("sz1"), col("b.sz").as("sz2"))
+      .dropDuplicates("d1", "d2")
+    cand
+      .withColumn("est_sim",
+        expr("size(filter(zip_with(sig1, sig2, (x, y) -> x = y), b -> b))") / k.toDouble)
+      .withColumn("inter", size(array_intersect(col("hs1"), col("hs2"))))
+      .withColumn("jac", col("inter") / (col("sz1") + col("sz2") - col("inter")))
+      .select(col("d1"), col("d2"), col("est_sim"), col("jac"))
+  }
+
+  /** SimHash fingerprints (weighted n-gram bits) and near-dup pairs by
+    * banded blocking + XOR popcount. Blocking is lossless for
+    * `maxHamming < bands`. Output: d1, d2, fp1, fp2, hamming.
+    */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 2, bits: Int = 32, bands: Int = 4,
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < bands, "banded blocking is lossless only for hamming < bands")
+    require(bits % bands == 0, "bits must be divisible by bands")
+    GraftFunctions.ensureRegistered(df.sparkSession)
+    val bandBits = bits / bands
+    val grams = df.select(col(idCol), split(col(textCol), " ").as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, size(toks)-$n), i -> concat_ws(' ', ${(0 until n).map(j => s"toks[i+$j]").mkString(", ")}))")).as("gram"))
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("w"))
+      .select(col(idCol), GraftFunctions.polyHash("gram").as("x"), col("w"))
+    val fps = grams
+      .select(col(idCol), col("x"), col("w"),
+        explode(expr(s"sequence(0, ${bits - 1})")).as("j"))
+      .groupBy(col(idCol), col("j"))
+      .agg(sum(expr("(((x >> j) & 1) * 2 - 1) * w")).as("s"))
+      .groupBy(col(idCol))
+      .agg(sum(expr("if(s > 0, cast(1 as bigint) << j, 0)")).as("fp"))
+    val banded = fps.select(col(idCol), col("fp"),
+        explode(expr(s"sequence(0, ${bands - 1})")).as("band"))
+      .withColumn("bkey", expr(s"(fp >> (band * $bandBits)) & ${(1L << bandBits) - 1}"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"),
+        col("a.fp").as("fp1"), col("b.fp").as("fp2")).distinct()
+      .withColumn("hamming", expr("bit_count(fp1 ^ fp2)"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("d1"), col("d2"), col("fp1"), col("fp2"),
+        col("hamming").cast("int").as("hamming"))
+  }
+}

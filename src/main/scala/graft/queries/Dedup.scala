@@ -3,7 +3,6 @@ package graft.queries
 import graft.Tables
 import graft.functions.{GraftFunctions, PolyHash}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents` — the LLM-pipeline family
@@ -37,16 +36,8 @@ object Dedup {
     Tables.load(spark, sfDir, "documents")
   }
 
-  /** (doc_id, shingles: distinct word n-grams, sz). */
-  private def shingles(d: DataFrame, n: Int): DataFrame =
-    d.select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .where(size(col("toks")) >= n)
-      .select(col("doc_id"), array_distinct(expr(
-        s"transform(sequence(0, size(toks)-$n), i -> concat_ws(' ', ${(0 until n).map(k => s"toks[i+$k]").mkString(", ")}))"))
-        .as("shingles"))
-      .withColumn("sz", size(col("shingles")))
-
-  /** DuckDB fragment mirroring [[shingles]] (1-based list indexing). */
+  /** DuckDB fragment mirroring [[graft.llm.TextDedup.hashedShingles]]'s
+    * string-shingle stage (1-based list indexing). */
   private def shinglesSql(n: Int): String = {
     val parts = (0 until n).map(k => s"s[i+$k]").mkString(" || ' ' || ")
     s"""sh AS (
@@ -61,16 +52,9 @@ object Dedup {
     * One shuffle on the 256-bit hash; the re-join to per-doc rows is a
     * broadcast at dim scale and a hash join on the same key otherwise.
     */
-  def q27(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = docs(spark, sfDir)
-      .select(col("doc_id"), sha2(col("text"), 256).as("text_sha"))
-    val g = d.groupBy(col("text_sha"))
-      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
-    d.join(g, "text_sha")
-      .select(col("doc_id"), col("text_sha"), col("n_copies"),
-        (col("doc_id") === col("keep_id")).as("kept"))
+  def q27(spark: SparkSession, sfDir: String): DataFrame =
+    graft.llm.TextDedup.exactDuplicates(docs(spark, sfDir), "doc_id", "text")
       .orderBy(col("doc_id"))
-  }
 
   val q27Sql: String =
     """WITH h AS (SELECT doc_id, sha256(text) AS text_sha FROM documents),
@@ -87,41 +71,11 @@ object Dedup {
     * float `ceil(0.6*sz)` can overshoot at representation boundaries
     * and silently break the lossless guarantee.
     */
-  def q28(spark: SparkSession, sfDir: String): DataFrame = {
-    // shingle identity = poly_hash (8-byte join/intersect keys instead
-    // of ~20-byte strings — same sets in the oracle, which applies the
-    // identical hash). The per-doc table feeds four plan branches
-    // (dfreq, both prefix sides, both verify sides); Spark has no CTE
-    // materialization, so persist it instead of tokenizing 4× —
-    // it is ~1% of input size (hashes, not text).
-    val sh = shingles(docs(spark, sfDir), 3)
-      .select(col("doc_id"),
-        expr("array_sort(array_distinct(transform(shingles, s -> poly_hash(s))))").as("hs"))
-      .withColumn("sz", size(col("hs")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ex = sh.select(col("doc_id"), col("sz"), explode(col("hs")).as("h"))
-    val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("dfreq"))
-    val prefix = ex.join(dfreq, "h")
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("dfreq"), col("h"))))
-      .where(col("rnk") <= col("sz") - expr("(3*sz + 4) div 5") + 1)
-      .select(col("doc_id"), col("h"), col("sz"))
-    // length filter (also lossless): J ≥ 3/5 ⟹ min(sz) ≥ 3/5·max(sz);
-    // applied inside the join condition so dissimilar-size pairs never
-    // reach the distinct
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
-          col("a.sz") * 5 >= col("b.sz") * 3 && col("b.sz") * 5 >= col("a.sz") * 3)
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
-    val s1 = sh.select(col("doc_id").as("d1"), col("hs").as("hs1"), col("sz").as("sz1"))
-    val s2 = sh.select(col("doc_id").as("d2"), col("hs").as("hs2"), col("sz").as("sz2"))
-    cand.join(s1, "d1").join(s2, "d2")
-      .withColumn("inter", size(array_intersect(col("hs1"), col("hs2"))))
-      .withColumn("jac", col("inter") / (col("sz1") + col("sz2") - col("inter")))
-      .where(col("jac") >= 0.6)
+  def q28(spark: SparkSession, sfDir: String): DataFrame =
+    graft.llm.TextDedup
+      .jaccardNearDupPairs(docs(spark, sfDir), "doc_id", "text", n = 3, tNum = 3, tDen = 5)
       .select(col("d1"), col("d2"), round(col("jac"), 6).as("jac"))
       .orderBy(col("d1"), col("d2"))
-  }
 
   val q28Sql: String =
     s"""WITH ${shinglesSql(3)},
@@ -147,41 +101,12 @@ object Dedup {
     * share at least one full band key; each candidate carries its
     * signature-estimated similarity and the exact Jaccard.
     */
-  def q29(spark: SparkSession, sfDir: String): DataFrame = {
-    // one-pass signatures via the typed MinHash Aggregator (k-long
-    // buffer + map-side combine — no 12-way row explosion, one shuffle
-    // on doc_id); bands and the signature-agreement estimate are then
-    // in-row array ops over the signature
-    val minhash = udaf(new graft.functions.MinHashAggregator(12))
-    val sh = shingles(docs(spark, sfDir), 3)
-      .select(col("doc_id"),
-        expr("array_sort(array_distinct(transform(shingles, s -> poly_hash(s))))").as("hs"))
-      .withColumn("sz", size(col("hs")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = sh.select(col("doc_id"), col("sz"), col("hs"), explode(col("hs")).as("x"))
-      .groupBy(col("doc_id"))
-      .agg(minhash(col("x")).as("sig"), first(col("sz")).as("sz"),
-        first(col("hs")).as("hs"))
-    val banded = sig.select(col("doc_id"), col("sig"), col("sz"), col("hs"),
-        explode(expr("sequence(0, 3)")).as("band"))
-      .withColumn("bkey", expr(
-        "concat_ws(',', cast(sig[band*3] as string), cast(sig[band*3+1] as string), cast(sig[band*3+2] as string))"))
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.sig").as("sig1"), col("b.sig").as("sig2"),
-        col("a.hs").as("hs1"), col("b.hs").as("hs2"),
-        col("a.sz").as("sz1"), col("b.sz").as("sz2"))
-      .dropDuplicates("d1", "d2")
-    cand
-      .withColumn("est_sim",
-        expr("size(filter(zip_with(sig1, sig2, (x, y) -> x = y), b -> b))") / 12.0)
-      .withColumn("inter", size(array_intersect(col("hs1"), col("hs2"))))
+  def q29(spark: SparkSession, sfDir: String): DataFrame =
+    graft.llm.TextDedup
+      .minHashLshPairs(docs(spark, sfDir), "doc_id", "text", n = 3, k = 12, bands = 4)
       .select(col("d1"), col("d2"), round(col("est_sim"), 6).as("est_sim"),
-        round(col("inter") / (col("sz1") + col("sz2") - col("inter")), 6).as("jac"))
+        round(col("jac"), 6).as("jac"))
       .orderBy(col("d1"), col("d2"))
-  }
 
   val q29Sql: String =
     s"""WITH ${shinglesSql(3)},
@@ -215,34 +140,11 @@ object Dedup {
   /** SimHash near-dup: 32-bit weighted-bigram fingerprints, 4×8-bit
     * band blocking (lossless for hamming ≤ 3), XOR popcount verify.
     */
-  def q30(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = docs(spark, sfDir)
-    val grams = d.select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .where(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(toks)-2), i -> concat_ws(' ', toks[i], toks[i+1]))")).as("gram"))
-      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("w"))
-      .select(col("doc_id"), GraftFunctions.polyHash("gram").as("x"), col("w"))
-    val bits = grams
-      .select(col("doc_id"), col("x"), col("w"), explode(expr("sequence(0, 31)")).as("j"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(expr("(((x >> j) & 1) * 2 - 1) * w")).as("s"))
-      .groupBy(col("doc_id"))
-      .agg(sum(expr("if(s > 0, cast(1 as bigint) << j, 0)")).as("fp"))
-    val banded = bits.select(col("doc_id"), col("fp"),
-        explode(expr("sequence(0, 3)")).as("band"))
-      .withColumn("bkey", expr("(fp >> (band * 8)) & 255"))
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.fp").as("fp1"), col("b.fp").as("fp2")).distinct()
-    cand.withColumn("hamming", expr("bit_count(fp1 ^ fp2)"))
-      .where(col("hamming") <= 3)
-      .select(col("d1"), col("d2"), col("fp1"), col("fp2"),
-        col("hamming").cast("int").as("hamming"))
+  def q30(spark: SparkSession, sfDir: String): DataFrame =
+    graft.llm.TextDedup
+      .simHashPairs(docs(spark, sfDir), "doc_id", "text",
+        n = 2, bits = 32, bands = 4, maxHamming = 3)
       .orderBy(col("d1"), col("d2"))
-  }
 
   val q30Sql: String =
     s"""WITH grams AS (

@@ -3,7 +3,6 @@ package graft.queries
 import graft.Tables
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over `embeddings` (`array<float>[64]`).
@@ -39,11 +38,9 @@ object Similarity {
     Tables.load(spark, sfDir, "embeddings")
   }
 
-  /** Exact dot product as a double (codegen'd scaled-long sum). */
-  private def dot(c1: String, c2: String): String =
-    s"cast(vector_dot_scaled($c1, $c2) as double) / 1e12"
-
-  /** DuckDB mirror: `$i` ranges over 0..63 from `range(0, 64) t(i)`. */
+  /** DuckDB mirror of the exact scaled-long dot product
+    * ([[graft.llm.VectorSearch]]): `$i` ranges over 0..63 from
+    * `range(0, 64) t(i)`. */
   private def dotSqlDuck(c1: String, c2: String): String =
     s"CAST(SUM(CAST(round(CAST($c1[i+1] AS DOUBLE) * CAST($c2[i+1] AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12"
 
@@ -54,20 +51,11 @@ object Similarity {
     * group to ≤k rows before the shuffle, where the row_number-window
     * form it replaced shuffled and fully sorted all n² candidates.
     */
-  def q31(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = emb(spark, sfDir)
-      .withColumn("nrm", sqrt(expr(dot("embedding", "embedding"))))
-    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nrm").as("nb"))
-    val pairs = a.join(broadcast(b), col("va") =!= col("vb"))
-      .withColumn("cos", expr(dot("ea", "eb")) / (col("na") * col("nb")))
-    pairs.groupBy(col("va"))
-      .agg(expr("topk_neighbors(vb, cos, 3)").as("top"))
-      .select(col("va"), posexplode(col("top")).as(Seq("pos", "n")))
-      .select(col("va"), (col("pos") + 1).cast("int").as("rn"),
-        col("n.vb").as("vb"), round(col("n.cos"), 6).as("cos"))
+  def q31(spark: SparkSession, sfDir: String): DataFrame =
+    graft.llm.VectorSearch
+      .cosineTopK(emb(spark, sfDir), "vec_id", "embedding", k = 3)
+      .select(col("va"), col("rn"), col("vb"), round(col("cos"), 6).as("cos"))
       .orderBy(col("va"), col("rn"))
-  }
 
   val q31Sql: String =
     s"""WITH nrm AS (
@@ -97,31 +85,11 @@ object Similarity {
     // deterministic pseudo-random plane coefficient in [-1, 1) for (j, i)
     "(((CAST(1103515245 AS BIGINT) * (j * 64 + i) + 12345) % 2147483648) / 1073741824.0 - 1.0)"
 
-  def q32(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = emb(spark, sfDir)
-      .withColumn("nrm", sqrt(expr(dot("embedding", "embedding"))))
-    // per-plane signed projection: scaled-long fold over dimensions
-    val proj = e.select(col("vec_id"), col("embedding"), col("nrm"),
-        explode(expr("sequence(0, 3)")).as("j"))
-      .withColumn("s", expr(
-        s"""aggregate(sequence(0, 63), cast(0 as bigint), (acc, i) ->
-           |  acc + cast(round(cast(embedding[i] as double) * $planeVal * 1e12) as bigint))""".stripMargin))
-    val bucketed = proj.groupBy(col("vec_id"))
-      .agg(sum(expr("if(s > 0, cast(1 as bigint) << j, 0)")).as("bucket"),
-        first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
-    val a = bucketed.select(col("bucket"), col("vec_id").as("va"),
-      col("embedding").as("ea"), col("nrm").as("na"))
-    val b = bucketed.select(col("bucket"), col("vec_id").as("vb"),
-      col("embedding").as("eb"), col("nrm").as("nb"))
-    val pairs = a.join(b, Seq("bucket")).where(col("va") =!= col("vb"))
-      .withColumn("cos", expr(dot("ea", "eb")) / (col("na") * col("nb")))
-    val w = Window.partitionBy(col("va")).orderBy(col("cos").desc, col("vb"))
-    pairs.withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("va"), col("bucket").cast("long").as("bucket"),
-        col("vb").as("nn"), round(col("cos"), 6).as("cos"))
+  def q32(spark: SparkSession, sfDir: String): DataFrame =
+    graft.llm.VectorSearch
+      .annTopK(emb(spark, sfDir), "vec_id", "embedding", k = 1)
+      .select(col("va"), col("bucket"), col("nn"), round(col("cos"), 6).as("cos"))
       .orderBy(col("va"))
-  }
 
   val q32Sql: String =
     s"""WITH nrm AS (
@@ -157,25 +125,11 @@ object Similarity {
     * quantizer as a query: explode to (label, dim, x), one shuffle on
     * (label, dim) for exact centroid sums, then per-vector distances.
     */
-  def q33(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = emb(spark, sfDir)
-    val dims = e.select(col("vec_id"), col("label"),
-        posexplode(col("embedding")).as(Seq("i", "x")))
-      .withColumn("x", col("x").cast("double"))
-    val centroids = dims.groupBy(col("label"), col("i"))
-      .agg((sum(col("x").cast("decimal(38,12)")).cast("double") /
-        count(lit(1))).as("c"))
-    val dist = dims.join(centroids, Seq("label", "i"))
-      .groupBy(col("vec_id"), col("label"))
-      .agg(sqrt(sum(expr("cast((x - c) * (x - c) as decimal(38,12))"))
-        .cast("double")).as("d"))
-    dist.groupBy(col("label"))
-      .agg(count(lit(1)).as("n_vectors"),
-        (sum(col("d").cast("decimal(38,12)")).cast("double") /
-          count(lit(1))).as("avg_dist"))
+  def q33(spark: SparkSession, sfDir: String): DataFrame =
+    graft.llm.VectorSearch
+      .labelCentroids(emb(spark, sfDir), "vec_id", "embedding", "label")
       .select(col("label"), col("n_vectors"), round(col("avg_dist"), 6).as("avg_dist"))
       .orderBy(col("label"))
-  }
 
   val q33Sql: String =
     """WITH dims AS (
@@ -202,27 +156,11 @@ object Similarity {
     * multi-probe = union of rotated-plane runs of this same plan); the
     * oracle applies identical bucketing, so the contract is exact.
     */
-  def q47(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = emb(spark, sfDir)
-      .withColumn("nrm", sqrt(expr(dot("embedding", "embedding"))))
-    val proj = e.select(col("vec_id"), col("embedding"), col("nrm"),
-        explode(expr("sequence(0, 3)")).as("j"))
-      .withColumn("s", expr(
-        s"""aggregate(sequence(0, 63), cast(0 as bigint), (acc, i) ->
-           |  acc + cast(round(cast(embedding[i] as double) * $planeVal * 1e12) as bigint))""".stripMargin))
-    val bucketed = proj.groupBy(col("vec_id"))
-      .agg(sum(expr("if(s > 0, cast(1 as bigint) << j, 0)")).as("bucket"),
-        first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
-    val a = bucketed.select(col("bucket"), col("vec_id").as("va"),
-      col("embedding").as("ea"), col("nrm").as("na"))
-    val b = bucketed.select(col("bucket"), col("vec_id").as("vb"),
-      col("embedding").as("eb"), col("nrm").as("nb"))
-    a.join(b, Seq("bucket")).where(col("va") < col("vb"))
-      .withColumn("cos", expr(dot("ea", "eb")) / (col("na") * col("nb")))
-      .where(col("cos") >= 0.4)
+  def q47(spark: SparkSession, sfDir: String): DataFrame =
+    graft.llm.VectorSearch
+      .thresholdPairs(emb(spark, sfDir), "vec_id", "embedding", minCos = 0.4)
       .select(col("va"), col("vb"), round(col("cos"), 6).as("cos"))
       .orderBy(col("va"), col("vb"))
-  }
 
   val q47Sql: String =
     s"""WITH nrm AS (
