@@ -1,0 +1,90 @@
+package graft.llm
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Parameterized text-analysis operators — the per-document enrichment
+  * API behind q34–q37/q52. Each returns the input with added columns
+  * (or a grouped stat table), so stages chain into a cleaning
+  * pipeline: language-ID → quality filter → sample → fingerprint.
+  */
+object TextStats {
+
+  /** Whitespace-token column helper. */
+  private def toks(textCol: String): Column = split(col(textCol), " ")
+
+  /** Grouped token statistics (single tokenize+explode pass; doc-level
+    * stats ride on each document's pos=0 row).
+    * Output: groupCols*, n_docs, n_tokens, avg_tokens, max_tok_len,
+    * n_bpe_tokens, n_vocab.
+    */
+  def tokenStats(df: DataFrame, textCol: String, bpePattern: String,
+                 groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
+    df.select(g :+ toks(textCol).as("toks") :+
+        expr(s"size(regexp_extract_all($textCol, '$bpePattern', 0))").cast("long").as("n_bpe"): _*)
+      .select(g :+ col("n_bpe") :+ posexplode(col("toks")).as(Seq("pos", "tok")): _*)
+      .groupBy(g: _*)
+      .agg(count(when(col("pos") === 0, 1)).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        (count(lit(1)) / count(when(col("pos") === 0, 1))).as("avg_tokens"),
+        max(length(col("tok"))).cast("int").as("max_tok_len"),
+        sum(when(col("pos") === 0, col("n_bpe"))).as("n_bpe_tokens"),
+        countDistinct(col("tok")).as("n_vocab"))
+  }
+
+  /** Adds `predicted`: stopword-occurrence argmax over the given
+    * per-language word lists; ties break by list order (pass sorted
+    * keys for alphabetical priority).
+    */
+  def withPredictedLanguage(df: DataFrame, textCol: String,
+                            stopwords: Seq[(String, Seq[String])]): DataFrame = {
+    val langs = stopwords.map(_._1)
+    val scored = stopwords.foldLeft(df.withColumn("__toks", toks(textCol))) {
+      case (acc, (l, words)) =>
+        acc.withColumn(s"__s_$l", expr(
+          s"size(filter(__toks, t -> array_contains(array(${words.map(w => s"'$w'").mkString(",")}), t)))"))
+    }
+    val predicted = langs.init.foldRight(lit(langs.last): Column) { (l, rest) =>
+      val others = langs.filterNot(_ == l)
+      when(others.map(o => col(s"__s_$l") >= col(s"__s_$o")).reduce(_ && _), lit(l))
+        .otherwise(rest)
+    }
+    scored.withColumn("predicted", predicted)
+      .drop("__toks" +: langs.map(l => s"__s_$l"): _*)
+  }
+
+  /** Adds `score` ∈ [0,1]: length/stopword/short-token quality signal
+    * with the given weights (must sum to 1 for a [0,1] range).
+    */
+  def withQualityScore(df: DataFrame, textCol: String, stopwords: Seq[String],
+                       wLength: Double = 0.5, wStop: Double = 0.25,
+                       wLong: Double = 0.25, fullLengthTokens: Int = 100): DataFrame =
+    df.withColumn("__toks", toks(textCol))
+      .withColumn("score",
+        least(lit(1.0), size(col("__toks")) / fullLengthTokens.toDouble) * wLength
+          + (expr(s"size(filter(__toks, t -> array_contains(array(${stopwords.map(w => s"'$w'").mkString(",")}), t)))")
+            / size(col("__toks"))) * wStop
+          + (lit(1.0) - expr("size(filter(__toks, t -> length(t) <= 2))") / size(col("__toks"))) * wLong)
+      .drop("__toks")
+
+  /** Adds winnowing fingerprint stats (`ws` struct: n_kgrams,
+    * n_selected, checksum, min_fp, max_fp) — one O(L) native pass.
+    * Documents shorter than k+w-1 chars are dropped (no full window).
+    */
+  def withWinnowStats(df: DataFrame, textCol: String, k: Int = 8, w: Int = 16): DataFrame = {
+    GraftFunctions.ensureRegistered(df.sparkSession)
+    df.where(length(col(textCol)) >= k + w - 1)
+      .withColumn("ws", expr(s"winnow_stats($textCol, $k, $w)"))
+  }
+
+  /** Adds `sample_bucket` (stable content-hash bucket in [0, buckets));
+    * filter `sample_bucket < rate` for a reproducible sample —
+    * identical across runs, engines and partitionings.
+    */
+  def withSampleBucket(df: DataFrame, textCol: String, buckets: Int = 100): DataFrame = {
+    GraftFunctions.ensureRegistered(df.sparkSession)
+    df.withColumn("sample_bucket", pmod(GraftFunctions.polyHash(textCol), lit(buckets)))
+  }
+}

@@ -35,9 +35,6 @@ object Text {
     "zh" -> Seq("的", "是", "了", "在", "和"))
   private val langs = stop.keys.toSeq.sorted // de, en, es, fr, zh
 
-  private def scoreExpr(lang: String): String =
-    s"size(filter(toks, t -> array_contains(array(${stop(lang).map(w => s"'$w'").mkString(",")}), t)))"
-
   private def scoreSqlDuck(lang: String): String =
     s"len(list_filter(s, t -> list_contains([${stop(lang).map(w => s"'$w'").mkString(",")}], t)))"
 
@@ -45,28 +42,13 @@ object Text {
   /** Token statistics per (lang, source): whitespace tokens, distinct
     * vocabulary, longest token, BPE-ish regex token count.
     */
-  def q34(spark: SparkSession, sfDir: String): DataFrame = {
-    // single tokenize + explode: doc-level stats ride on the pos=0 row
-    // of each document, so one pass and one shuffle produce both the
-    // per-doc aggregates and the distinct-vocabulary count
-    val exploded = docs(spark, sfDir)
-      .select(col("lang"), col("source"),
-        split(col("text"), " ").as("toks"),
-        expr(s"size(regexp_extract_all(text, '$BpePattern', 0))").cast("long").as("n_bpe"))
-      .select(col("lang"), col("source"), col("n_bpe"),
-        posexplode(col("toks")).as(Seq("pos", "tok")))
-    exploded.groupBy(col("lang"), col("source"))
-      .agg(count(when(col("pos") === 0, 1)).as("n_docs"),
-        count(lit(1)).as("n_tokens"),
-        (count(lit(1)) / count(when(col("pos") === 0, 1))).as("avg_tokens"),
-        max(length(col("tok"))).cast("int").as("max_tok_len"),
-        sum(when(col("pos") === 0, col("n_bpe"))).as("n_bpe_tokens"),
-        countDistinct(col("tok")).as("n_vocab"))
+  def q34(spark: SparkSession, sfDir: String): DataFrame =
+    graft.llm.TextStats
+      .tokenStats(docs(spark, sfDir), "text", BpePattern, Seq("lang", "source"))
       .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
         round(col("avg_tokens"), 6).as("avg_tokens"), col("max_tok_len"),
         col("n_bpe_tokens"), col("n_vocab"))
       .orderBy(col("lang"), col("source"))
-  }
 
   val q34Sql: String =
     s"""WITH d AS (
@@ -96,23 +78,12 @@ object Text {
   /** Heuristic language-ID (stopword-occurrence argmax, alphabetical
     * tie-break) vs the labeled lang: a confusion matrix.
     */
-  def q35(spark: SparkSession, sfDir: String): DataFrame = {
-    val scored = docs(spark, sfDir)
-      .select(col("lang"), split(col("text"), " ").as("toks"))
-    val withScores = langs.foldLeft(scored) { (df, l) =>
-      df.withColumn(s"s_$l", expr(scoreExpr(l)))
-    }
-    // fixed-priority argmax: alphabetical order wins ties
-    val predicted = langs.init.foldRight(lit(langs.last)) { (l, rest) =>
-      val others = langs.filterNot(_ == l)
-      when(others.map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _), lit(l))
-        .otherwise(rest)
-    }
-    withScores.withColumn("predicted", predicted)
+  def q35(spark: SparkSession, sfDir: String): DataFrame =
+    graft.llm.TextStats
+      .withPredictedLanguage(docs(spark, sfDir), "text", stop.toSeq.sortBy(_._1))
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("predicted"))
-  }
 
   val q35Sql: String = {
     val scoreCols = langs.map(l => s"${scoreSqlDuck(l)} AS s_$l").mkString(",\n    ")
@@ -134,28 +105,18 @@ object Text {
   /** Quality scoring: length/stopword/short-token signals combined
     * into a deterministic [0,1] score, bucketed per lang.
     */
-  def q36(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = docs(spark, sfDir)
-      .select(col("lang"), col("doc_id"), col("n_chars"),
-        split(col("text"), " ").as("toks"))
-      .withColumn("n_toks", size(col("toks")))
-      .withColumn("n_stop",
-        expr(s"size(filter(toks, t -> array_contains(array(${
-          stop.values.flatten.toSeq.distinct.sorted.map(w => s"'$w'").mkString(",")}), t)))"))
-      .withColumn("n_short", expr("size(filter(toks, t -> length(t) <= 2))"))
-      .withColumn("score",
-        least(lit(1.0), col("n_toks") / 100.0) * 0.5
-          + (col("n_stop") / col("n_toks")) * 0.25
-          + (lit(1.0) - col("n_short") / col("n_toks")) * 0.25)
+  def q36(spark: SparkSession, sfDir: String): DataFrame =
+    graft.llm.TextStats
+      .withQualityScore(docs(spark, sfDir), "text",
+        stop.values.flatten.toSeq.distinct.sorted)
       .withColumn("bucket",
         when(col("score") >= 0.7, "high")
           .when(col("score") >= 0.45, "medium").otherwise("low"))
-    d.groupBy(col("lang"), col("bucket"))
+      .groupBy(col("lang"), col("bucket"))
       .agg(count(lit(1)).as("n"),
         round((sum(col("score").cast("decimal(38,12)")).cast("double") /
           count(lit(1))), 6).as("avg_score"))
       .orderBy(col("lang"), col("bucket"))
-  }
 
   val q36Sql: String = {
     val allStops = stop.values.flatten.toSeq.distinct.sorted.map(w => s"'$w'").mkString(",")
@@ -188,16 +149,13 @@ object Text {
     * O(L·(k+w)) and was a bench hot spot; the oracle still computes
     * that naive form, pinning the rolling arithmetic to the spec.
     */
-  def q37(spark: SparkSession, sfDir: String): DataFrame = {
-    val k = 8; val w = 16
-    docs(spark, sfDir)
-      .where(length(col("text")) >= k + w - 1)
-      .select(col("doc_id"), expr(s"winnow_stats(text, $k, $w)").as("ws"))
+  def q37(spark: SparkSession, sfDir: String): DataFrame =
+    graft.llm.TextStats
+      .withWinnowStats(docs(spark, sfDir), "text", k = 8, w = 16)
       .select(col("doc_id"), col("ws.n_kgrams").as("n_kgrams"),
         col("ws.n_selected").as("n_selected"), col("ws.checksum").as("checksum"),
         col("ws.min_fp").as("min_fp"), col("ws.max_fp").as("max_fp"))
       .orderBy(col("doc_id"))
-  }
 
   val q37Sql: String = {
     val k = 8; val w = 16
@@ -225,8 +183,9 @@ object Text {
     * all zh).
     */
   def q52(spark: SparkSession, sfDir: String): DataFrame =
-    docs(spark, sfDir)
-      .withColumn("bucket", pmod(GraftFunctions.polyHash("text"), lit(100)))
+    graft.llm.TextStats
+      .withSampleBucket(docs(spark, sfDir), "text", buckets = 100)
+      .withColumnRenamed("sample_bucket", "bucket")
       .withColumn("rate",
         when(col("lang") === "en", 20)
           .when(col("lang") === "zh", 100)
