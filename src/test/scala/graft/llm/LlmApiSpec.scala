@@ -1,0 +1,78 @@
+package graft.llm
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The parameterized LLM-operator API at settings the oracle-pinned
+  * queries don't use — monotonicity and contract checks rather than
+  * value oracles.
+  */
+class LlmApiSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.hive
+  private lazy val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+  private lazy val embs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+
+  test("jaccard threshold is monotonic: lower threshold ⊇ higher") {
+    val strict = TextDedup.jaccardNearDupPairs(docs, "doc_id", "text", n = 3, tNum = 4, tDen = 5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val loose = TextDedup.jaccardNearDupPairs(docs, "doc_id", "text", n = 3, tNum = 1, tDen = 2)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict.subsetOf(loose))
+    assert(loose.size >= strict.size)
+  }
+
+  test("minhash with fewer bands finds no more than wider banding") {
+    val wide = TextDedup.minHashLshPairs(docs, "doc_id", "text", k = 12, bands = 6)
+    val narrow = TextDedup.minHashLshPairs(docs, "doc_id", "text", k = 12, bands = 2)
+    // 6 bands of 2 rows collide far more easily than 2 bands of 6 rows
+    val wideSet = wide.select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val narrowSet = narrow.select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(narrowSet.subsetOf(wideSet))
+    wide.select("est_sim").collect().foreach { r =>
+      assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0)
+    }
+  }
+
+  test("simhash rejects lossy banding configurations") {
+    intercept[IllegalArgumentException] {
+      TextDedup.simHashPairs(docs, "doc_id", "text", bands = 4, maxHamming = 4)
+    }
+    // 16-bit / 8-band variant runs and respects the hamming bound
+    val pairs = TextDedup.simHashPairs(docs, "doc_id", "text",
+      bits = 16, bands = 8, maxHamming = 2).collect()
+    assert(pairs.forall(_.getAs[Int]("hamming") <= 2))
+  }
+
+  test("cosineTopK returns exactly k ranked neighbors per vector") {
+    val top2 = VectorSearch.cosineTopK(embs, "vec_id", "embedding", k = 2)
+    val counts = top2.groupBy("va").count().collect().map(_.getLong(1)).toSet
+    assert(counts == Set(2L))
+    // rank 1 dominates rank 2
+    val byVec = top2.collect().groupBy(_.getAs[Long]("va"))
+    byVec.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("rn"))
+      assert(sorted(0).getAs[Double]("cos") >= sorted(1).getAs[Double]("cos"))
+    }
+  }
+
+  test("more hyperplanes → smaller buckets; threshold pairs respect minCos") {
+    val coarse = VectorSearch.lshBuckets(embs, "vec_id", "embedding", planes = 2)
+      .groupBy("bucket").count().agg(max("count")).head.getLong(0)
+    val fine = VectorSearch.lshBuckets(embs, "vec_id", "embedding", planes = 6)
+      .groupBy("bucket").count().agg(max("count")).head.getLong(0)
+    assert(fine <= coarse)
+    val pairs = VectorSearch.thresholdPairs(embs, "vec_id", "embedding", minCos = 0.3)
+    assert(pairs.collect().forall(_.getAs[Double]("cos") >= 0.3))
+  }
+
+  test("quality score stays in [0,1] and sampling buckets cover the range") {
+    val scored = TextStats.withQualityScore(docs, "text", Seq("the", "a", "of"))
+    val mm = scored.agg(min("score"), max("score")).head
+    assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0)
+    val buckets = TextStats.withSampleBucket(docs, "text", buckets = 10)
+      .select("sample_bucket").distinct().collect().map(_.getLong(0)).toSet
+    assert(buckets.subsetOf((0L until 10L).toSet) && buckets.size > 5)
+  }
+}
