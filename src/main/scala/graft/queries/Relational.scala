@@ -471,18 +471,30 @@ object Relational {
        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
   // ---------------------------------------------------------------- q22
-  /** Theta join keyed on p_size: equi-key + inequality residual, so the
-    * quadratic blow-up is bounded per size group (never a cross join).
+  /** Pairwise price gaps per size — semantically a theta join
+    * (`p1.p_size = p2.p_size AND p1.price > p2.price`, the oracle's
+    * formulation), executed as an O(n log n) prefix-sum rewrite: group
+    * by (size, price), then for each price group the pairs against all
+    * cheaper parts are `c·C_prev` and their gap mass is
+    * `c·(price·C_prev − S_prev)` from running count/sum windows. The
+    * per-size-quadratic join this replaces was the correct *bounded*
+    * fallback; at 100 TB the window form shuffles each row once and
+    * never materializes a pair.
     */
   def q22(spark: SparkSession, sfDir: String): DataFrame = {
-    val p1 = t(spark, sfDir, "part").select(col("p_size"),
-      col("p_partkey").as("k1"), col("p_retailprice").as("price1"))
-    val p2 = t(spark, sfDir, "part").select(col("p_size").as("p_size2"),
-      col("p_partkey").as("k2"), col("p_retailprice").as("price2"))
-    p1.join(p2, p1("p_size") === p2("p_size2") && col("price1") > col("price2"))
+    val g = t(spark, sfDir, "part")
+      .groupBy(col("p_size"), col("p_retailprice"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("pd", col("p_retailprice").cast(DecimalType(27, 4)))
+    val w = Window.partitionBy(col("p_size")).orderBy(col("p_retailprice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("c_prev", coalesce(sum(col("c")).over(w), lit(0L)))
+      .withColumn("s_prev",
+        coalesce(sum(col("pd") * col("c")).over(w), lit(0).cast(DecimalType(38, 4))))
       .groupBy(col("p_size"))
-      .agg(count(lit(1)).as("n_pairs"),
-        Num.dsum(col("price1") - col("price2")).as("sum_gap"))
+      .agg(sum(col("c") * col("c_prev")).as("n_pairs"),
+        sum(col("c") * (col("pd") * col("c_prev") - col("s_prev")))
+          .cast(DoubleType).as("sum_gap"))
       .orderBy(col("p_size"))
   }
 
