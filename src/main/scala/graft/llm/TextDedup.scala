@@ -109,6 +109,37 @@ object TextDedup {
       .select(col("d1"), col("d2"), col("est_sim"), col("jac"))
   }
 
+  /** Connected components over a near-dup pair list: every document in
+    * a component gets the component's minimum id as `cluster_id` — the
+    * step that turns pairwise matches into dedup groups (keep one doc
+    * per cluster). Iterative min-label propagation; the iteration
+    * count is bounded by the largest component's diameter — for
+    * near-dup graphs that is tiny, and each round is one equi-join +
+    * aggregation (the standard large-graph CC shape).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("u")).distinct()
+      .select(col("u"), col("u").as("cluster_id"))
+    var changed = 1L
+    while (changed > 0) {
+      // each node adopts the min label among itself and its neighbors
+      val next = edges.join(labels.withColumnRenamed("u", "v"), "v")
+        .select(col("u"), col("cluster_id"))
+        .union(labels)
+        .groupBy(col("u"))
+        .agg(min(col("cluster_id")).as("cluster_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "u")
+        .where(col("cluster_id") =!= col("old")).count()
+      labels = next
+    }
+    labels.select(col("u").as("doc_id"), col("cluster_id"))
+  }
+
   /** SimHash fingerprints (weighted n-gram bits) and near-dup pairs by
     * banded blocking + XOR popcount. Blocking is lossless for
     * `maxHamming < bands`. Output: d1, d2, fp1, fp2, hamming.

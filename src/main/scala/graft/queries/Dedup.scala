@@ -168,10 +168,52 @@ object Dedup {
        |FROM cand WHERE bit_count(xor(fp1, fp2)) <= 3
        |ORDER BY d1, d2""".stripMargin
 
+  // ---------------------------------------------------------------- q54
+  /** Near-dup clusters: q28's pair list resolved into connected
+    * components with min-id cluster labels — the step that turns
+    * pairwise matches into dedup groups. The oracle walks the same
+    * pair list with a recursive transitive closure.
+    */
+  def q54(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = graft.llm.TextDedup
+      .jaccardNearDupPairs(docs(spark, sfDir), "doc_id", "text", n = 3, tNum = 3, tDen = 5)
+    graft.llm.TextDedup.connectedComponents(pairs, "d1", "d2")
+      .withColumn("kept", col("doc_id") === col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q54Sql: String = {
+    // q28's pair pipeline as a CTE, then recursive min-label closure
+    val pairCte =
+      s"""${shinglesSql(3)},
+         |hsh AS (SELECT doc_id,
+         |          list_distinct(list_transform(shingles, s -> ${PolyHash.duckdbSql("s")})) AS hs
+         |        FROM sh),
+         |ex AS (SELECT doc_id, unnest(hs) AS h FROM hsh),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |         FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT d1, d2 FROM (
+         |  SELECT d1, d2,
+         |    len(list_intersect(x.hs, y.hs)) /
+         |    CAST(len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)) AS DOUBLE) AS jac
+         |  FROM cand JOIN hsh x ON x.doc_id = d1 JOIN hsh y ON y.doc_id = d2)
+         |  WHERE jac >= 0.6)""".stripMargin
+    s"""WITH RECURSIVE $pairCte,
+       |edges AS (SELECT d1 AS u, d2 AS v FROM pairs
+       |          UNION SELECT d2, d1 FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+       |SELECT u AS doc_id, MIN(v) AS cluster_id, (u = MIN(v)) AS kept
+       |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
+  }
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q27_exact_dedup", q27 _, Some(q27Sql)),
     ("q28_ngram_jaccard_neardup", q28 _, Some(q28Sql)),
     ("q29_minhash_lsh_neardup", q29 _, Some(q29Sql)),
-    ("q30_simhash_neardup", q30 _, Some(q30Sql))
+    ("q30_simhash_neardup", q30 _, Some(q30Sql)),
+    ("q54_neardup_clusters", q54 _, Some(q54Sql))
   )
 }
