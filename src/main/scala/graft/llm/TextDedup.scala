@@ -124,6 +124,7 @@ object TextDedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("u")).distinct()
       .select(col("u"), col("u").as("cluster_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var changed = 1L
     while (changed > 0) {
       // each node adopts the min label among itself and its neighbors
@@ -135,6 +136,7 @@ object TextDedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "u")
         .where(col("cluster_id") =!= col("old")).count()
+      labels.unpersist(blocking = false)
       labels = next
     }
     labels.select(col("u").as("doc_id"), col("cluster_id"))

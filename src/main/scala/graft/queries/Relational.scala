@@ -495,6 +495,9 @@ object Relational {
       .agg(sum(col("c") * col("c_prev")).as("n_pairs"),
         sum(col("c") * (col("pd") * col("c_prev") - col("s_prev")))
           .cast(DoubleType).as("sum_gap"))
+      // the join formulation emits nothing for sizes with no strictly
+      // cheaper pair (all-equal prices / singleton sizes)
+      .where(col("n_pairs") > 0)
       .orderBy(col("p_size"))
   }
 
