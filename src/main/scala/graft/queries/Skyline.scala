@@ -1,16 +1,16 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
 import org.apache.spark.sql.functions._
 
-/** Skyline (Pareto-frontier) query over `part`: the parts not
-  * dominated on (price ↓, size ↑) — cheaper-or-equal AND
-  * bigger-or-equal with one strict inequality dominates.
+/** Skyline (Pareto-frontier) operator: the rows not dominated on a set
+  * of minimize/maximize dimensions — dominance means at-least-as-good
+  * on every dimension and strictly better on one.
   *
-  * Two-phase distributed skyline (the standard shape from the skyline
-  * literature, cf. "Integration of Skyline Queries into Spark SQL",
-  * EDBT 2023 — PAPERS.md):
+  * Two-phase distributed shape (cf. "Integration of Skyline Queries
+  * into Spark SQL", EDBT 2023 — PAPERS.md):
   *   1. local skyline per partition via `mapPartitions` — no shuffle,
   *      shrinks n to the per-partition frontier (the one legitimately
   *      imperative per-partition step, SURVEY's mapPartitions escape
@@ -22,19 +22,46 @@ import org.apache.spark.sql.functions._
   */
 object Skyline {
 
-  final case class P(p_partkey: Long, p_retailprice: Double, p_size: Int)
+  /** Generic Pareto frontier of `df` on numeric dimension columns
+    * (schema preserved). `minimize` dims prefer smaller values,
+    * `maximize` dims larger.
+    */
+  def pareto(df: DataFrame, minimize: Seq[String], maximize: Seq[String]): DataFrame = {
+    require(minimize.nonEmpty || maximize.nonEmpty, "need at least one dimension")
+    val schema = df.schema
+    val minIdx = minimize.map(schema.fieldIndex).toArray
+    val maxIdx = maximize.map(schema.fieldIndex).toArray
 
-  private def dominates(a: P, b: P): Boolean =
-    a.p_retailprice <= b.p_retailprice && a.p_size >= b.p_size &&
-      (a.p_retailprice < b.p_retailprice || a.p_size > b.p_size)
+    def dim(r: Row, i: Int): Double = r.get(i) match {
+      case n: Number => n.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"skyline dimension ${schema(i).name} must be numeric, got $other")
+    }
+    // a dominates b: ≤ on every minimized dim, ≥ on every maximized
+    // dim, with at least one strict inequality
+    def dominates(a: Row, b: Row): Boolean = {
+      var strict = false
+      var i = 0
+      while (i < minIdx.length) {
+        val (x, y) = (dim(a, minIdx(i)), dim(b, minIdx(i)))
+        if (x > y) return false
+        if (x < y) strict = true
+        i += 1
+      }
+      i = 0
+      while (i < maxIdx.length) {
+        val (x, y) = (dim(a, maxIdx(i)), dim(b, maxIdx(i)))
+        if (x < y) return false
+        if (x > y) strict = true
+        i += 1
+      }
+      strict
+    }
 
-  def q48(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val parts = Tables.load(spark, sfDir, "part")
-      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
-      .as[P]
-    val local = parts.mapPartitions { it =>
-      val frontier = scala.collection.mutable.ArrayBuffer.empty[P]
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(schema))
+    val local = df.mapPartitions { it =>
+      val frontier = scala.collection.mutable.ArrayBuffer.empty[Row]
       it.foreach { x =>
         if (!frontier.exists(y => dominates(y, x))) {
           frontier.filterInPlace(y => !dominates(x, y))
@@ -43,16 +70,23 @@ object Skyline {
       }
       frontier.iterator
     }
-    val l = local.toDF()
-    val r = local.toDF().select(col("p_partkey").as("k2"),
-      col("p_retailprice").as("price2"), col("p_size").as("size2"))
-    l.join(broadcast(r),
-        col("price2") <= col("p_retailprice") && col("size2") >= col("p_size") &&
-          (col("price2") < col("p_retailprice") || col("size2") > col("p_size")),
-        "left_anti")
-      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
-      .orderBy(col("p_partkey"))
+
+    // global dominance anti-join over the (small) local-skyline union
+    val right = local.toDF(schema.fieldNames.map("__r_" + _): _*)
+    val minConds = minimize.map(c => col(s"__r_$c") <= col(c))
+    val maxConds = maximize.map(c => col(s"__r_$c") >= col(c))
+    val strict = (minimize.map(c => col(s"__r_$c") < col(c)) ++
+      maximize.map(c => col(s"__r_$c") > col(c))).reduce(_ || _)
+    val cond = (minConds ++ maxConds).reduce(_ && _) && strict
+    local.toDF().join(broadcast(right), cond, "left_anti")
   }
+
+  def q48(spark: SparkSession, sfDir: String): DataFrame =
+    pareto(
+      Tables.load(spark, sfDir, "part")
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size")),
+      minimize = Seq("p_retailprice"), maximize = Seq("p_size"))
+      .orderBy(col("p_partkey"))
 
   val q48Sql: String =
     """SELECT p_partkey, p_retailprice, p_size

@@ -37,4 +37,18 @@ class PlanAuditSpec extends AnyFunSuite {
       }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  test("column pruning reaches the scan (spot checks)") {
+    def readSchema(name: String): String = {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    }
+    // q02 projects 3 of orders' 6 columns — the scan must not read more
+    val q02Cols = readSchema("q02_top_orders").split(",").map(_.split(":")(0).trim).toSet
+    assert(q02Cols == Set("o_orderkey", "o_totalprice", "o_orderdate"))
+    // q06 needs 3 of lineitem's 11 columns
+    val q06Cols = readSchema("q06_filter_agg").split(",").map(_.split(":")(0).trim).toSet
+    assert(q06Cols == Set("l_quantity", "l_extendedprice", "l_discount"))
+  }
 }
