@@ -21,10 +21,10 @@ object DdlExtractor {
     */
   def createTableLines(spark: SparkSession, db: String, table: String): Seq[String] = {
     val qualified = s"`$db`.`$table`"
-    Try(spark.sql(s"SHOW CREATE TABLE $qualified").head.getString(0)) match {
+    Try(spark.sql(s"SHOW CREATE TABLE $qualified").head().getString(0)) match {
       case Success(ddl) => ddl.linesIterator.toSeq
       case Failure(_) =>
-        spark.sql(s"SHOW CREATE TABLE $qualified AS SERDE").head.getString(0)
+        spark.sql(s"SHOW CREATE TABLE $qualified AS SERDE").head().getString(0)
           .linesIterator.toSeq
     }
   }

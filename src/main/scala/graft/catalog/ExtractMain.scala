@@ -13,7 +13,7 @@ import java.nio.file.Paths
   */
 object ExtractMain {
   def main(args: Array[String]): Unit = {
-    println(args.length + " args: " + args.toSeq)
+    println(s"${args.length} args: ${args.toSeq}")
     if (args.length != 3) {
       println("Usage: ")
       println("arg[0] = database name pattern")
@@ -36,8 +36,8 @@ object ExtractMain {
     spark.sparkContext.setLogLevel("WARN")
     try {
       val dbs = CatalogOps.listDatabases(spark, databasePattern)
-      println(dbs.size + " databases")
-      println(CatalogOps.countTables(spark, dbs, tablePattern) + " total tables")
+      println(s"${dbs.size} databases")
+      println(s"${CatalogOps.countTables(spark, dbs, tablePattern)} total tables")
       val result = DdlExtract.extractToFile(spark, databasePattern, tablePattern,
         Paths.get(outFile), cfg)
       println(s"extracted ${result.tableCount} tables (${result.errorCount} errors)")

@@ -72,7 +72,7 @@ object Skyline {
     }
 
     // global dominance anti-join over the (small) local-skyline union
-    val right = local.toDF(schema.fieldNames.map("__r_" + _): _*)
+    val right = local.toDF(schema.fieldNames.toIndexedSeq.map("__r_" + _): _*)
     val minConds = minimize.map(c => col(s"__r_$c") <= col(c))
     val maxConds = maximize.map(c => col(s"__r_$c") >= col(c))
     val strict = (minimize.map(c => col(s"__r_$c") < col(c)) ++
