@@ -39,17 +39,25 @@ object Bench {
         .filter(_.isTemporary).foreach(t => spark.catalog.dropTempView(t.name))
     }
 
+    // two trials per query, report the min: a single run is hostage to
+    // transient machine load (a round-2 "regression" was exactly such
+    // an artifact), while the min of two is a stable point estimate
+    val trials = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "2").toInt)
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { materialize(fn(spark, sfDir)); true }
-        catch { case e: Throwable =>
-          errors += s"$name: ${e.toString.take(300)}"; false
-        }
-      val dt = (System.nanoTime() - t0) / 1e9
-      resetState()
-      name -> (if (ok) dt else -1.0)
+      val times = (1 to trials).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { materialize(fn(spark, sfDir)); true }
+          catch { case e: Throwable =>
+            errors += s"$name: ${e.toString.take(300)}"; false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        resetState()
+        if (ok) dt else -1.0
+      }
+      name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"${Json.quote(k)}:$v" }
       .mkString("{", ",", "}")

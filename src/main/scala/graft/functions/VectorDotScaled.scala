@@ -26,6 +26,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   * Range: |x·y| ≤ ~1 per element at unit-ish norms and ≤ 4096
   * elements keeps the sum < 2^63; products are < 2^53/1e12 so the
   * scaled double is exactly representable before rounding.
+  *
+  * Length contract: the fold runs over `min(|x|, |y|)` elements —
+  * mismatched-length inputs zip to the shorter vector (the SQL
+  * `zip_with`/`aggregate` convention) rather than erroring. Callers
+  * that need corrupt-vector detection should validate lengths
+  * upstream (`size(vec) = dim`); the engine's embedding pipelines all
+  * operate at a fixed declared `dim`.
   */
 case class VectorDotScaled(left: Expression, right: Expression)
   extends BinaryExpression {

@@ -29,12 +29,33 @@ object TextDedup {
         (col(idCol) === col("keep_id")).as("kept"))
   }
 
+  /** Spreads a narrow source across the full shuffle parallelism
+    * before a CPU-heavy per-row stage. A small parquet file arrives as
+    * ONE input partition, and AQE coalesces by *bytes*, so without an
+    * explicit partition count the expensive projection (higher-order
+    * shingle/gram lambdas) runs single-threaded regardless of cores.
+    * The O(rows) shuffle is noise next to the projection it feeds; the
+    * explicit count is honored (not re-coalesced) by AQE.
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+
+  /** Forces a persisted plan to materialize NOW. When a cached subplan
+    * fans out into several downstream branches, AQE materializes those
+    * branch stages concurrently — and every one of them recomputes the
+    * not-yet-populated cache (the cache fills on first completion, but
+    * concurrent readers race past it and duplicate the most expensive
+    * stage of the whole pipeline). One synchronous count() populates
+    * the cache before the fan-out starts.
+    */
+  private def materialize(df: DataFrame): DataFrame = { df.count(); df }
+
   /** Per-document distinct word n-gram shingles, poly-hashed:
     * (idCol, hs: sorted array<long>, sz).
     */
   def hashedShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     GraftFunctions.ensureRegistered(df.sparkSession)
-    df.select(col(idCol), split(col(textCol), " ").as("toks"))
+    spread(df).select(col(idCol), split(col(textCol), " ").as("toks"))
       .where(size(col("toks")) >= n)
       .select(col(idCol), array_distinct(expr(
         s"transform(sequence(0, size(toks)-$n), i -> concat_ws(' ', ${(0 until n).map(k => s"toks[i+$k]").mkString(", ")}))"))
@@ -50,8 +71,8 @@ object TextDedup {
   def jaccardNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           n: Int = 3, tNum: Int = 3, tDen: Int = 5): DataFrame = {
     require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
-    val sh = hashedShingles(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = materialize(hashedShingles(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val ex = sh.select(col(idCol), col("sz"), explode(col("hs")).as("h"))
     val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("dfreq"))
     val prefix = ex.join(dfreq, "h")
@@ -82,8 +103,8 @@ object TextDedup {
     require(k % bands == 0, "k must be divisible by bands")
     val rows = k / bands
     val minhash = udaf(new graft.functions.MinHashAggregator(k))
-    val sh = hashedShingles(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = materialize(hashedShingles(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sig = sh.select(col(idCol), col("sz"), col("hs"), explode(col("hs")).as("x"))
       .groupBy(col(idCol))
       .agg(minhash(col("x")).as("sig"), first(col("sz")).as("sz"),
@@ -114,31 +135,52 @@ object TextDedup {
     * step that turns pairwise matches into dedup groups (keep one doc
     * per cluster). Iterative min-label propagation; the iteration
     * count is bounded by the largest component's diameter — for
-    * near-dup graphs that is tiny, and each round is one equi-join +
-    * aggregation (the standard large-graph CC shape).
+    * near-dup graphs that is tiny.
+    *
+    * Scale shape: ONE Spark job per round. The previous label is
+    * carried through the propagation aggregate (self rows tag it, the
+    * `min` ignores the neighbor rows' null tag), so convergence
+    * detection is a filter over the same materialized result instead
+    * of a second join+count job. Each round is `localCheckpoint`ed:
+    * the logical plan stays one join deep instead of growing by one
+    * join per round (unbounded lineage re-analysis is the classic
+    * iterative-algorithm driver bottleneck at scale).
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idType = edges.schema("u").dataType
+    // (u, cluster_id) — eagerly checkpointed so every round starts
+    // from materialized blocks, not the upstream pair pipeline
     var labels = edges.select(col("u")).distinct()
       .select(col("u"), col("u").as("cluster_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var changed = 1L
-    while (changed > 0) {
-      // each node adopts the min label among itself and its neighbors
-      val next = edges.join(labels.withColumnRenamed("u", "v"), "v")
-        .select(col("u"), col("cluster_id"))
-        .union(labels)
+      .localCheckpoint()
+    var prev = labels
+    var converged = edges.isEmpty
+    while (!converged) {
+      // each node adopts the min label among itself and its neighbors;
+      // the self rows also carry the old label (tagged; neighbor rows
+      // contribute null, which min() skips) so one aggregation yields
+      // both the new labels and the convergence signal
+      val nbr = edges
+        .join(labels.select(col("u").as("v"), col("cluster_id")), "v")
+        .select(col("u"), col("cluster_id"), lit(null).cast(idType).as("old"))
+      val self = labels.select(col("u"), col("cluster_id"),
+        col("cluster_id").as("old"))
+      val next = nbr.union(self)
         .groupBy(col("u"))
-        .agg(min(col("cluster_id")).as("cluster_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "u")
-        .where(col("cluster_id") =!= col("old")).count()
-      labels.unpersist(blocking = false)
-      labels = next
+        .agg(min(col("cluster_id")).as("cluster_id"), min(col("old")).as("old"))
+        .localCheckpoint(eager = false)
+      // single action per round: the full-scan count materializes every
+      // checkpoint partition AND yields the convergence signal
+      converged = next.where(col("cluster_id") =!= col("old")).count() == 0L
+      prev.unpersist(blocking = false)
+      prev = next
+      labels = next.select(col("u"), col("cluster_id"))
     }
+    edges.unpersist(blocking = false)
     labels.select(col("u").as("doc_id"), col("cluster_id"))
   }
 
@@ -153,7 +195,7 @@ object TextDedup {
     require(bits % bands == 0, "bits must be divisible by bands")
     GraftFunctions.ensureRegistered(df.sparkSession)
     val bandBits = bits / bands
-    val grams = df.select(col(idCol), split(col(textCol), " ").as("toks"))
+    val grams = spread(df).select(col(idCol), split(col(textCol), " ").as("toks"))
       .where(size(col("toks")) >= n)
       .select(col(idCol), explode(expr(
         s"transform(sequence(0, size(toks)-$n), i -> concat_ws(' ', ${(0 until n).map(j => s"toks[i+$j]").mkString(", ")}))")).as("gram"))

@@ -15,6 +15,17 @@ object VectorSearch {
   private def dot(c1: String, c2: String): String =
     s"cast(vector_dot_scaled($c1, $c2) as double) / 1e12"
 
+  /** Spreads a narrow source across the full shuffle parallelism. A
+    * small parquet file scans as ONE partition, and AQE coalesces
+    * shuffles by *bytes* — so anything quadratic downstream (the
+    * brute-force join, the per-bucket self-join) would otherwise run
+    * single-threaded no matter how many cores exist. The O(n) shuffle
+    * is always worth it ahead of an O(n²) operator; the explicit
+    * partition count is honored (not re-coalesced) by AQE.
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+
   /** Adds an exact L2 norm column. */
   def withNorm(df: DataFrame, vecCol: String, normCol: String = "nrm"): DataFrame = {
     GraftFunctions.ensureRegistered(df.sparkSession)
@@ -24,13 +35,25 @@ object VectorSearch {
   /** Exact brute-force cosine top-k per vector via the bounded-heap
     * native aggregate. Output: va, rn, vb, cos. Quadratic by
     * definition — the baseline; use [[annTopK]] at scale.
+    *
+    * cos(a,b) = cos(b,a), so the join emits only `va < vb` pairs —
+    * half the dot products — and an inline two-row explode mirrors
+    * each pair into both orientations before the per-vector top-k
+    * (one pass; no recompute and no persist of the pair stream).
     */
   def cosineTopK(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val e = withNorm(df, vecCol)
-    val a = e.select(col(idCol).as("va"), col(vecCol).as("ea"), col("nrm").as("na"))
+    // streamed side spread across cores; build side stays narrow for
+    // the broadcast
+    val a = spread(e)
+      .select(col(idCol).as("va"), col(vecCol).as("ea"), col("nrm").as("na"))
     val b = e.select(col(idCol).as("vb"), col(vecCol).as("eb"), col("nrm").as("nb"))
-    a.join(broadcast(b), col("va") =!= col("vb"))
+    a.join(broadcast(b), col("va") < col("vb"))
       .withColumn("cos", expr(dot("ea", "eb")) / (col("na") * col("nb")))
+      .select(explode(array(
+        struct(col("va"), col("vb"), col("cos")),
+        struct(col("vb").as("va"), col("va").as("vb"), col("cos")))).as("p"))
+      .select(col("p.va").as("va"), col("p.vb").as("vb"), col("p.cos").as("cos"))
       .groupBy(col("va"))
       .agg(expr(s"topk_neighbors(vb, cos, $k)").as("top"))
       .select(col("va"), posexplode(col("top")).as(Seq("pos", "n")))
@@ -38,24 +61,38 @@ object VectorSearch {
         col("n.vb").as("vb"), col("n.cos").as("cos"))
   }
 
-  /** Deterministic pseudo-random hyperplane coefficient for (j, i). */
-  private def planeVal: String =
-    "(((CAST(1103515245 AS BIGINT) * (j * 64 + i) + 12345) % 2147483648) / 1073741824.0 - 1.0)"
+  /** Deterministic pseudo-random hyperplane coefficient for plane `j`,
+    * dimension `i`. The stream index is `j * dim + i` so planes stay
+    * linearly independent at any dimension (a fixed stride would make
+    * (j, i) pairs collide for dim > stride); for the default dim = 64
+    * this matches the oracle fragment in
+    * [[graft.queries.Similarity]] exactly.
+    */
+  private def planeVal(dim: Int): String =
+    s"(((CAST(1103515245 AS BIGINT) * (j * $dim + i) + 12345) % 2147483648) / 1073741824.0 - 1.0)"
 
   /** Random-hyperplane LSH bucket ids: sign pattern of `planes`
     * projections (scaled-long exact folds). Output: idCol, vecCol,
     * nrm, bucket.
+    *
+    * `probe` selects a disjoint plane set (global plane indices
+    * `probe*planes ... probe*planes+planes-1`), so unioning runs at
+    * probe = 0..L-1 is multi-probe ANN: every probe is an independent
+    * partition of the space, and a pair missed by one probe's buckets
+    * can collide in another's — recall grows with L at L× candidate
+    * cost, with no change to the per-probe plan shape.
     */
   def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
-                 planes: Int = 4, dim: Int = 64): DataFrame = {
-    val e = withNorm(df, vecCol)
+                 planes: Int = 4, dim: Int = 64, probe: Int = 0): DataFrame = {
+    val e = spread(withNorm(df, vecCol))
+    val j0 = probe * planes
     e.select(col(idCol), col(vecCol), col("nrm"),
-        explode(expr(s"sequence(0, ${planes - 1})")).as("j"))
+        explode(expr(s"sequence($j0, ${j0 + planes - 1})")).as("j"))
       .withColumn("s", expr(
         s"""aggregate(sequence(0, ${dim - 1}), cast(0 as bigint), (acc, i) ->
-           |  acc + cast(round(cast($vecCol[i] as double) * $planeVal * 1e12) as bigint))""".stripMargin))
+           |  acc + cast(round(cast($vecCol[i] as double) * ${planeVal(dim)} * 1e12) as bigint))""".stripMargin))
       .groupBy(col(idCol))
-      .agg(sum(expr("if(s > 0, cast(1 as bigint) << j, 0)")).as("bucket"),
+      .agg(sum(expr(s"if(s > 0, cast(1 as bigint) << (j - $j0), 0)")).as("bucket"),
         first(col(vecCol)).as(vecCol), first(col("nrm")).as("nrm"))
   }
 
@@ -87,15 +124,44 @@ object VectorSearch {
       .select(col("va"), col("bucket"), (col("pos") + 1).cast("int").as("rn"),
         col("n.vb").as("nn"), col("n.cos").as("cos"))
 
+  /** Multi-probe approximate top-k: candidates are the union of
+    * within-bucket pairs over `probes` disjoint plane sets, deduped on
+    * (va, vb) (the cosine is probe-independent, so the dedup keeps a
+    * deterministic value), then ranked per vector. Output: va, rn, nn,
+    * cos. Recall is strictly non-decreasing in `probes` (each probe
+    * only adds candidates) — asserted against single-probe in
+    * `LlmApiSpec`.
+    */
+  def annTopKMultiProbe(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                        planes: Int = 4, dim: Int = 64, probes: Int = 2): DataFrame = {
+    require(probes >= 1, "probes must be >= 1")
+    val cands = (0 until probes).map { l =>
+      bucketPairs(lshBuckets(df, idCol, vecCol, planes, dim, l), idCol, vecCol,
+        col("va") =!= col("vb"))
+        .select(col("va"), col("vb"), col("cos"))
+    }.reduce(_ unionAll _).dropDuplicates("va", "vb")
+    cands.groupBy(col("va"))
+      .agg(expr(s"topk_neighbors(vb, cos, $k)").as("top"))
+      .select(col("va"), posexplode(col("top")).as(Seq("pos", "n")))
+      .select(col("va"), (col("pos") + 1).cast("int").as("rn"),
+        col("n.vb").as("nn"), col("n.cos").as("cos"))
+  }
+
   /** Embedding near-dup pairs: within-bucket pairs over a cosine
-    * threshold. Output: va, vb, cos (va < vb).
+    * threshold, unioned over `probes` disjoint plane sets (deduped —
+    * see [[annTopKMultiProbe]]). Output: va, vb, cos (va < vb).
     */
   def thresholdPairs(df: DataFrame, idCol: String, vecCol: String,
-                     minCos: Double, planes: Int = 4, dim: Int = 64): DataFrame =
-    bucketPairs(lshBuckets(df, idCol, vecCol, planes, dim), idCol, vecCol,
-      col("va") < col("vb"))
-      .where(col("cos") >= minCos)
-      .select(col("va"), col("vb"), col("cos"))
+                     minCos: Double, planes: Int = 4, dim: Int = 64,
+                     probes: Int = 1): DataFrame = {
+    require(probes >= 1, "probes must be >= 1")
+    (0 until probes).map { l =>
+      bucketPairs(lshBuckets(df, idCol, vecCol, planes, dim, l), idCol, vecCol,
+        col("va") < col("vb"))
+        .where(col("cos") >= minCos)
+        .select(col("va"), col("vb"), col("cos"))
+    }.reduce(_ unionAll _).dropDuplicates("va", "vb")
+  }
 
   /** Per-label centroids + cohesion (the IVF coarse quantizer).
     * Output: label, n_vectors, avg_dist.

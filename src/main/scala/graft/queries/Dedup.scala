@@ -156,7 +156,8 @@ object Dedup {
        |hx AS (SELECT doc_id, ${PolyHash.duckdbSql("gram")} AS x, w FROM grams),
        |bits AS (SELECT doc_id, j, SUM((((x >> j) & 1) * 2 - 1) * w) AS s
        |         FROM hx CROSS JOIN range(0, 32) t(j) GROUP BY doc_id, j),
-       |fps AS (SELECT doc_id, SUM(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS fp
+       |fps AS (SELECT doc_id,
+       |          CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS fp
        |        FROM bits GROUP BY doc_id),
        |banded AS (SELECT doc_id, fp, band, (fp >> (band * 8)) & 255 AS bkey
        |           FROM fps CROSS JOIN range(0, 4) t(band)),

@@ -187,10 +187,63 @@ object Similarity {
        |SELECT va, vb, ROUND(cos, 6) AS cos FROM pairs WHERE cos >= 0.4
        |ORDER BY va, vb""".stripMargin
 
+  // ---------------------------------------------------------------- q55
+  /** Multi-probe ANN: the recall control q32 documents. Two disjoint
+    * 4-plane sets (global plane indices 0-3 and 4-7) bucket the space
+    * independently; candidates are the union of both probes' bucket
+    * pairs, deduped, then ranked top-1 per vector. Any pair separated
+    * by probe 0's planes can still collide under probe 1's, so recall
+    * strictly grows with the probe count at linear candidate cost
+    * (`LlmApiSpec` asserts the improvement against single-probe).
+    */
+  def q55(spark: SparkSession, sfDir: String): DataFrame =
+    graft.llm.VectorSearch
+      .annTopKMultiProbe(emb(spark, sfDir), "vec_id", "embedding",
+        k = 1, planes = 4, dim = 64, probes = 2)
+      .select(col("va"), col("rn"), col("nn"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("va"))
+
+  /** Plane coefficient for global plane index expression `p`. */
+  private def coefSql(p: String): String =
+    s"(((CAST(1103515245 AS BIGINT) * (($p) * 64 + i) + 12345) % 2147483648) / 1073741824.0 - 1.0)"
+
+  val q55Sql: String =
+    s"""WITH nrm AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSqlDuck("embedding", "embedding")}) AS nrm
+       |  FROM embeddings CROSS JOIN range(0, 64) t(i) GROUP BY vec_id, embedding),
+       |proj AS (
+       |  SELECT vec_id, l, jl,
+       |    SUM(CAST(round(CAST(embedding[i+1] AS DOUBLE) * ${coefSql("l*4 + jl")} * 1e12)
+       |             AS BIGINT)) AS s
+       |  FROM nrm CROSS JOIN range(0, 2) tl(l) CROSS JOIN range(0, 4) tj(jl)
+       |  CROSS JOIN range(0, 64) t(i)
+       |  GROUP BY vec_id, l, jl),
+       |bucketed AS (
+       |  SELECT vec_id, l,
+       |    SUM(CASE WHEN s > 0 THEN 1::BIGINT << jl ELSE 0 END) AS bucket
+       |  FROM proj GROUP BY vec_id, l),
+       |cand AS (SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+       |         FROM bucketed x JOIN bucketed y
+       |         ON x.l = y.l AND x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+       |pairs AS (
+       |  SELECT c.va, c.vb,
+       |    (${dotSqlDuck("a.embedding", "b.embedding")}) / (ANY_VALUE(a.nrm) * ANY_VALUE(b.nrm)) AS cos
+       |  FROM cand c JOIN nrm a ON a.vec_id = c.va JOIN nrm b ON b.vec_id = c.vb
+       |  CROSS JOIN range(0, 64) t(i)
+       |  GROUP BY c.va, c.vb),
+       |ranked AS (
+       |  SELECT va, vb, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rn
+       |  FROM pairs)
+       |SELECT va, CAST(rn AS INT) AS rn, vb AS nn, ROUND(cos, 6) AS cos
+       |FROM ranked WHERE rn = 1 ORDER BY va""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q31_cosine_knn", q31 _, Some(q31Sql)),
     ("q32_ann_lsh_buckets", q32 _, Some(q32Sql)),
     ("q33_label_centroids", q33 _, Some(q33Sql)),
-    ("q47_embedding_cosine_neardup", q47 _, Some(q47Sql))
+    ("q47_embedding_cosine_neardup", q47 _, Some(q47Sql)),
+    ("q55_ann_multiprobe", q55 _, Some(q55Sql))
   )
 }

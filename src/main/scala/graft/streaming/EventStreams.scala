@@ -38,15 +38,26 @@ object EventStreams {
     * into a temp directory — which is exactly the production shape
     * (files landing in a watched path).
     */
+  // one staging dir per source table, shared by every query and trial
+  // in the process (staging a fresh copy per call leaked a dataset
+  // copy to /tmp per query per round); cleaned on JVM exit
+  private val stagedSources =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
   def source(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    val dir = java.nio.file.Files.createTempDirectory("graft-stream-src")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(Tables.path(sfDir, "events")),
-      dir.resolve("events-000.parquet"))
+    val src = Tables.path(sfDir, "events")
+    val dir = stagedSources.computeIfAbsent(src, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft-stream-src")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(src), d.resolve("events-000.parquet"))
+      d.resolve("events-000.parquet").toFile.deleteOnExit()
+      d.toFile.deleteOnExit()
+      d
+    })
     spark.readStream.schema(raw).parquet(dir.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
@@ -85,15 +96,25 @@ object EventStreams {
         col("session_window.end").cast("long").as("session_end_s"),
         col("n_events"), col("sum_value"))
 
-  /** Streaming dedup (first writer wins per key) then a daily count:
-    * the key includes the day so watermarked state can expire.
+  /** Streaming dedup (first writer wins per key) then a daily count.
+    *
+    * State eviction requires the *watermarked event-time column
+    * itself* in the dedup key set — a column merely derived from it
+    * (the old `day` + watermark on raw `ts`) never expires, growing
+    * state forever on an unbounded stream. So the event time IS the
+    * day: `ts` truncated to day granularity carries the watermark
+    * (25 h = the whole previous day plus an hour of lateness) and
+    * doubles as the dedup day key; a day's dedup state drops as soon
+    * as the watermark passes it. Day-level dedup semantics are
+    * unchanged — duplicates share the truncated timestamp by
+    * definition.
     */
   def dedupedDailyActors(events: DataFrame): DataFrame =
     events
-      .withColumn("day", date_trunc("day", col("ts")).cast("date"))
-      .withWatermark("ts", "1 hour")
-      .dropDuplicates("day", "user_id", "event_type")
-      .groupBy(col("day"))
+      .withColumn("day_ts", date_trunc("day", col("ts")))
+      .withWatermark("day_ts", "25 hours")
+      .dropDuplicates("day_ts", "user_id", "event_type")
+      .groupBy(col("day_ts").cast("date").as("day"))
       .agg(count(lit(1)).as("n_active_pairs"))
 
   /** Custom stateful operator (`flatMapGroupsWithState`): per-user
@@ -128,18 +149,30 @@ object EventStreams {
     * into a memory sink in complete mode and returns the final table —
     * a real streaming execution with a deterministic, batch-equal
     * end state.
+    *
+    * TEST/ORACLE HARNESS ONLY: a complete-mode memory sink collects
+    * the whole result to the driver. Production streaming writes go
+    * through a distributed sink (the parquet streaming sink covered
+    * by `SinksSpec`, or kafka/delta in a real deployment).
     */
   def runToTable(spark: SparkSession, streamed: DataFrame, name: String): DataFrame = {
-    val checkpoint =
-      java.nio.file.Files.createTempDirectory(s"graft-ckpt-$name").toString
+    val checkpoint = java.nio.file.Files.createTempDirectory(s"graft-ckpt-$name")
     val q = streamed.writeStream
       .format("memory")
       .queryName(name)
       .outputMode("complete")
-      .option("checkpointLocation", checkpoint)
+      .option("checkpointLocation", checkpoint.toString)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // the checkpoint has no value once the replay finished
+    deleteRecursively(checkpoint)
     spark.table(name)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+      .foreach(f => java.nio.file.Files.deleteIfExists(f))
   }
 }

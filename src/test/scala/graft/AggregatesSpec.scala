@@ -39,4 +39,29 @@ class AggregatesSpec extends AnyFunSuite {
     // at least cover the global distinct count
     assert(grouped >= global * 0.95)
   }
+
+  test("q56 sketch aggregates stay inside the error envelope vs exact") {
+    val approx = queries.Relational.q56(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("orderkeys"),
+        countDistinct(col("l_partkey")).as("partkeys"),
+        expr("percentile(l_extendedprice, array(0.5, 0.9))").as("ps"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (flag, e) =>
+      val a = approx(flag)
+      // HLL++ at default rsd 0.05: generous 3-sigma envelope
+      assert(math.abs(a.getLong(1) - e.getLong(1)).toDouble / e.getLong(1) < 0.15)
+      assert(math.abs(a.getLong(2) - e.getLong(2)).toDouble / e.getLong(2) < 0.15)
+      // approx_percentile at accuracy 10000 on ~200k rows: ±2% of value
+      val ap = a.getSeq[Double](3)
+      val ep = e.getSeq[Double](3)
+      ap.zip(ep).foreach { case (av, ev) =>
+        assert(math.abs(av - ev) / ev < 0.02, s"$flag: approx $av vs exact $ev")
+      }
+      assert(a.getLong(4) == e.getLong(4))
+    }
+  }
 }

@@ -67,6 +67,47 @@ class LlmApiSpec extends AnyFunSuite {
     assert(pairs.collect().forall(_.getAs[Double]("cos") >= 0.3))
   }
 
+  test("connected components: long chains and separate components resolve") {
+    import spark.implicits._
+    // a 10-node chain (diameter 9 → multi-round convergence for the
+    // single-job-per-round loop) plus a disjoint pair and a triangle
+    val pairs = ((1L to 9L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (200L, 201L), (201L, 202L), (200L, 202L)))
+      .toDF("d1", "d2")
+    val labels = TextDedup.connectedComponents(pairs, "d1", "d2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 10L).foreach(u => assert(labels(u) == 1L))
+    Seq(100L, 101L).foreach(u => assert(labels(u) == 100L))
+    Seq(200L, 201L, 202L).foreach(u => assert(labels(u) == 200L))
+    assert(labels.size == 15)
+  }
+
+  test("multi-probe ANN strictly improves recall over one probe") {
+    def pairSet(probes: Int) =
+      VectorSearch.thresholdPairs(embs, "vec_id", "embedding", minCos = 0.0,
+          probes = probes)
+        .select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val one = pairSet(1)
+    val two = pairSet(2)
+    // each probe only ADDS candidates…
+    assert(one.subsetOf(two))
+    // …and the second independent bucketing rescues pairs the first
+    // probe's planes separated (strict improvement on this corpus)
+    assert(two.size > one.size)
+
+    // top-k view: every vector matched at one probe stays matched, and
+    // its best multi-probe neighbor is at least as close
+    val single = VectorSearch.annTopK(embs, "vec_id", "embedding", k = 1)
+      .select(col("va"), col("cos")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val multi = VectorSearch
+      .annTopKMultiProbe(embs, "vec_id", "embedding", k = 1, probes = 2)
+      .select(col("va"), col("cos")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(single.keySet.subsetOf(multi.keySet))
+    single.foreach { case (va, c1) => assert(multi(va) >= c1 - 1e-12) }
+  }
+
   test("quality score stays in [0,1] and sampling buckets cover the range") {
     val scored = TextStats.withQualityScore(docs, "text", Seq("the", "a", "of"))
     val mm = scored.agg(min("score"), max("score")).head
