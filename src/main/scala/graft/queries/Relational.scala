@@ -611,7 +611,9 @@ object Relational {
     * query takes the driver's rows-only check; `SketchAggSpec` pins
     * the error envelope against the exact answers (HLL++ rsd 0.05 →
     * well within ±15% here; approx_percentile at accuracy 10000 is
-    * near-exact at this scale).
+    * near-exact at this scale). Both quantiles come from ONE sketch
+    * (array probe, then scalar projections — the driver compare needs
+    * atomic output columns).
     */
   def q56(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "lineitem")
@@ -619,8 +621,12 @@ object Relational {
       .agg(approx_count_distinct(col("l_orderkey")).as("ad_orderkey"),
         approx_count_distinct(col("l_partkey")).as("ad_partkey"),
         expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)")
-          .as("price_q50_q90"),
+          .as("qs"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("ad_orderkey"), col("ad_partkey"),
+        element_at(col("qs"), 1).as("price_p50"),
+        element_at(col("qs"), 2).as("price_p90"),
+        col("n"))
       .orderBy(col("l_returnflag"))
 
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(

@@ -38,6 +38,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("every declared query outputs only atomic columns") {
+    // the driver's DuckDB compare loads results into pandas and sorts
+    // every column; an array/map/struct cell is unhashable there and
+    // crashes the whole row (q30's HUGEINT and q56's array<double>
+    // both shipped before this gate existed) — fail locally instead
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .flatMap { case (name, fn) =>
+        fn(spark, sfDir).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType] =>
+            s"$name.${f.name}: ${f.dataType.simpleString}"
+        }
+      }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("column pruning reaches the scan (spot checks)") {
     def readSchema(name: String): String = {
       val plan = SparkEntry.queries(name)(spark, sfDir)
