@@ -44,8 +44,14 @@ object Bench {
     // an artifact), while the min of two is a stable point estimate
     val trials = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "2").toInt)
+    // optional comma-separated name filter for single-query iteration;
+    // unset (the driver's mode) = run everything
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val errors = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to trials).map { _ =>
         val t0 = System.nanoTime()
         val ok =

@@ -133,55 +133,142 @@ object TextDedup {
   /** Connected components over a near-dup pair list: every document in
     * a component gets the component's minimum id as `cluster_id` — the
     * step that turns pairwise matches into dedup groups (keep one doc
-    * per cluster). Iterative min-label propagation; the iteration
-    * count is bounded by the largest component's diameter — for
-    * near-dup graphs that is tiny.
+    * per cluster).
     *
-    * Scale shape: ONE Spark job per round. The previous label is
-    * carried through the propagation aggregate (self rows tag it, the
-    * `min` ignores the neighbor rows' null tag), so convergence
-    * detection is a filter over the same materialized result instead
-    * of a second join+count job. Each round is `localCheckpoint`ed:
-    * the logical plan stays one join deep instead of growing by one
-    * join per round (unbounded lineage re-analysis is the classic
-    * iterative-algorithm driver bottleneck at scale).
+    * Two execution tiers, picked from the *measured* edge count:
+    *
+    *  - **Driver union-find** when the deduplicated edge list is small
+    *    (≤ `driverEdgeLimit`). The pair list is already the
+    *    *aggregated* output of an expensive similarity join — near-dup
+    *    pairs are a vanishing fraction of the corpus — so collecting
+    *    it is not a hot-path collect; it is the same shape as
+    *    collecting an aggregation result. Union-find with
+    *    min-rooted merging finishes in milliseconds and needs zero
+    *    extra Spark jobs, where any iterative dataflow pays
+    *    per-round job-scheduling latency regardless of data size.
+    *  - **Alternating large-star/small-star contraction** (Kiveris et
+    *    al., "Connected Components in MapReduce and Beyond", SoCC'14 —
+    *    via PAPERS.md) above the limit: converges in O(log n) rounds
+    *    independent of graph diameter, unlike min-label propagation
+    *    whose round count a single long duplicate chain stretches to
+    *    the chain length. Each round is two groupBy shuffles over the
+    *    current edge set; edges only ever re-point at smaller ids, so
+    *    the set shrinks toward one star per component.
     */
-  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          driverEdgeLimit: Long = 1L << 20): DataFrame = {
+    // canonical undirected edge set (small id second, like the star
+    // orientation); referencing `pairs` ONCE keeps the upstream
+    // similarity pipeline single-execution even when unpersisted
+    val edges = pairs
+      .select(greatest(col(aCol), col(bCol)).as("u"),
+        least(col(aCol), col(bCol)).as("v"))
+      .where(col("u") =!= col("v"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val idType = edges.schema("u").dataType
-    // (u, cluster_id) — eagerly checkpointed so every round starts
-    // from materialized blocks, not the upstream pair pipeline
-    var labels = edges.select(col("u")).distinct()
-      .select(col("u"), col("u").as("cluster_id"))
-      .localCheckpoint()
-    var prev = labels
-    var converged = edges.isEmpty
-    while (!converged) {
-      // each node adopts the min label among itself and its neighbors;
-      // the self rows also carry the old label (tagged; neighbor rows
-      // contribute null, which min() skips) so one aggregation yields
-      // both the new labels and the convergence signal
-      val nbr = edges
-        .join(labels.select(col("u").as("v"), col("cluster_id")), "v")
-        .select(col("u"), col("cluster_id"), lit(null).cast(idType).as("old"))
-      val self = labels.select(col("u"), col("cluster_id"),
-        col("cluster_id").as("old"))
-      val next = nbr.union(self)
-        .groupBy(col("u"))
-        .agg(min(col("cluster_id")).as("cluster_id"), min(col("old")).as("old"))
-        .localCheckpoint(eager = false)
-      // single action per round: the full-scan count materializes every
-      // checkpoint partition AND yields the convergence signal
-      converged = next.where(col("cluster_id") =!= col("old")).count() == 0L
-      prev.unpersist(blocking = false)
-      prev = next
-      labels = next.select(col("u"), col("cluster_id"))
-    }
+    val nEdges = edges.count()
+    val labels =
+      if (nEdges <= driverEdgeLimit) driverUnionFind(pairs.sparkSession, edges)
+      else starContraction(edges)._1
     edges.unpersist(blocking = false)
     labels.select(col("u").as("doc_id"), col("cluster_id"))
+  }
+
+  /** Driver-side union-find over a collected edge list, min-rooted:
+    * when two trees merge the smaller root stays root, so every root
+    * is its component's minimum id and `find` IS the cluster label.
+    * Ids are whatever the edge columns hold (long, string, …) —
+    * compared through [[java.lang.Comparable]], matching Spark's
+    * `min()` ordering for atomic types.
+    */
+  private def driverUnionFind(spark: org.apache.spark.sql.SparkSession,
+                              edges: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val idType = edges.schema("u").dataType
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
+      r
+    }
+    def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    edges.collect().foreach { row =>
+      val (u, v) = (row.get(0), row.get(1))
+      parent.putIfAbsent(u, u)
+      parent.putIfAbsent(v, v)
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) {
+        if (lt(ru, rv)) parent.put(rv, ru) else parent.put(ru, rv)
+      }
+    }
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      parent.keySet.asScala.toSeq
+        .map(u => org.apache.spark.sql.Row(u, find(u))).asJava
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("u", idType),
+      org.apache.spark.sql.types.StructField("cluster_id", idType))))
+  }
+
+  /** One large-star round: every node attaches its strictly-larger
+    * neighbors to the smallest node it can see (itself included).
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy(col("u"))
+      .agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("mn"), col("u")).as("m"))
+    sym.join(mins, "u")
+      .where(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** One small-star round: orient edges (big → small); every node
+    * re-points its smaller neighbors (and itself) at the smallest.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val or = e.select(greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v"))
+    val mins = or.groupBy(col("u")).agg(min(col("v")).as("m"))
+    or.join(mins, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(mins.select(col("u"), col("m").as("v")))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Alternating star-contraction to a fixed point; at convergence the
+    * edge set is a star forest rooted at each component's minimum, so
+    * the edges ARE the (node → cluster) labels. Convergence = the
+    * (count, order-independent checksum) signature of the edge set is
+    * unchanged by a round — one aggregate per round, and each round is
+    * `localCheckpoint`ed so lineage stays flat. Returns the labels and
+    * the round count (exposed for the diameter-independence test).
+    */
+  private[llm] def starContraction(edges0: DataFrame): (DataFrame, Int) = {
+    var e = edges0.localCheckpoint()
+    var signature = e.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")))
+      .head()
+    var rounds = 0
+    var converged = e.isEmpty
+    while (!converged) {
+      val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
+      val sig = next.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")))
+        .head()
+      rounds += 1
+      converged = sig == signature
+      signature = sig
+      e = next
+    }
+    val roots = e.select(col("v")).distinct()
+      .select(col("v").as("u"), col("v").as("cluster_id"))
+    (e.select(col("u"), col("v").as("cluster_id")).union(roots).distinct(),
+      rounds)
   }
 
   /** SimHash fingerprints (weighted n-gram bits) and near-dup pairs by

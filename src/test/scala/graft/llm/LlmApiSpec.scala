@@ -69,17 +69,33 @@ class LlmApiSpec extends AnyFunSuite {
 
   test("connected components: long chains and separate components resolve") {
     import spark.implicits._
-    // a 10-node chain (diameter 9 → multi-round convergence for the
-    // single-job-per-round loop) plus a disjoint pair and a triangle
+    // a 10-node chain plus a disjoint pair and a triangle; run BOTH
+    // tiers (driver union-find and distributed star-contraction) and
+    // demand identical labelings
     val pairs = ((1L to 9L).map(i => (i, i + 1)) ++
       Seq((100L, 101L), (200L, 201L), (201L, 202L), (200L, 202L)))
       .toDF("d1", "d2")
-    val labels = TextDedup.connectedComponents(pairs, "d1", "d2")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    (1L to 10L).foreach(u => assert(labels(u) == 1L))
-    Seq(100L, 101L).foreach(u => assert(labels(u) == 100L))
-    Seq(200L, 201L, 202L).foreach(u => assert(labels(u) == 200L))
-    assert(labels.size == 15)
+    Seq(1L << 20, 0L).foreach { limit =>
+      val labels = TextDedup
+        .connectedComponents(pairs, "d1", "d2", driverEdgeLimit = limit)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (1L to 10L).foreach(u => assert(labels(u) == 1L))
+      Seq(100L, 101L).foreach(u => assert(labels(u) == 100L))
+      Seq(200L, 201L, 202L).foreach(u => assert(labels(u) == 200L))
+      assert(labels.size == 15)
+    }
+  }
+
+  test("star-contraction round count is diameter-independent") {
+    import spark.implicits._
+    // a 200-node chain: worst-case diameter 199. Min-label propagation
+    // needs ~199 rounds; star contraction must stay logarithmic.
+    val edges = (1L to 199L).map(i => (i + 1, i)).toDF("u", "v")
+    val (labelDf, rounds) = TextDedup.starContraction(edges)
+    val labels = labelDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 200L).foreach(u => assert(labels(u) == 1L))
+    assert(labels.size == 200)
+    assert(rounds <= 15, s"expected O(log n) rounds, got $rounds")
   }
 
   test("multi-probe ANN strictly improves recall over one probe") {
