@@ -163,6 +163,19 @@ object VectorSearch {
     }.reduce(_ unionAll _).dropDuplicates("va", "vb")
   }
 
+  /** Per-dimension centroid table — the IVF coarse quantizer's
+    * codebook: (labelCol, i, c). Exact decimal sums make the centroid
+    * doubles order-independent and engine-portable; one shuffle keyed
+    * on (label, dim), output is tiny (lists × dims) and broadcastable.
+    */
+  private def centroidDims(df: DataFrame, vecCol: String,
+                           labelCol: String): DataFrame =
+    df.select(col(labelCol), posexplode(col(vecCol)).as(Seq("i", "x")))
+      .withColumn("x", col("x").cast("double"))
+      .groupBy(col(labelCol), col("i"))
+      .agg((sum(col("x").cast("decimal(38,12)")).cast("double") /
+        count(lit(1))).as("c"))
+
   /** Per-label centroids + cohesion (the IVF coarse quantizer).
     * Output: label, n_vectors, avg_dist.
     */
@@ -171,10 +184,7 @@ object VectorSearch {
     val dims = df.select(col(idCol), col(labelCol),
         posexplode(col(vecCol)).as(Seq("i", "x")))
       .withColumn("x", col("x").cast("double"))
-    val centroids = dims.groupBy(col(labelCol), col("i"))
-      .agg((sum(col("x").cast("decimal(38,12)")).cast("double") /
-        count(lit(1))).as("c"))
-    val dist = dims.join(centroids, Seq(labelCol, "i"))
+    val dist = dims.join(centroidDims(df, vecCol, labelCol), Seq(labelCol, "i"))
       .groupBy(col(idCol), col(labelCol))
       .agg(sqrt(sum(expr("cast((x - c) * (x - c) as decimal(38,12))"))
         .cast("double")).as("d"))
@@ -182,5 +192,64 @@ object VectorSearch {
       .agg(count(lit(1)).as("n_vectors"),
         (sum(col("d").cast("decimal(38,12)")).cast("double") /
           count(lit(1))).as("avg_dist"))
+  }
+
+  /** Ranks every vector against every centroid by exact squared L2
+    * distance (label tie-break) and keeps the `nprobe` nearest lists.
+    * Output: idCol, list_id, rn (1 = the vector's home list).
+    *
+    * Scale shape: the codebook is broadcast (lists × dims rows), so
+    * assignment is one map-side fan-out of dims × lists plus a single
+    * (id, list) aggregation — no all-pairs anything. The per-vector
+    * window runs after reduction to n × lists narrow rows.
+    */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+                labelCol: String, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val dims = spread(df)
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("i", "x")))
+      .withColumn("x", col("x").cast("double"))
+    val d2 = dims.join(broadcast(centroidDims(df, vecCol, labelCol)), Seq("i"))
+      .groupBy(col(idCol), col(labelCol))
+      .agg(sum(expr("cast((x - c) * (x - c) as decimal(38,12))"))
+        .cast("double").as("d2"))
+    d2.withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol)).orderBy(col("d2"), col(labelCol))))
+      .where(col("rn") <= nprobe)
+      .select(col(idCol), col(labelCol).as("list_id"), col("rn"))
+  }
+
+  /** IVF search: each query probes its `nprobe` nearest inverted lists
+    * and exact-searches the vectors whose HOME list (rank-1
+    * assignment) is one of them — the standard coarse-quantizer ANN.
+    * Every pair appears at most once (home lists are unique), so no
+    * candidate dedup is needed. Output: va, rn, nn, cos.
+    *
+    * Recall grows with `nprobe` at linearly growing candidate cost;
+    * candidates per query ≈ nprobe × corpus/lists, versus the corpus
+    * itself for [[cosineTopK]]. All distances and cosines are exact
+    * scaled-long/decimal arithmetic, so results are deterministic and
+    * oracle-checkable.
+    */
+  def ivfSearch(df: DataFrame, idCol: String, vecCol: String,
+                labelCol: String, k: Int, nprobe: Int = 1): DataFrame = {
+    val assign = ivfAssign(df, idCol, vecCol, labelCol, nprobe)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assign.count() // materialize once; home + probed both read it
+    val e = withNorm(df, vecCol)
+    val a = e.select(col(idCol).as("va"), col(vecCol).as("ea"), col("nrm").as("na"))
+    val b = e.select(col(idCol).as("vb"), col(vecCol).as("eb"), col("nrm").as("nb"))
+    val probed = assign.select(col(idCol).as("va"), col("list_id"))
+    val home = assign.where(col("rn") === 1)
+      .select(col(idCol).as("vb"), col("list_id"))
+    probed.join(home, "list_id").where(col("va") =!= col("vb"))
+      .join(a, "va").join(b, "vb")
+      .withColumn("cos", expr(dot("ea", "eb")) / (col("na") * col("nb")))
+      .groupBy(col("va"))
+      .agg(expr(s"topk_neighbors(vb, cos, $k)").as("top"))
+      .select(col("va"), posexplode(col("top")).as(Seq("pos", "n")))
+      .select(col("va"), (col("pos") + 1).cast("int").as("rn"),
+        col("n.vb").as("nn"), col("n.cos").as("cos"))
   }
 }

@@ -239,11 +239,64 @@ object Similarity {
        |SELECT va, CAST(rn AS INT) AS rn, vb AS nn, ROUND(cos, 6) AS cos
        |FROM ranked WHERE rn = 1 ORDER BY va""".stripMargin
 
+  // ---------------------------------------------------------------- q57
+  /** IVF search (k=3, nprobe=2): the coarse quantizer q33 builds,
+    * actually probed. Vectors are assigned to their nearest per-label
+    * centroid (exact decimal L2, label tie-break); each query
+    * exact-searches the union of its 2 nearest inverted lists. The
+    * codebook join is a broadcast; the search join shuffles on
+    * list_id — candidates per query are nprobe/lists of the corpus
+    * instead of all of it, which is the entire point of IVF at 100 TB.
+    */
+  def q57(spark: SparkSession, sfDir: String): DataFrame =
+    graft.llm.VectorSearch
+      .ivfSearch(emb(spark, sfDir), "vec_id", "embedding", "label",
+        k = 3, nprobe = 2)
+      .select(col("va"), col("rn"), col("nn"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("va"), col("rn"))
+
+  val q57Sql: String =
+    s"""WITH nrm AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSqlDuck("embedding", "embedding")}) AS nrm
+       |  FROM embeddings CROSS JOIN range(0, 64) t(i) GROUP BY vec_id, embedding),
+       |dims AS (
+       |  SELECT vec_id, label, i, CAST(embedding[i+1] AS DOUBLE) AS x
+       |  FROM embeddings CROSS JOIN range(0, 64) t(i)),
+       |cents AS (
+       |  SELECT label, i,
+       |    CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS c
+       |  FROM dims GROUP BY label, i),
+       |d2 AS (
+       |  SELECT d.vec_id, c.label,
+       |    CAST(SUM(CAST((x - c) * (x - c) AS DECIMAL(38,12))) AS DOUBLE) AS d2
+       |  FROM dims d JOIN cents c USING (i) GROUP BY d.vec_id, c.label),
+       |assign AS (
+       |  SELECT vec_id, label,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, label) AS arn
+       |  FROM d2),
+       |pairs AS (
+       |  SELECT p.vec_id AS va, h.vec_id AS vb,
+       |    (${dotSqlDuck("a.embedding", "b.embedding")}) / (ANY_VALUE(a.nrm) * ANY_VALUE(b.nrm)) AS cos
+       |  FROM assign p JOIN assign h
+       |    ON p.label = h.label AND h.arn = 1 AND p.arn <= 2
+       |    AND p.vec_id <> h.vec_id
+       |  JOIN nrm a ON a.vec_id = p.vec_id JOIN nrm b ON b.vec_id = h.vec_id
+       |  CROSS JOIN range(0, 64) t(i)
+       |  GROUP BY p.vec_id, h.vec_id),
+       |ranked AS (
+       |  SELECT va, vb, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rn
+       |  FROM pairs)
+       |SELECT va, CAST(rn AS INT) AS rn, vb AS nn, ROUND(cos, 6) AS cos
+       |FROM ranked WHERE rn <= 3 ORDER BY va, rn""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q31_cosine_knn", q31 _, Some(q31Sql)),
     ("q32_ann_lsh_buckets", q32 _, Some(q32Sql)),
     ("q33_label_centroids", q33 _, Some(q33Sql)),
     ("q47_embedding_cosine_neardup", q47 _, Some(q47Sql)),
-    ("q55_ann_multiprobe", q55 _, Some(q55Sql))
+    ("q55_ann_multiprobe", q55 _, Some(q55Sql)),
+    ("q57_ivf_search", q57 _, Some(q57Sql))
   )
 }

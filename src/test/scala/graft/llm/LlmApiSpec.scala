@@ -98,6 +98,24 @@ class LlmApiSpec extends AnyFunSuite {
     assert(rounds <= 15, s"expected O(log n) rounds, got $rounds")
   }
 
+  test("IVF search: recall grows with nprobe and candidates stay bounded") {
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select("va", "nn").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = hits(VectorSearch.cosineTopK(embs, "vec_id", "embedding", k = 3)
+      .withColumnRenamed("vb", "nn"))
+    val one = hits(VectorSearch.ivfSearch(embs, "vec_id", "embedding", "label",
+      k = 3, nprobe = 1))
+    val two = hits(VectorSearch.ivfSearch(embs, "vec_id", "embedding", "label",
+      k = 3, nprobe = 2))
+    val recall1 = (one intersect exact).size.toDouble / exact.size
+    val recall2 = (two intersect exact).size.toDouble / exact.size
+    assert(recall2 >= recall1, s"recall must not drop with nprobe: $recall1 -> $recall2")
+    assert(recall2 > 0.3, s"2-probe recall implausibly low: $recall2")
+    // probing is a real filter: candidates per query are bounded by the
+    // probed lists, so results can't just be the exact search in disguise
+    assert(one.size <= two.size)
+  }
+
   test("multi-probe ANN strictly improves recall over one probe") {
     def pairSet(probes: Int) =
       VectorSearch.thresholdPairs(embs, "vec_id", "embedding", minCos = 0.0,
