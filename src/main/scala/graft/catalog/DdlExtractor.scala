@@ -76,7 +76,27 @@ object DdlExtractor {
   def stripVolatileProps(lines: Seq[String], volatileKeys: Set[String] = Set("transient_lastDdlTime")): Seq[String] = {
     val start = lines.indexWhere(_.trim.startsWith("TBLPROPERTIES"))
     if (start < 0) return lines
-    val end = lines.indexWhere(_.trim.endsWith(")"), start)
+    // block end = the line where the paren balance opened by
+    // `TBLPROPERTIES (` returns to zero, counting only parens outside
+    // single-quoted strings — a `)` at the end of a property VALUE must
+    // not terminate the block
+    val end = {
+      var depth = 0
+      var inQuote = false
+      var found = -1
+      var li = start
+      while (found < 0 && li < lines.length) {
+        lines(li).foreach {
+          case '\'' => inQuote = !inQuote
+          case '(' if !inQuote => depth += 1
+          case ')' if !inQuote => depth -= 1
+          case _ =>
+        }
+        if (depth == 0 && !inQuote) found = li
+        li += 1
+      }
+      found
+    }
     if (end < 0) return lines
     val before = lines.take(start)
     val after = lines.drop(end + 1)

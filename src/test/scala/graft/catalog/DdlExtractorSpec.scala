@@ -50,6 +50,14 @@ class DdlExtractorSpec extends AnyFunSuite {
     val lines = Seq("CREATE TABLE t (", "  a INT)", "USING parquet")
     assert(stripVolatileProps(lines) == lines)
   }
+  test("stripVolatileProps: a ')' ending a property VALUE is not the block end") {
+    val lines = Seq("CREATE TABLE t (", "  a INT)",
+      "TBLPROPERTIES (", "  'comment' = 'stats (approx)',",
+      "  'transient_lastDdlTime' = '123',", "  'owner' = 'me')")
+    assert(stripVolatileProps(lines) ==
+      Seq("CREATE TABLE t (", "  a INT)", "TBLPROPERTIES (",
+        "  'comment' = 'stats (approx)',", "  'owner' = 'me')"))
+  }
 }
 
 class ExtractConfigSpec extends AnyFunSuite {
