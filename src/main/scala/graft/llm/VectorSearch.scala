@@ -96,16 +96,41 @@ object VectorSearch {
         first(col(vecCol)).as(vecCol), first(col("nrm")).as("nrm"))
   }
 
+  /** All probes' bucket ids in ONE corpus scan: projections for every
+    * global plane index `0 ... probes*planes-1` are exploded together
+    * and folded by (id, probe) in a single shuffle. Identical bucket
+    * keys to per-probe [[lshBuckets]] (same plane stream, bit position
+    * `j % planes`), but the scan count and downstream join count stay
+    * 1 regardless of the probe count — the multi-probe recall knob
+    * must not multiply passes over a 100 TB corpus.
+    * Output: idCol, vecCol, nrm, probe, bucket.
+    */
+  def lshBucketsMulti(df: DataFrame, idCol: String, vecCol: String,
+                      planes: Int = 4, dim: Int = 64,
+                      probes: Int = 1): DataFrame = {
+    val e = spread(withNorm(df, vecCol))
+    e.select(col(idCol), col(vecCol), col("nrm"),
+        explode(expr(s"sequence(0, ${probes * planes - 1})")).as("j"))
+      .withColumn("s", expr(
+        s"""aggregate(sequence(0, ${dim - 1}), cast(0 as bigint), (acc, i) ->
+           |  acc + cast(round(cast($vecCol[i] as double) * ${planeVal(dim)} * 1e12) as bigint))""".stripMargin))
+      .groupBy(col(idCol), expr(s"j div $planes").as("probe"))
+      .agg(sum(expr(s"if(s > 0, cast(1 as bigint) << (j % $planes), 0)")).as("bucket"),
+        first(col(vecCol)).as(vecCol), first(col("nrm")).as("nrm"))
+  }
+
   /** Within-bucket pairs with cosine, the shared core of ANN top-k and
-    * threshold search. `pairFilter` narrows the raw (va, vb) pair set.
+    * threshold search. `pairFilter` narrows the raw (va, vb) pair set;
+    * `keys` is the blocking key set (bucket, or probe+bucket).
     */
   private def bucketPairs(bucketed: DataFrame, idCol: String, vecCol: String,
-                          pairFilter: Column): DataFrame = {
-    val a = bucketed.select(col("bucket"), col(idCol).as("va"),
-      col(vecCol).as("ea"), col("nrm").as("na"))
-    val b = bucketed.select(col("bucket"), col(idCol).as("vb"),
-      col(vecCol).as("eb"), col("nrm").as("nb"))
-    a.join(b, Seq("bucket")).where(pairFilter)
+                          pairFilter: Column,
+                          keys: Seq[String] = Seq("bucket")): DataFrame = {
+    val a = bucketed.select((keys.map(col) :+ col(idCol).as("va") :+
+      col(vecCol).as("ea") :+ col("nrm").as("na")): _*)
+    val b = bucketed.select((keys.map(col) :+ col(idCol).as("vb") :+
+      col(vecCol).as("eb") :+ col("nrm").as("nb")): _*)
+    a.join(b, keys).where(pairFilter)
       .withColumn("cos", expr(dot("ea", "eb")) / (col("na") * col("nb")))
   }
 
@@ -135,11 +160,11 @@ object VectorSearch {
   def annTopKMultiProbe(df: DataFrame, idCol: String, vecCol: String, k: Int,
                         planes: Int = 4, dim: Int = 64, probes: Int = 2): DataFrame = {
     require(probes >= 1, "probes must be >= 1")
-    val cands = (0 until probes).map { l =>
-      bucketPairs(lshBuckets(df, idCol, vecCol, planes, dim, l), idCol, vecCol,
-        col("va") =!= col("vb"))
-        .select(col("va"), col("vb"), col("cos"))
-    }.reduce(_ unionAll _).dropDuplicates("va", "vb")
+    val cands = bucketPairs(
+        lshBucketsMulti(df, idCol, vecCol, planes, dim, probes), idCol, vecCol,
+        col("va") =!= col("vb"), keys = Seq("probe", "bucket"))
+      .select(col("va"), col("vb"), col("cos"))
+      .dropDuplicates("va", "vb")
     cands.groupBy(col("va"))
       .agg(expr(s"topk_neighbors(vb, cos, $k)").as("top"))
       .select(col("va"), posexplode(col("top")).as(Seq("pos", "n")))
@@ -155,12 +180,11 @@ object VectorSearch {
                      minCos: Double, planes: Int = 4, dim: Int = 64,
                      probes: Int = 1): DataFrame = {
     require(probes >= 1, "probes must be >= 1")
-    (0 until probes).map { l =>
-      bucketPairs(lshBuckets(df, idCol, vecCol, planes, dim, l), idCol, vecCol,
-        col("va") < col("vb"))
-        .where(col("cos") >= minCos)
-        .select(col("va"), col("vb"), col("cos"))
-    }.reduce(_ unionAll _).dropDuplicates("va", "vb")
+    bucketPairs(lshBucketsMulti(df, idCol, vecCol, planes, dim, probes),
+        idCol, vecCol, col("va") < col("vb"), keys = Seq("probe", "bucket"))
+      .where(col("cos") >= minCos)
+      .select(col("va"), col("vb"), col("cos"))
+      .dropDuplicates("va", "vb")
   }
 
   /** Per-dimension centroid table — the IVF coarse quantizer's
