@@ -66,7 +66,18 @@ object TextDedup {
   }
 
   /** Exact Jaccard near-dup pairs at threshold `tNum/tDen`, via
-    * prefix + length filtering (both lossless). Output: d1, d2, jac.
+    * prefix + length + positional filtering (all lossless).
+    * Output: d1, d2, jac.
+    *
+    * The positional filter is PPJoin's: a token shared at rank `rnk1`
+    * of d1's frequency-sorted shingles and `rnk2` of d2's bounds the
+    * achievable overlap by `1 + min(sz1-rnk1, sz2-rnk2)`; pairs whose
+    * bound can't reach the required overlap
+    * `ceil(t/(1+t) * (sz1+sz2))` are pruned before the candidate set
+    * materializes. The bound is exact for the first shared token and
+    * pairs survive if ANY shared token passes, so no true pair is
+    * lost; the verification join then touches a fraction of the
+    * shared-token pairs.
     */
   def jaccardNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           n: Int = 3, tNum: Int = 3, tDen: Int = 5): DataFrame = {
@@ -79,11 +90,16 @@ object TextDedup {
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("dfreq"), col("h"))))
       .where(col("rnk") <= col("sz") - expr(s"($tNum*sz + ${tDen - 1}) div $tDen") + 1)
-      .select(col(idCol), col("h"), col("sz"))
+      .select(col(idCol), col("h"), col("sz"), col("rnk"))
+    // required overlap α = ceil(tNum/(tNum+tDen) * (sz1+sz2))
+    val alpha =
+      expr(s"($tNum*(a.sz + b.sz) + ${tNum + tDen - 1}) div ${tNum + tDen}")
     val cand = prefix.as("a").join(prefix.as("b"),
         col(s"a.h") === col(s"b.h") && col(s"a.$idCol") < col(s"b.$idCol") &&
           col("a.sz") * tDen >= col("b.sz") * tNum &&
-          col("b.sz") * tDen >= col("a.sz") * tNum)
+          col("b.sz") * tDen >= col("a.sz") * tNum &&
+          lit(1) + least(col("a.sz") - col("a.rnk"),
+            col("b.sz") - col("b.rnk")) >= alpha)
       .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2")).distinct()
     val s1 = sh.select(col(idCol).as("d1"), col("hs").as("hs1"), col("sz").as("sz1"))
     val s2 = sh.select(col(idCol).as("d2"), col("hs").as("hs2"), col("sz").as("sz2"))

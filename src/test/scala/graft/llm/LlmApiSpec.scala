@@ -86,6 +86,20 @@ class LlmApiSpec extends AnyFunSuite {
     }
   }
 
+  test("CC tiers agree on a random graph") {
+    import spark.implicits._
+    // fixed-seed random graph: both execution tiers must produce the
+    // exact same labeling (the distributed path has no oracle of its
+    // own — the union-find IS its reference)
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(2000)((rnd.nextInt(500).toLong, rnd.nextInt(500).toLong))
+      .filter(p => p._1 != p._2).toDF("d1", "d2")
+    def run(limit: Long) =
+      TextDedup.connectedComponents(pairs, "d1", "d2", driverEdgeLimit = limit)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(Long.MaxValue) == run(0L))
+  }
+
   test("star-contraction round count is diameter-independent") {
     import spark.implicits._
     // a 200-node chain: worst-case diameter 199. Min-label propagation
