@@ -56,6 +56,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("q57's codebook join is a broadcast, not a shuffle") {
+    // IVF assignment fans every vector out against the tiny codebook;
+    // if the centroid table ever stops broadcasting, assignment turns
+    // into a full shuffle of the exploded corpus — the exact failure
+    // mode that matters at 100 TB
+    val plan = SparkEntry.queries("q57_ivf_search")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "expected the codebook (centroid) join to broadcast")
+  }
+
   test("column pruning reaches the scan (spot checks)") {
     def readSchema(name: String): String = {
       val plan = SparkEntry.queries(name)(spark, sfDir)

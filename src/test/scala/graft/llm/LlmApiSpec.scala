@@ -23,6 +23,38 @@ class LlmApiSpec extends AnyFunSuite {
     assert(loose.size >= strict.size)
   }
 
+  test("jaccard pairs match a brute-force reference on a random corpus") {
+    import spark.implicits._
+    // fixed-seed corpus engineered for near-dups: small vocab, short
+    // docs → plenty of overlapping shingle sets. The filters (prefix,
+    // length, positional) must lose NO pair the brute-force all-pairs
+    // Jaccard finds, at several thresholds.
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val corpus = (1L to 60L).map { id =>
+      val words = Seq.fill(6 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size)))
+      (id, words.mkString(" "))
+    }
+    def shingles(text: String, n: Int): Set[String] =
+      text.split(" ").sliding(n).map(_.mkString(" ")).toSet
+    val df = corpus.toDF("doc_id", "text")
+    for ((tNum, tDen) <- Seq((1, 2), (3, 5), (4, 5))) {
+      val expected = (for {
+        (i, ti) <- corpus; (j, tj) <- corpus if i < j
+        si = shingles(ti, 2); sj = shingles(tj, 2)
+        if si.nonEmpty && sj.nonEmpty
+        inter = (si intersect sj).size
+        jac = inter.toDouble / (si.size + sj.size - inter)
+        if jac >= tNum.toDouble / tDen
+      } yield (i, j)).toSet
+      val got = TextDedup.jaccardNearDupPairs(df, "doc_id", "text",
+          n = 2, tNum = tNum, tDen = tDen)
+        .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected,
+        s"t=$tNum/$tDen missing=${expected -- got} extra=${got -- expected}")
+    }
+  }
+
   test("minhash with fewer bands finds no more than wider banding") {
     val wide = TextDedup.minHashLshPairs(docs, "doc_id", "text", k = 12, bands = 6)
     val narrow = TextDedup.minHashLshPairs(docs, "doc_id", "text", k = 12, bands = 2)
