@@ -22,7 +22,9 @@ object GraftFunctions {
     "winnow_stats" -> (children => WinnowStats(children.head,
       children(1).eval().asInstanceOf[Int], children(2).eval().asInstanceOf[Int])),
     "topk_neighbors" -> (children => TopKNeighborsAgg(children(0), children(1),
-      children(2).eval().asInstanceOf[Int]).toAggregateExpression()))
+      children(2).eval().asInstanceOf[Int]).toAggregateExpression()),
+    "shingle_hashes" -> (children => ShingleHashes(children(0),
+      children(1).eval().asInstanceOf[Int])))
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

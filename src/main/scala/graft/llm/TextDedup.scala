@@ -51,17 +51,17 @@ object TextDedup {
   private def materialize(df: DataFrame): DataFrame = { df.count(); df }
 
   /** Per-document distinct word n-gram shingles, poly-hashed:
-    * (idCol, hs: sorted array<long>, sz).
+    * (idCol, hs: sorted array<long>, sz). One native rolling-hash pass
+    * per document ([[graft.functions.ShingleHashes]]) — the
+    * higher-order-lambda pipeline it replaced materialized every
+    * shingle string and re-hashed each codepoint n times through
+    * interpreted lambda calls.
     */
   def hashedShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     GraftFunctions.ensureRegistered(df.sparkSession)
     spread(df).select(col(idCol), split(col(textCol), " ").as("toks"))
       .where(size(col("toks")) >= n)
-      .select(col(idCol), array_distinct(expr(
-        s"transform(sequence(0, size(toks)-$n), i -> concat_ws(' ', ${(0 until n).map(k => s"toks[i+$k]").mkString(", ")}))"))
-        .as("shingles"))
-      .select(col(idCol),
-        expr("array_sort(array_distinct(transform(shingles, s -> poly_hash(s))))").as("hs"))
+      .select(col(idCol), expr(s"shingle_hashes(toks, $n)").as("hs"))
       .withColumn("sz", size(col("hs")))
   }
 

@@ -64,6 +64,33 @@ class ExpressionSpec extends AnyFunSuite {
     imperative.foreach { case (k, v) => assert(viaUdaf(k) == v, s"group $k") }
   }
 
+  test("shingle_hashes: rolling hash equals the compositional pipeline") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr, size, split}
+    // random texts incl. multibyte, repeated shingles, empty tokens
+    // (consecutive spaces), and too-short docs — the rolling-prefix
+    // derivation must reproduce poly_hash-of-concat_ws exactly
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("the", "héllo", "世界", "a", "", "zz9", "dup", "dup")
+    val texts = (1 to 200).map { _ =>
+      Seq.fill(3 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    } :+ "one two" :+ "  " :+ "a b c"
+    for (n <- Seq(2, 3)) {
+      val df = texts.toDF("text")
+        .select(split($"text", " ").as("toks"))
+        .where(size($"toks") >= n)
+      val reference = df.select(expr(
+          s"array_sort(array_distinct(transform(" +
+            s"transform(sequence(0, size(toks)-$n), i -> concat_ws(' ', ${(0 until n).map(k => s"toks[i+$k]").mkString(", ")}))," +
+            " s -> poly_hash(s))))").as("hs"))
+        .collect().map(_.getSeq[Long](0).toList)
+      val rolling = df.select(expr(s"shingle_hashes(toks, $n)").as("hs"))
+        .collect().map(_.getSeq[Long](0).toList)
+      assert(rolling.toSeq == reference.toSeq, s"n=$n")
+    }
+  }
+
   test("vector_dot_scaled: codegen equals interpreted on mixed-sign data") {
     GraftFunctions.ensureRegistered(spark)
     import org.apache.spark.sql.catalyst.expressions.Literal
