@@ -607,27 +607,44 @@ object Relational {
     * (fixed ~kB state per group, mergeable across partitions — vs the
     * exact distinct's shuffle of every value) and `approx_percentile`
     * is a KLL-style quantile sketch (bounded state vs q49's full
-    * value histogram). Sketch outputs are engine-specific, so this
-    * query takes the driver's rows-only check; `SketchAggSpec` pins
-    * the error envelope against the exact answers (HLL++ rsd 0.05 →
-    * well within ±15% here; approx_percentile at accuracy 10000 is
-    * near-exact at this scale). Both quantiles come from ONE sketch
-    * (array probe, then scalar projections — the driver compare needs
-    * atomic output columns).
+    * value histogram). Sketch VALUES are engine-specific, so the
+    * query emits the exact answers plus boolean envelope checks
+    * (sketch within 15% of the exact distinct count / 5% of the exact
+    * quantile); the oracle produces the same exact values and `true`
+    * literals — a sketch drifting out of its error envelope becomes a
+    * driver-visible hash mismatch instead of a local-test-only fact.
     */
   def q56(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_orderkey")).as("ad_orderkey"),
-        approx_count_distinct(col("l_partkey")).as("ad_partkey"),
+      .agg(approx_count_distinct(col("l_orderkey")).as("ad_ok"),
+        countDistinct(col("l_orderkey")).as("nd_orderkey"),
+        approx_count_distinct(col("l_partkey")).as("ad_pk"),
+        countDistinct(col("l_partkey")).as("nd_partkey"),
         expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)")
           .as("qs"),
+        expr("percentile(l_extendedprice, array(0.5, 0.9))").as("eqs"),
         count(lit(1)).as("n"))
-      .select(col("l_returnflag"), col("ad_orderkey"), col("ad_partkey"),
-        element_at(col("qs"), 1).as("price_p50"),
-        element_at(col("qs"), 2).as("price_p90"),
-        col("n"))
+      .select(col("l_returnflag"), col("nd_orderkey"), col("nd_partkey"),
+        col("n"),
+        (abs(col("ad_ok") - col("nd_orderkey")) <=
+          col("nd_orderkey") * 0.15).as("hll_orderkey_ok"),
+        (abs(col("ad_pk") - col("nd_partkey")) <=
+          col("nd_partkey") * 0.15).as("hll_partkey_ok"),
+        (abs(element_at(col("qs"), 1) - element_at(col("eqs"), 1)) <=
+          element_at(col("eqs"), 1) * 0.05).as("p50_ok"),
+        (abs(element_at(col("qs"), 2) - element_at(col("eqs"), 2)) <=
+          element_at(col("eqs"), 2) * 0.05).as("p90_ok"))
       .orderBy(col("l_returnflag"))
+
+  val q56Sql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_orderkey) AS nd_orderkey,
+      |  COUNT(DISTINCT l_partkey) AS nd_partkey,
+      |  COUNT(*) AS n,
+      |  true AS hll_orderkey_ok, true AS hll_partkey_ok,
+      |  true AS p50_ok, true AS p90_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q01_pricing_summary", q01 _, Some(q01Sql)),
@@ -656,6 +673,6 @@ object Relational {
     ("q50_pivot_status_priority", q50 _, Some(q50Sql)),
     ("q51_unpivot_measures", q51 _, Some(q51Sql)),
     // sketch outputs are engine-specific → deliberate rows-only check
-    ("q56_sketch_aggregates", q56 _, None)
+    ("q56_sketch_aggregates", q56 _, Some(q56Sql))
   )
 }
