@@ -614,28 +614,44 @@ object Relational {
     * literals — a sketch drifting out of its error envelope becomes a
     * driver-visible hash mismatch instead of a local-test-only fact.
     */
-  def q56(spark: SparkSession, sfDir: String): DataFrame =
-    t(spark, sfDir, "lineitem")
-      .groupBy(col("l_returnflag"))
+  def q56(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+    // each exact reference comes from its own efficient plan — a
+    // single-distinct aggregate per key column (two-phase partial
+    // distinct, no multi-distinct Expand tripling the scan) and the
+    // q49 distributed-histogram percentile (bounded reducer state,
+    // not percentile()'s per-group value map) — then tiny per-flag
+    // frames join back to the sketch row
+    val sketches = li.groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_orderkey")).as("ad_ok"),
-        countDistinct(col("l_orderkey")).as("nd_orderkey"),
         approx_count_distinct(col("l_partkey")).as("ad_pk"),
-        countDistinct(col("l_partkey")).as("nd_partkey"),
         expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)")
           .as("qs"),
-        expr("percentile(l_extendedprice, array(0.5, 0.9))").as("eqs"),
         count(lit(1)).as("n"))
+    val ndOrder = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("nd_orderkey"))
+    val ndPart = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("nd_partkey"))
+    val exactPs = graft.operators.Percentiles.exactInterpolated(
+        li.select(col("l_returnflag"), col("l_extendedprice")),
+        "l_returnflag", col("l_extendedprice"),
+        Seq("ep50" -> 0.5, "ep90" -> 0.9))
+      .select(col("l_returnflag"), col("ep50"), col("ep90"))
+    sketches
+      .join(ndOrder, "l_returnflag").join(ndPart, "l_returnflag")
+      .join(exactPs, "l_returnflag")
       .select(col("l_returnflag"), col("nd_orderkey"), col("nd_partkey"),
         col("n"),
         (abs(col("ad_ok") - col("nd_orderkey")) <=
           col("nd_orderkey") * 0.15).as("hll_orderkey_ok"),
         (abs(col("ad_pk") - col("nd_partkey")) <=
           col("nd_partkey") * 0.15).as("hll_partkey_ok"),
-        (abs(element_at(col("qs"), 1) - element_at(col("eqs"), 1)) <=
-          element_at(col("eqs"), 1) * 0.05).as("p50_ok"),
-        (abs(element_at(col("qs"), 2) - element_at(col("eqs"), 2)) <=
-          element_at(col("eqs"), 2) * 0.05).as("p90_ok"))
+        (abs(element_at(col("qs"), 1) - col("ep50")) <=
+          col("ep50") * 0.05).as("p50_ok"),
+        (abs(element_at(col("qs"), 2) - col("ep90")) <=
+          col("ep90") * 0.05).as("p90_ok"))
       .orderBy(col("l_returnflag"))
+  }
 
   val q56Sql: String =
     """SELECT l_returnflag,
