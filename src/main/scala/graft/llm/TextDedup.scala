@@ -304,13 +304,18 @@ object TextDedup {
         s"transform(sequence(0, size(toks)-$n), i -> concat_ws(' ', ${(0 until n).map(j => s"toks[i+$j]").mkString(", ")}))")).as("gram"))
       .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("w"))
       .select(col(idCol), GraftFunctions.polyHash("gram").as("x"), col("w"))
+    // one shuffle on idCol with `bits` codegen'd conditional sums —
+    // the explode-by-bit form it replaces pushed every (doc, gram) row
+    // through the shuffle `bits` times
+    val bitSums = (0 until bits).map(j =>
+      sum(expr(s"(((x >> $j) & 1) * 2 - 1) * w")).as(s"s$j"))
+    val fp = (0 until bits)
+      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
     val fps = grams
-      .select(col(idCol), col("x"), col("w"),
-        explode(expr(s"sequence(0, ${bits - 1})")).as("j"))
-      .groupBy(col(idCol), col("j"))
-      .agg(sum(expr("(((x >> j) & 1) * 2 - 1) * w")).as("s"))
       .groupBy(col(idCol))
-      .agg(sum(expr("if(s > 0, cast(1 as bigint) << j, 0)")).as("fp"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol), fp.as("fp"))
     val banded = fps.select(col(idCol), col("fp"),
         explode(expr(s"sequence(0, ${bands - 1})")).as("band"))
       .withColumn("bkey", expr(s"(fp >> (band * $bandBits)) & ${(1L << bandBits) - 1}"))
