@@ -15,7 +15,7 @@ class AggregatesSpec extends AnyFunSuite {
   test("approx_count_distinct within 5% of exact") {
     val row = li.agg(
       countDistinct(col("l_orderkey")).as("exact"),
-      approx_count_distinct(col("l_orderkey")).as("approx")).head
+      approx_count_distinct(col("l_orderkey")).as("approx")).head()
     val exact = row.getLong(0).toDouble
     val approx = row.getLong(1).toDouble
     assert(math.abs(approx - exact) / exact < 0.05,
@@ -24,7 +24,7 @@ class AggregatesSpec extends AnyFunSuite {
 
   test("percentile_approx brackets the exact median") {
     val approx = li.agg(percentile_approx(col("l_quantity"), lit(0.5), lit(1000)))
-      .head.getDouble(0)
+      .head().getDouble(0)
     val Array(lo, hi) = li.stat.approxQuantile("l_quantity", Array(0.4, 0.6), 0.0)
     assert(approx >= lo && approx <= hi, s"median approx $approx outside [$lo,$hi]")
   }
@@ -33,8 +33,8 @@ class AggregatesSpec extends AnyFunSuite {
     // per-group sketches unioned must approximate the global distinct
     val grouped = li.groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_orderkey")).as("d"))
-      .agg(sum(col("d"))).head.getLong(0).toDouble
-    val global = li.agg(countDistinct(col("l_orderkey"))).head.getLong(0).toDouble
+      .agg(sum(col("d"))).head().getLong(0).toDouble
+    val global = li.agg(countDistinct(col("l_orderkey"))).head().getLong(0).toDouble
     // flags partition orders only loosely; the summed sketch counts must
     // at least cover the global distinct count
     assert(grouped >= global * 0.95)

@@ -99,11 +99,11 @@ class SqlInterfaceSpec extends AnyFunSuite {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY r_name ORDER BY n DESC LIMIT 1""".stripMargin).head
+        |GROUP BY r_name ORDER BY n DESC LIMIT 1""".stripMargin).head()
     assert(row.getLong(1) > 0)
-    assert(spark.sql("SELECT COUNT(*) FROM documents").head.getLong(0) == 500)
-    assert(spark.sql("SELECT COUNT(*) FROM embeddings").head.getLong(0) == 500)
+    assert(spark.sql("SELECT COUNT(*) FROM documents").head().getLong(0) == 500)
+    assert(spark.sql("SELECT COUNT(*) FROM embeddings").head().getLong(0) == 500)
     assert(spark.sql(
-      "SELECT COUNT(*) FROM events WHERE event_type = 'view'").head.getLong(0) > 0)
+      "SELECT COUNT(*) FROM events WHERE event_type = 'view'").head().getLong(0) > 0)
   }
 }

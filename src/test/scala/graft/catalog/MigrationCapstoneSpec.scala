@@ -42,7 +42,7 @@ class MigrationCapstoneSpec extends AnyFunSuite {
       """SELECT n_name, COUNT(*) AS n
         |FROM warehouse_dst.customer c
         |JOIN warehouse_dst.nation n ON c.c_nationkey = n.n_nationkey
-        |GROUP BY n_name ORDER BY n DESC, n_name LIMIT 1""".stripMargin).head
+        |GROUP BY n_name ORDER BY n DESC, n_name LIMIT 1""".stripMargin).head()
     assert(top.getLong(1) > 0)
     // schema fidelity across the migration
     Tables.all.filterNot(_ == "events").foreach { t =>

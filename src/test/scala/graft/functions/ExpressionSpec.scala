@@ -33,7 +33,7 @@ class ExpressionSpec extends AnyFunSuite {
         |  array(cast(0.5 as float), cast(-1.5 as float)),
         |  array(cast(2.0 as float), cast(1.0 as float)))""".stripMargin)
     // 0.5*2.0 = 1.0 → 1e12; -1.5*1.0 = -1.5 → -1.5e12; sum = -5e11
-    assert(df.head.getLong(0) == -500000000000L)
+    assert(df.head().getLong(0) == -500000000000L)
     // interpreted path agrees
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.ArrayData
@@ -103,7 +103,7 @@ class ExpressionSpec extends AnyFunSuite {
       Literal.create(ArrayData.toArrayData(b), ArrayType(FloatType))).eval(null)
     val sqlArr = (x: Array[Float]) => x.map(v => s"cast($v as float)").mkString("array(", ",", ")")
     val codegen = spark.sql(
-      s"SELECT vector_dot_scaled(${sqlArr(a)}, ${sqlArr(b)})").head.getLong(0)
+      s"SELECT vector_dot_scaled(${sqlArr(a)}, ${sqlArr(b)})").head().getLong(0)
     assert(codegen == interpreted)
   }
 }

@@ -91,9 +91,9 @@ class LlmApiSpec extends AnyFunSuite {
 
   test("more hyperplanes → smaller buckets; threshold pairs respect minCos") {
     val coarse = VectorSearch.lshBuckets(embs, "vec_id", "embedding", planes = 2)
-      .groupBy("bucket").count().agg(max("count")).head.getLong(0)
+      .groupBy("bucket").count().agg(max("count")).head().getLong(0)
     val fine = VectorSearch.lshBuckets(embs, "vec_id", "embedding", planes = 6)
-      .groupBy("bucket").count().agg(max("count")).head.getLong(0)
+      .groupBy("bucket").count().agg(max("count")).head().getLong(0)
     assert(fine <= coarse)
     val pairs = VectorSearch.thresholdPairs(embs, "vec_id", "embedding", minCos = 0.3)
     assert(pairs.collect().forall(_.getAs[Double]("cos") >= 0.3))
@@ -190,7 +190,7 @@ class LlmApiSpec extends AnyFunSuite {
 
   test("quality score stays in [0,1] and sampling buckets cover the range") {
     val scored = TextStats.withQualityScore(docs, "text", Seq("the", "a", "of"))
-    val mm = scored.agg(min("score"), max("score")).head
+    val mm = scored.agg(min("score"), max("score")).head()
     assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0)
     val buckets = TextStats.withSampleBucket(docs, "text", buckets = 10)
       .select("sample_bucket").distinct().collect().map(_.getLong(0)).toSet
