@@ -87,4 +87,39 @@ object TextStats {
     GraftFunctions.ensureRegistered(df.sparkSession)
     df.withColumn("sample_bucket", pmod(GraftFunctions.polyHash(textCol), lit(buckets)))
   }
+
+  /** Per-document n-gram repetition metrics — the Gopher-style
+    * machine-text quality rules (Rae et al. 2021, via PAPERS.md):
+    * `top_gram_frac` = share of all `nTop`-gram occurrences taken by
+    * the single most frequent one; `dup_gram_frac` = share of
+    * `nDup`-gram occurrences that are repeats. Boilerplate and
+    * degenerate generations score high on both; clean prose scores
+    * low. Fractions are rounded to 6 decimals in-operator so
+    * downstream decimal-sum averaging stays engine-exact.
+    *
+    * Scale shape: one explode + one (id, gram) count per gram size —
+    * the same shuffles any distinct-count needs — then a per-id
+    * reduction; no per-group state beyond the running max/sums.
+    * Output: idCol, top_gram_frac, dup_gram_frac (docs shorter than
+    * `max(nTop, nDup)` tokens are dropped — no full gram exists).
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+                      nTop: Int = 2, nDup: Int = 3): DataFrame = {
+    val minToks = math.max(nTop, nDup)
+    val base = df
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col(idCol), toks(textCol).as("toks"))
+      .where(size(col("toks")) >= minToks)
+    def gramCounts(n: Int) = base
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, size(toks)-$n), i -> concat_ws(' ', ${(0 until n).map(k => s"toks[i+$k]").mkString(", ")}))"))
+        .as("gram"))
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("c"))
+    val top = gramCounts(nTop).groupBy(col(idCol))
+      .agg(round(max(col("c")) / sum(col("c")), 6).as("top_gram_frac"))
+    val dup = gramCounts(nDup).groupBy(col(idCol))
+      .agg(round(sum(when(col("c") > 1, col("c")).otherwise(lit(0L))) /
+        sum(col("c")), 6).as("dup_gram_frac"))
+    top.join(dup, Seq(idCol))
+  }
 }

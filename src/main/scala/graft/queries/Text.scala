@@ -207,11 +207,58 @@ object Text {
        |  MIN(CASE WHEN bucket < rate THEN doc_id END) AS first_kept
        |FROM d GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q59
+  /** N-gram repetition quality per language — the Gopher-style
+    * machine-text filters ([[graft.llm.TextStats.repetitionStats]]):
+    * average top-2-gram share, average duplicate-3-gram share, and
+    * the count of documents over the repetition threshold. Per-doc
+    * fractions are long/long double divisions rounded to 6 decimals,
+    * so the per-language decimal averages are engine-exact.
+    */
+  def q59(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    graft.llm.TextStats.repetitionStats(d, "doc_id", "text")
+      .join(d.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(graft.Num.davg(col("top_gram_frac"), 8), 6).as("avg_top2_frac"),
+        round(graft.Num.davg(col("dup_gram_frac"), 8), 6).as("avg_dup3_frac"),
+        sum(when(col("top_gram_frac") >= 0.2, 1L).otherwise(0L)).as("n_repetitive"))
+      .orderBy(col("lang"))
+  }
+
+  val q59Sql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS s FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |g2 AS (SELECT doc_id, unnest([s[i] || ' ' || s[i+1] for i in range(1, len(s))]) AS gram
+       |       FROM base),
+       |c2 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY doc_id, gram),
+       |t2 AS (SELECT doc_id,
+       |         ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS topf
+       |       FROM c2 GROUP BY doc_id),
+       |g3 AS (SELECT doc_id,
+       |         unnest([s[i] || ' ' || s[i+1] || ' ' || s[i+2] for i in range(1, len(s)-1)]) AS gram
+       |       FROM base),
+       |c3 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g3 GROUP BY doc_id, gram),
+       |d3 AS (SELECT doc_id,
+       |         ROUND(CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+       |           / CAST(SUM(c) AS DOUBLE), 6) AS dupf
+       |       FROM c3 GROUP BY doc_id),
+       |j AS (SELECT base.doc_id, base.lang, topf, dupf
+       |      FROM base JOIN t2 USING (doc_id) JOIN d3 USING (doc_id))
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  ROUND(${graft.Num.davgSql("topf", 8)}, 6) AS avg_top2_frac,
+       |  ROUND(${graft.Num.davgSql("dupf", 8)}, 6) AS avg_dup3_frac,
+       |  CAST(SUM(CASE WHEN topf >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+       |FROM j GROUP BY lang ORDER BY lang""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_token_stats", q34 _, Some(q34Sql)),
     ("q35_lang_id_confusion", q35 _, Some(q35Sql)),
     ("q36_quality_score", q36 _, Some(q36Sql)),
     ("q37_winnow_fingerprint", q37 _, Some(q37Sql)),
-    ("q52_stratified_hash_sample", q52 _, Some(q52Sql))
+    ("q52_stratified_hash_sample", q52 _, Some(q52Sql)),
+    ("q59_repetition_quality", q59 _, Some(q59Sql))
   )
 }

@@ -55,6 +55,23 @@ class LlmApiSpec extends AnyFunSuite {
     }
   }
 
+  test("repetition stats separate degenerate text from distinct text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam"),         // one repeated token
+      (2L, "a b c d e f g h i j"),                   // all distinct
+      (3L, "x y x y x y x y"),                       // alternating pair
+      (4L, "ab")                                     // too short → dropped
+    ).toDF("doc_id", "text")
+    val stats = TextStats.repetitionStats(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(!stats.contains(4L))
+    assert(stats(1L)._1 == 1.0 && stats(1L)._2 == 1.0) // every gram identical
+    assert(stats(2L)._2 == 0.0)                        // no duplicate 3-gram
+    assert(stats(2L)._1 < stats(3L)._1)                // distinct < alternating
+    assert(stats(3L)._2 == 1.0)                        // x y x / y x y both repeat
+  }
+
   test("minhash with fewer bands finds no more than wider banding") {
     val wide = TextDedup.minHashLshPairs(docs, "doc_id", "text", k = 12, bands = 6)
     val narrow = TextDedup.minHashLshPairs(docs, "doc_id", "text", k = 12, bands = 2)
