@@ -46,4 +46,31 @@ class SinksSpec extends AnyFunSuite {
     assert(scan.contains("PartitionFilters") &&
       scan.contains("o_status"), "partition filter did not reach the scan")
   }
+
+  test("range-sharded writer: bounded, key-sorted, range-disjoint shards") {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val out = tmp("shards")
+    val df = Tables.load(spark, "/root/testdata/sf0.01", "orders")
+    graft.sinks.ShardWriter.writeRangeSharded(df, out, "o_orderkey",
+      targetShards = 4, maxRecordsPerFile = 3000)
+    val back = spark.read.parquet(out)
+    assert(back.count() == df.count())
+    // no shard exceeds the record cap
+    val perFile = back.groupBy(input_file_name().as("f")).count().collect()
+    assert(perFile.forall(_.getLong(1) <= 3000),
+      s"oversized shard: ${perFile.map(_.getLong(1)).max}")
+    // shards cover disjoint key ranges (global range order)
+    val ranges = back.groupBy(input_file_name().as("f"))
+      .agg(min(col("o_orderkey")).as("lo"), max(col("o_orderkey")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2, s"overlap: $hi1 > $lo2")
+      case _ =>
+    }
+    // rows are sorted within each shard (read back one file in order)
+    val oneFile = perFile.head.getString(0)
+    val keys = spark.read.parquet(oneFile).select("o_orderkey")
+      .collect().map(_.getLong(0))
+    assert(keys.sameElements(keys.sorted), "shard not internally sorted")
+  }
 }
