@@ -28,17 +28,22 @@ trait MediaCodec extends Serializable {
 
 /** STUB codec — deterministic fake standing in for a real decoder.
   * Frames are 256-byte blocks; the "feature" is the mean byte value of
-  * each of the first 8 frames; the header is the first 4 bytes.
+  * `featureDim` SAMPLED frames (every `frameStride`-th — the
+  * frame-sampling knob a video pipeline needs: stride 1 reads the
+  * clip head, stride k spreads the same feature budget across k× the
+  * duration); the header is the first 4 bytes.
   */
-final class FakeFrameCodec(val mediaType: String = "fake/frames") extends MediaCodec {
+final class FakeFrameCodec(val mediaType: String = "fake/frames",
+                           val frameStride: Int = 1,
+                           val featureDim: Int = 8) extends MediaCodec {
+  require(frameStride >= 1, "frameStride must be >= 1")
   val FrameSize = 256
-  val FeatureDim = 8
 
   override def decode(blob: MediaBlob): MediaFeatures = {
     val bytes = blob.data
     val nFrames = (bytes.length + FrameSize - 1) / FrameSize
-    val feature = (0 until FeatureDim).map { f =>
-      val from = f * FrameSize
+    val feature = (0 until featureDim).map { f =>
+      val from = f * frameStride * FrameSize
       if (from >= bytes.length) 0.0f
       else {
         val until = math.min(from + FrameSize, bytes.length)

@@ -51,4 +51,34 @@ class MultimodalSuite extends AnyFunSuite {
     val again = Multimodal.featureTable(spark, "/root/testdata/sf0.001").collect()
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("frame sampling: stride spreads the feature budget over the clip") {
+    // 4 frames of constant bytes 1,2,3,4 → stride 1 reads frames 0,1;
+    // stride 2 reads frames 0,2 — sampling, not truncation
+    val bytes = Array.tabulate(4 * 256)(i => (i / 256 + 1).toByte)
+    val blob = MediaBlob(1L, "x", bytes)
+    val dense = new FakeFrameCodec(featureDim = 2).decode(blob)
+    val strided = new FakeFrameCodec(frameStride = 2, featureDim = 2).decode(blob)
+    assert(dense.feature.toSeq == Seq(1.0f, 2.0f))
+    assert(strided.feature.toSeq == Seq(1.0f, 3.0f))
+    assert(dense.n_frames == 4 && strided.n_frames == 4)
+  }
+
+  test("extracted features are first-class vectors for similarity search") {
+    // the multimodal → ANN hand-off: decode features, then run the
+    // exact cosine top-k operator over them with no glue beyond a toDF
+    val s = spark
+    import s.implicits._
+    val feats = Multimodal
+      .extractFeatures(Multimodal.documentBlobs(s, "/root/testdata/sf0.001"), codec)
+      .toDF()
+      .where(org.apache.spark.sql.functions.expr(
+        "aggregate(feature, cast(0 as double), (a, x) -> a + abs(x)) > 0"))
+      .select($"doc_id", $"feature")
+    val top1 = graft.llm.VectorSearch.cosineTopK(feats, "doc_id", "feature", k = 1)
+    assert(top1.count() == feats.count())
+    // cosine of mean-byte features is in [-1, 1] and deterministic
+    val c = top1.select("cos").collect().map(_.getDouble(0))
+    assert(c.forall(v => v >= -1.0000001 && v <= 1.0000001))
+  }
 }
