@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck properties over the pure expression cores (no Spark
+  * session — Catalyst expressions evaluate standalone).
+  */
+object FunctionProperties extends Properties("functions") {
+
+  // tokens exercising multibyte, empties, repeats, and hash-heavy chars
+  private val token: Gen[String] = Gen.oneOf(
+    Gen.const(""), Gen.const("世界"), Gen.const("héllo"),
+    Gen.listOfN(3, Gen.alphaNumChar).map(_.mkString),
+    Gen.oneOf("the", "the", "a", "spam"))
+  private val tokens: Gen[List[String]] = Gen.listOfN(12, token).map(_.take(12))
+
+  property("shingle_hashes = sorted distinct poly_hash of shingle strings") =
+    forAll(tokens, Gen.choose(1, 4)) { (toks, n) =>
+      val arr = ArrayData.toArrayData(
+        toks.map(t => UTF8String.fromString(t): Any).toArray)
+      val got = ShingleHashes(Literal.create(arr, ArrayType(StringType)), n)
+        .eval(null).asInstanceOf[GenericArrayData].toLongArray().toSeq
+      val expected =
+        if (toks.length < n) Seq.empty[Long]
+        else toks.sliding(n).map(w => PolyHash.hash(w.mkString(" ")))
+          .toSeq.distinct.sorted
+      got == expected
+    }
+
+  property("poly_hash stays in [0, 2^31-1) and is codepoint-stable") =
+    forAll(Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.const('界'), Gen.const(' ')))
+      .map(_.mkString)) { s =>
+      val h = PolyHash.hash(s)
+      h >= 0L && h < PolyHash.Mod && h == PolyHash.hash(new String(s))
+    }
+}
