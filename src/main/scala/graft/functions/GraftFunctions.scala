@@ -24,6 +24,8 @@ object GraftFunctions {
     "topk_neighbors" -> (children => TopKNeighborsAgg(children(0), children(1),
       children(2).eval().asInstanceOf[Int]).toAggregateExpression()),
     "shingle_hashes" -> (children => ShingleHashes(children(0),
+      children(1).eval().asInstanceOf[Int])),
+    "gram_stats" -> (children => GramStats(children(0),
       children(1).eval().asInstanceOf[Int])))
 
   def ensureRegistered(spark: SparkSession): Unit = {

@@ -97,29 +97,26 @@ object TextStats {
     * low. Fractions are rounded to 6 decimals in-operator so
     * downstream decimal-sum averaging stays engine-exact.
     *
-    * Scale shape: one explode + one (id, gram) count per gram size —
-    * the same shuffles any distinct-count needs — then a per-id
-    * reduction; no per-group state beyond the running max/sums.
+    * Scale shape: ZERO shuffles — the metrics are per-document, so
+    * each row's gram counts come from one in-row native pass
+    * ([[graft.functions.GramStats]]); the explode → GROUP BY
+    * (doc, gram) formulation this replaced shuffled every gram
+    * occurrence twice for a row-local computation.
     * Output: idCol, top_gram_frac, dup_gram_frac (docs shorter than
     * `max(nTop, nDup)` tokens are dropped — no full gram exists).
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
                       nTop: Int = 2, nDup: Int = 3): DataFrame = {
+    GraftFunctions.ensureRegistered(df.sparkSession)
     val minToks = math.max(nTop, nDup)
-    val base = df
-      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
       .select(col(idCol), toks(textCol).as("toks"))
       .where(size(col("toks")) >= minToks)
-    def gramCounts(n: Int) = base
-      .select(col(idCol), explode(expr(
-        s"transform(sequence(0, size(toks)-$n), i -> concat_ws(' ', ${(0 until n).map(k => s"toks[i+$k]").mkString(", ")}))"))
-        .as("gram"))
-      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("c"))
-    val top = gramCounts(nTop).groupBy(col(idCol))
-      .agg(round(max(col("c")) / sum(col("c")), 6).as("top_gram_frac"))
-    val dup = gramCounts(nDup).groupBy(col(idCol))
-      .agg(round(sum(when(col("c") > 1, col("c")).otherwise(lit(0L))) /
-        sum(col("c")), 6).as("dup_gram_frac"))
-    top.join(dup, Seq(idCol))
+      .select(col(idCol),
+        expr(s"gram_stats(toks, $nTop)").as("gt"),
+        expr(s"gram_stats(toks, $nDup)").as("gd"))
+      .select(col(idCol),
+        round(col("gt.maxc") / col("gt.total"), 6).as("top_gram_frac"),
+        round(col("gd.dupc") / col("gd.total"), 6).as("dup_gram_frac"))
   }
 }

@@ -32,6 +32,22 @@ object FunctionProperties extends Properties("functions") {
       got == expected
     }
 
+  property("gram_stats counts match a pure sliding-window reference") =
+    forAll(tokens, Gen.choose(1, 4)) { (toks, n) =>
+      val arr = ArrayData.toArrayData(
+        toks.map(t => UTF8String.fromString(t): Any).toArray)
+      val got = GramStats(Literal.create(arr, ArrayType(StringType)), n).eval(null)
+      if (toks.length < n) got == null
+      else {
+        val counts = toks.sliding(n).map(_.mkString(" ")).toSeq
+          .groupBy(identity).map(_._2.size.toLong)
+        val row = got.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+        row.getLong(0) == (toks.length - n + 1).toLong &&
+          row.getLong(1) == counts.max &&
+          row.getLong(2) == counts.filter(_ > 1).sum
+      }
+    }
+
   property("poly_hash stays in [0, 2^31-1) and is codepoint-stable") =
     forAll(Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.const('界'), Gen.const(' ')))
       .map(_.mkString)) { s =>
