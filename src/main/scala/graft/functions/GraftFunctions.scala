@@ -26,7 +26,9 @@ object GraftFunctions {
     "shingle_hashes" -> (children => ShingleHashes(children(0),
       children(1).eval().asInstanceOf[Int])),
     "gram_stats" -> (children => GramStats(children(0),
-      children(1).eval().asInstanceOf[Int])))
+      children(1).eval().asInstanceOf[Int])),
+    "simhash_fp" -> (children => SimHashFp(children(0),
+      children(1).eval().asInstanceOf[Int], children(2).eval().asInstanceOf[Int])))
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

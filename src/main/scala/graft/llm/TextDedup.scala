@@ -298,24 +298,12 @@ object TextDedup {
     require(bits % bands == 0, "bits must be divisible by bands")
     GraftFunctions.ensureRegistered(df.sparkSession)
     val bandBits = bits / bands
-    val grams = spread(df).select(col(idCol), split(col(textCol), " ").as("toks"))
+    // fingerprints are row-local ([[graft.functions.SimHashFp]]): one
+    // in-row pass per document, no gram shuffle at all — the only
+    // shuffle in this operator is the banded candidate join below
+    val fps = spread(df).select(col(idCol), split(col(textCol), " ").as("toks"))
       .where(size(col("toks")) >= n)
-      .select(col(idCol), explode(expr(
-        s"transform(sequence(0, size(toks)-$n), i -> concat_ws(' ', ${(0 until n).map(j => s"toks[i+$j]").mkString(", ")}))")).as("gram"))
-      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("w"))
-      .select(col(idCol), GraftFunctions.polyHash("gram").as("x"), col("w"))
-    // one shuffle on idCol with `bits` codegen'd conditional sums —
-    // the explode-by-bit form it replaces pushed every (doc, gram) row
-    // through the shuffle `bits` times
-    val bitSums = (0 until bits).map(j =>
-      sum(expr(s"(((x >> $j) & 1) * 2 - 1) * w")).as(s"s$j"))
-    val fp = (0 until bits)
-      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    val fps = grams
-      .groupBy(col(idCol))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col(idCol), fp.as("fp"))
+      .select(col(idCol), expr(s"simhash_fp(toks, $n, $bits)").as("fp"))
     val banded = fps.select(col(idCol), col("fp"),
         explode(expr(s"sequence(0, ${bands - 1})")).as("band"))
       .withColumn("bkey", expr(s"(fp >> (band * $bandBits)) & ${(1L << bandBits) - 1}"))

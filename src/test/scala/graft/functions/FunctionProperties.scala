@@ -48,6 +48,24 @@ object FunctionProperties extends Properties("functions") {
       }
     }
 
+  property("simhash_fp matches the pure weighted-bit-sum reference") =
+    forAll(tokens, Gen.choose(1, 3), Gen.oneOf(16, 32, 64)) { (toks, n, bits) =>
+      val arr = ArrayData.toArrayData(
+        toks.map(t => UTF8String.fromString(t): Any).toArray)
+      val got = SimHashFp(Literal.create(arr, ArrayType(StringType)), n, bits)
+        .eval(null)
+      if (toks.length < n) got == null
+      else {
+        val counts = toks.sliding(n).map(_.mkString(" ")).toSeq
+          .groupBy(identity).map { case (g, occ) => (PolyHash.hash(g), occ.size.toLong) }
+        val expected = (0 until bits).map { j =>
+          val s = counts.map { case (h, w) => (((h >> j) & 1L) * 2L - 1L) * w }.sum
+          if (s > 0) 1L << j else 0L
+        }.sum
+        got == expected
+      }
+    }
+
   property("poly_hash stays in [0, 2^31-1) and is codepoint-stable") =
     forAll(Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.const('界'), Gen.const(' ')))
       .map(_.mkString)) { s =>
