@@ -28,7 +28,9 @@ object GraftFunctions {
     "gram_stats" -> (children => GramStats(children(0),
       children(1).eval().asInstanceOf[Int])),
     "simhash_fp" -> (children => SimHashFp(children(0),
-      children(1).eval().asInstanceOf[Int], children(2).eval().asInstanceOf[Int])))
+      children(1).eval().asInstanceOf[Int], children(2).eval().asInstanceOf[Int])),
+    "minhash_sig" -> (children => MinHashSig(children(0),
+      children(1).eval().asInstanceOf[Int])))
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -118,13 +118,13 @@ object TextDedup {
                       n: Int = 3, k: Int = 12, bands: Int = 4): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val rows = k / bands
-    val minhash = udaf(new graft.functions.MinHashAggregator(k))
     val sh = materialize(hashedShingles(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val sig = sh.select(col(idCol), col("sz"), col("hs"), explode(col("hs")).as("x"))
-      .groupBy(col(idCol))
-      .agg(minhash(col("x")).as("sig"), first(col("sz")).as("sz"),
-        first(col("hs")).as("hs"))
+    // signatures are row-local ([[graft.functions.MinHashSig]], same
+    // affine hashes as the typed MinHashAggregator — cross-pinned in
+    // FunctionProperties): no shingle explode, no per-doc shuffle
+    val sig = sh.select(col(idCol), col("sz"), col("hs"),
+      expr(s"minhash_sig(hs, $k)").as("sig"))
     val bandKeyExpr = (0 until rows)
       .map(r => s"cast(sig[band*$rows+$r] as string)").mkString("concat_ws(',', ", ", ", ")")
     val banded = sig.select(col(idCol), col("sig"), col("sz"), col("hs"),

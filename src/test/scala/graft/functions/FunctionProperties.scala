@@ -66,6 +66,19 @@ object FunctionProperties extends Properties("functions") {
       }
     }
 
+  property("minhash_sig equals the typed MinHashAggregator fold") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0L, PolyHash.Mod - 1)).map(_.take(50)),
+      Gen.choose(1, 16)) { (hs, k) =>
+      val arr = ArrayData.toArrayData(hs.toArray)
+      val got = MinHashSig(Literal.create(arr,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType)), k)
+        .eval(null).asInstanceOf[GenericArrayData].toLongArray().toSeq
+      val agg = new MinHashAggregator(k)
+      val expected = hs.foldLeft(agg.zero)(agg.reduce).toSeq
+      got == expected
+    }
+
   property("poly_hash stays in [0, 2^31-1) and is codepoint-stable") =
     forAll(Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.const('界'), Gen.const(' ')))
       .map(_.mkString)) { s =>
