@@ -162,9 +162,10 @@ object TextDedup {
     *    min-rooted merging finishes in milliseconds and needs zero
     *    extra Spark jobs, where any iterative dataflow pays
     *    per-round job-scheduling latency regardless of data size.
-    *  - **Alternating large-star/small-star contraction** (Kiveris et
-    *    al., "Connected Components in MapReduce and Beyond", SoCC'14 —
-    *    via PAPERS.md) above the limit: converges in O(log n) rounds
+    *  - **Alternating large-star/small-star contraction** (the
+    *    published MapReduce CC algorithm of Kiveris et al.,
+    *    "Connected Components in MapReduce and Beyond", SoCC'14)
+    *    above the limit: converges in O(log n) rounds
     *    independent of graph diameter, unlike min-label propagation
     *    whose round count a single long duplicate chain stretches to
     *    the chain length. Each round is two groupBy shuffles over the

@@ -89,7 +89,9 @@ object TextStats {
   }
 
   /** Per-document n-gram repetition metrics — the Gopher-style
-    * machine-text quality rules (Rae et al. 2021, via PAPERS.md):
+    * machine-text quality rules (published in Rae et al. 2021,
+    * "Scaling Language Models: Methods, Analysis & Insights from
+    * Training Gopher"):
     * `top_gram_frac` = share of all `nTop`-gram occurrences taken by
     * the single most frequent one; `dup_gram_frac` = share of
     * `nDup`-gram occurrences that are repeats. Boilerplate and
