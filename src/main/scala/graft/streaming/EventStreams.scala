@@ -157,13 +157,28 @@ object EventStreams {
     */
   def runToTable(spark: SparkSession, streamed: DataFrame, name: String): DataFrame = {
     val checkpoint = java.nio.file.Files.createTempDirectory(s"graft-ckpt-$name")
-    val q = streamed.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
-      .option("checkpointLocation", checkpoint.toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // State-store sizing: a stateful operator materializes one state
+    // store instance (snapshot + delta files per micro-batch) per
+    // shuffle partition, and the count is pinned by the checkpoint at
+    // first run. Unlike stateless shuffles, this is a deliberate
+    // deployment decision scaled to STATE VOLUME, not core count —
+    // 32 instances for kilobytes of state is pure commit overhead,
+    // while a 100 TB stream raises it (SPARK_GRAFT_STREAM_PARTITIONS)
+    // far above any core count. Scoped to this query's planning only;
+    // the session conf is restored afterwards.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val statePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    val q = try {
+      streamed.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     // the checkpoint has no value once the replay finished
     deleteRecursively(checkpoint)
