@@ -149,6 +149,22 @@ class LlmApiSpec extends AnyFunSuite {
     assert(run(Long.MaxValue) == run(0L))
   }
 
+  test("CC handles string ids identically in both tiers") {
+    import spark.implicits._
+    // min-label semantics follow the column type's ordering — for
+    // strings, lexicographic (Spark min() and the driver union-find's
+    // Comparable path must agree)
+    val pairs = Seq(("docB", "docA"), ("docC", "docB"), ("zz", "yy"))
+      .toDF("d1", "d2")
+    Seq(1L << 20, 0L).foreach { limit =>
+      val labels = TextDedup
+        .connectedComponents(pairs, "d1", "d2", driverEdgeLimit = limit)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(labels == Map("docA" -> "docA", "docB" -> "docA",
+        "docC" -> "docA", "yy" -> "yy", "zz" -> "yy"), s"limit=$limit")
+    }
+  }
+
   test("star-contraction round count is diameter-independent") {
     import spark.implicits._
     // a 200-node chain: worst-case diameter 199. Min-label propagation
