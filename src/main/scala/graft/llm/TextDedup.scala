@@ -110,8 +110,8 @@ object TextDedup {
       .select(col("d1"), col("d2"), col("jac"))
   }
 
-  /** MinHash signatures (one-pass UDAF) + LSH band candidates with
-    * signature-estimated and exact Jaccard similarity.
+  /** MinHash signatures (in-row native pass) + LSH band candidates
+    * with signature-estimated and exact Jaccard similarity.
     * Output: d1, d2, est_sim, jac. `k` must be `bands * rowsPerBand`.
     */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
