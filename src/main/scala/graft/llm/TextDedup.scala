@@ -110,6 +110,52 @@ object TextDedup {
       .select(col("d1"), col("d2"), col("jac"))
   }
 
+  /** Containment near-dup pairs: `|A∩B| / min(|A|,|B|) ≥ tNum/tDen`
+    * over distinct word n-gram shingles — the near-SUPERSET detector.
+    * A short document embedded in a much longer one scores near 1
+    * here while its Jaccard vanishes (the union is dominated by the
+    * longer doc), so this is the variant that catches quotes,
+    * boilerplate wrappers and page-within-page duplication.
+    * Output: d1, d2, containment (d1 = the smaller-or-equal side).
+    *
+    * Prefix filtering adapts asymmetrically: the required overlap
+    * `ceil(t·|S|)` constrains only the SMALLER set S, so a true pair
+    * must share a shingle among S's rarest `|S| - ceil(t|S|) + 1`
+    * (lossless, same argument as Jaccard) — the candidate join probes
+    * the smaller side's prefix against the larger side's FULL
+    * postings. No length filter applies (that asymmetry is the
+    * point); rarity ordering keeps the posting lists short where it
+    * matters.
+    */
+  def containmentNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                              n: Int = 3, tNum: Int = 9, tDen: Int = 10): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
+    val sh = materialize(hashedShingles(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val ex = sh.select(col(idCol), col("sz"), explode(col("hs")).as("h"))
+    val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("dfreq"))
+    val prefix = ex.join(dfreq, "h")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("dfreq"), col("h"))))
+      .where(col("rnk") <= col("sz") - expr(s"($tNum*sz + ${tDen - 1}) div $tDen") + 1)
+      .select(col(idCol), col("h"), col("sz"))
+    // smaller side's prefix probes the full postings of larger docs;
+    // ties in size keep both orientations out via the id tie-break
+    val cand = prefix.as("a").join(ex.as("b"),
+        col("a.h") === col("b.h") &&
+          (col("a.sz") < col("b.sz") ||
+            (col("a.sz") === col("b.sz") && col(s"a.$idCol") < col(s"b.$idCol"))))
+      .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2")).distinct()
+    val s1 = sh.select(col(idCol).as("d1"), col("hs").as("hs1"), col("sz").as("sz1"))
+    val s2 = sh.select(col(idCol).as("d2"), col("hs").as("hs2"), col("sz").as("sz2"))
+    cand.join(s1, "d1").join(s2, "d2")
+      .withColumn("inter", size(array_intersect(col("hs1"), col("hs2"))))
+      // exact integer threshold test; the double ratio is output-only
+      .where(col("inter") * tDen >= least(col("sz1"), col("sz2")) * tNum)
+      .withColumn("containment", col("inter") / least(col("sz1"), col("sz2")))
+      .select(col("d1"), col("d2"), col("containment"))
+  }
+
   /** MinHash signatures (in-row native pass) + LSH band candidates
     * with signature-estimated and exact Jaccard similarity.
     * Output: d1, d2, est_sim, jac. `k` must be `bands * rowsPerBand`.

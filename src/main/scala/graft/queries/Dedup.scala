@@ -210,11 +210,53 @@ object Dedup {
        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q60
+  /** Containment near-dup pairs (near-superset detection): a short
+    * document embedded in a longer one scores containment ≈ 1 while
+    * its Jaccard vanishes — the boilerplate/quotation duplication case
+    * q28 structurally cannot catch. Containment ≥ 9/10 over distinct
+    * word 3-grams; d1 is the smaller side. The oracle generates
+    * candidates with a plain shared-shingle join and verifies the
+    * identical integer threshold, so the engine's asymmetric prefix
+    * filter is proven lossless by the hash compare.
+    *
+    * The high threshold is also the scale contract: the candidate
+    * join probes the smaller doc's `sz - ceil(t·sz) + 1` rarest
+    * shingles (1–2 at t = 0.9) against the posting lists, so candidate
+    * volume stays near-linear; low containment thresholds widen the
+    * probed prefix toward all-postings quadratic and belong to the
+    * Jaccard/LSH operators instead.
+    */
+  def q60(spark: SparkSession, sfDir: String): DataFrame =
+    graft.llm.TextDedup
+      .containmentNearDupPairs(docs(spark, sfDir), "doc_id", "text",
+        n = 3, tNum = 9, tDen = 10)
+      .select(col("d1"), col("d2"), round(col("containment"), 6).as("containment"))
+      .orderBy(col("d1"), col("d2"))
+
+  val q60Sql: String =
+    s"""WITH ${shinglesSql(3)},
+       |hsh AS (SELECT doc_id,
+       |          list_distinct(list_transform(shingles, s -> ${PolyHash.duckdbSql("s")})) AS hs
+       |        FROM sh),
+       |ex AS (SELECT doc_id, len(hs) AS sz, unnest(hs) AS h FROM hsh),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |         FROM ex a JOIN ex b ON a.h = b.h
+       |         AND (a.sz < b.sz OR (a.sz = b.sz AND a.doc_id < b.doc_id))),
+       |j AS (SELECT d1, d2,
+       |        len(list_intersect(x.hs, y.hs)) AS inter,
+       |        LEAST(len(x.hs), len(y.hs)) AS mn
+       |      FROM cand JOIN hsh x ON x.doc_id = d1 JOIN hsh y ON y.doc_id = d2)
+       |SELECT d1, d2, ROUND(inter / CAST(mn AS DOUBLE), 6) AS containment
+       |FROM j WHERE inter * 10 >= mn * 9
+       |ORDER BY d1, d2""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q27_exact_dedup", q27 _, Some(q27Sql)),
     ("q28_ngram_jaccard_neardup", q28 _, Some(q28Sql)),
     ("q29_minhash_lsh_neardup", q29 _, Some(q29Sql)),
     ("q30_simhash_neardup", q30 _, Some(q30Sql)),
-    ("q54_neardup_clusters", q54 _, Some(q54Sql))
+    ("q54_neardup_clusters", q54 _, Some(q54Sql)),
+    ("q60_containment_neardup", q60 _, Some(q60Sql))
   )
 }

@@ -72,6 +72,43 @@ class LlmApiSpec extends AnyFunSuite {
     assert(stats(3L)._2 == 1.0)                        // x y x / y x y both repeat
   }
 
+  test("containment pairs match brute force and catch near-supersets Jaccard misses") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    // random docs plus an engineered (quote, long-wrapper) pair
+    val base = (1L to 50L).map { id =>
+      (id, Seq.fill(4 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val quote = "alpha beta gamma delta"
+    val wrapper = s"eta eta zeta $quote zeta eta eps eta zeta eps eta zeta"
+    val corpus = base ++ Seq((100L, quote), (101L, wrapper))
+    def sh(text: String): Set[String] = text.split(" ").sliding(2).map(_.mkString(" ")).toSet
+    val expected = (for {
+      (i, ti) <- corpus; (j, tj) <- corpus
+      si = sh(ti); sj = sh(tj)
+      if si.size < sj.size || (si.size == sj.size && i < j)
+      inter = (si intersect sj).size
+      if inter * 2 >= math.min(si.size, sj.size)
+    } yield (i, j)).toSet
+    val got = TextDedup.containmentNearDupPairs(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", n = 2, tNum = 1, tDen = 2)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+    // the engineered embed is found with full containment…
+    val c = TextDedup.containmentNearDupPairs(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", n = 2, tNum = 9, tDen = 10)
+      .where($"d1" === 100L && $"d2" === 101L)
+      .collect()
+    assert(c.length == 1 && c(0).getAs[Double]("containment") == 1.0)
+    // …while its Jaccard is far below any dedup threshold
+    val jac = TextDedup.jaccardNearDupPairs(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", n = 2, tNum = 1, tDen = 2)
+      .where(($"d1" === 100L && $"d2" === 101L) || ($"d1" === 101L && $"d2" === 100L))
+    assert(jac.count() == 0)
+  }
+
   test("minhash with fewer bands finds no more than wider banding") {
     val wide = TextDedup.minHashLshPairs(docs, "doc_id", "text", k = 12, bands = 6)
     val narrow = TextDedup.minHashLshPairs(docs, "doc_id", "text", k = 12, bands = 2)
