@@ -160,12 +160,20 @@ object VectorSearch {
   def annTopKMultiProbe(df: DataFrame, idCol: String, vecCol: String, k: Int,
                         planes: Int = 4, dim: Int = 64, probes: Int = 2): DataFrame = {
     require(probes >= 1, "probes must be >= 1")
-    val cands = bucketPairs(
+    // top-k WITHIN each probe first: a pair in the global top-k ranks
+    // ≤ k inside every probe that generated it, so per-probe bounded
+    // heaps (map-side reduction to ≤ k rows) are lossless — the
+    // cross-probe dedup then shuffles k rows per (vector, probe)
+    // instead of every within-bucket pair
+    val perProbe = bucketPairs(
         lshBucketsMulti(df, idCol, vecCol, planes, dim, probes), idCol, vecCol,
         col("va") =!= col("vb"), keys = Seq("probe", "bucket"))
-      .select(col("va"), col("vb"), col("cos"))
+      .groupBy(col("va"), col("probe"))
+      .agg(expr(s"topk_neighbors(vb, cos, $k)").as("top"))
+      .select(col("va"), explode(col("top")).as("n"))
+      .select(col("va"), col("n.vb").as("vb"), col("n.cos").as("cos"))
       .dropDuplicates("va", "vb")
-    cands.groupBy(col("va"))
+    perProbe.groupBy(col("va"))
       .agg(expr(s"topk_neighbors(vb, cos, $k)").as("top"))
       .select(col("va"), posexplode(col("top")).as(Seq("pos", "n")))
       .select(col("va"), (col("pos") + 1).cast("int").as("rn"),
