@@ -40,22 +40,18 @@ object TextDedup {
   private def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
 
-  /** Forces a persisted plan to materialize NOW. When a cached subplan
-    * fans out into several downstream branches, AQE materializes those
-    * branch stages concurrently — and every one of them recomputes the
-    * not-yet-populated cache (the cache fills on first completion, but
-    * concurrent readers race past it and duplicate the most expensive
-    * stage of the whole pipeline). One synchronous count() populates
-    * the cache before the fan-out starts.
-    */
-  private def materialize(df: DataFrame): DataFrame = { df.count(); df }
-
   /** Per-document distinct word n-gram shingles, poly-hashed:
     * (idCol, hs: sorted array<long>, sz). One native rolling-hash pass
     * per document ([[graft.functions.ShingleHashes]]) — the
     * higher-order-lambda pipeline it replaced materialized every
     * shingle string and re-hashed each codepoint n times through
     * interpreted lambda calls.
+    *
+    * Downstream operators reference this UNPERSISTED on purpose:
+    * caching the array-heavy output costs more in serialization than
+    * recomputing the (scan + native hash) pass per consumer — measured
+    * A/B after the native rewrite; the opposite held for the old
+    * lambda pipeline.
     */
   def hashedShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     GraftFunctions.ensureRegistered(df.sparkSession)
@@ -82,8 +78,7 @@ object TextDedup {
   def jaccardNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           n: Int = 3, tNum: Int = 3, tDen: Int = 5): DataFrame = {
     require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
-    val sh = materialize(hashedShingles(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sh = hashedShingles(df, idCol, textCol, n)
     val ex = sh.select(col(idCol), col("sz"), explode(col("hs")).as("h"))
     val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("dfreq"))
     val prefix = ex.join(dfreq, "h")
@@ -130,8 +125,7 @@ object TextDedup {
   def containmentNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                               n: Int = 3, tNum: Int = 9, tDen: Int = 10): DataFrame = {
     require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
-    val sh = materialize(hashedShingles(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sh = hashedShingles(df, idCol, textCol, n)
     val ex = sh.select(col(idCol), col("sz"), explode(col("hs")).as("h"))
     val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("dfreq"))
     val prefix = ex.join(dfreq, "h")
@@ -164,8 +158,7 @@ object TextDedup {
                       n: Int = 3, k: Int = 12, bands: Int = 4): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val rows = k / bands
-    val sh = materialize(hashedShingles(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sh = hashedShingles(df, idCol, textCol, n)
     // signatures are row-local ([[graft.functions.MinHashSig]], same
     // affine hashes as the typed MinHashAggregator — cross-pinned in
     // FunctionProperties): no shingle explode, no per-doc shuffle
