@@ -86,11 +86,20 @@ object DdlExtractor {
       var found = -1
       var li = start
       while (found < 0 && li < lines.length) {
-        lines(li).foreach {
-          case '\'' => inQuote = !inQuote
-          case '(' if !inQuote => depth += 1
-          case ')' if !inQuote => depth -= 1
-          case _ =>
+        val line = lines(li)
+        var ci = 0
+        while (ci < line.length) {
+          line.charAt(ci) match {
+            // SHOW CREATE TABLE emits embedded quotes in property
+            // values as \' — an escaped quote must not flip the quote
+            // state (and \\ must not escape what follows it)
+            case '\\' if inQuote && ci + 1 < line.length => ci += 1
+            case '\'' => inQuote = !inQuote
+            case '(' if !inQuote => depth += 1
+            case ')' if !inQuote => depth -= 1
+            case _ =>
+          }
+          ci += 1
         }
         if (depth == 0 && !inQuote) found = li
         li += 1

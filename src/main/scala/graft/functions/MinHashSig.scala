@@ -35,17 +35,24 @@ case class MinHashSig(child: Expression, k: Int)
     if (m == 0) return null
     val P = PolyHash.Mod
     val sig = Array.fill(k)(Long.MaxValue)
+    var seen = false
     var j = 0
     while (j < m) {
-      val x = hs.getLong(j)
-      var i = 0
-      while (i < k) {
-        val h = (((i.toLong * 7919 + 1) % P) * x + (i.toLong * 104729 + 12345) % P) % P
-        if (h < sig(i)) sig(i) = h
-        i += 1
+      // the SQL function is callable on arbitrary array<bigint> input:
+      // a null element is no shingle at all, not hash value 0
+      if (!hs.isNullAt(j)) {
+        seen = true
+        val x = hs.getLong(j)
+        var i = 0
+        while (i < k) {
+          val h = (((i.toLong * 7919 + 1) % P) * x + (i.toLong * 104729 + 12345) % P) % P
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
       }
       j += 1
     }
+    if (!seen) return null
     new GenericArrayData(sig)
   }
 

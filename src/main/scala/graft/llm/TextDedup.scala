@@ -233,9 +233,13 @@ object TextDedup {
   /** Driver-side union-find over a collected edge list, min-rooted:
     * when two trees merge the smaller root stays root, so every root
     * is its component's minimum id and `find` IS the cluster label.
-    * Ids are whatever the edge columns hold (long, string, …) —
-    * compared through [[java.lang.Comparable]], matching Spark's
-    * `min()` ordering for atomic types.
+    * Ids are whatever the edge columns hold (long, string, …).
+    * Strings are compared as UTF-8 bytes (codepoint order) via
+    * [[org.apache.spark.unsafe.types.UTF8String]] — `String.compareTo`
+    * is UTF-16 code-unit order, which disagrees with Spark's `min()`
+    * on supplementary-plane characters, and both CC tiers must pick
+    * identical cluster ids. Other atomic types compare through
+    * [[java.lang.Comparable]], which matches Spark's ordering.
     */
   private def driverUnionFind(spark: org.apache.spark.sql.SparkSession,
                               edges: DataFrame): DataFrame = {
@@ -249,8 +253,12 @@ object TextDedup {
       while (parent.get(c) != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
       r
     }
-    def lt(a: Any, b: Any): Boolean =
-      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (sa: String, sb: String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(sa)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(sb)) < 0
+      case _ => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    }
     edges.collect().foreach { row =>
       val (u, v) = (row.get(0), row.get(1))
       parent.putIfAbsent(u, u)
@@ -300,11 +308,16 @@ object TextDedup {
 
   /** Alternating star-contraction to a fixed point; at convergence the
     * edge set is a star forest rooted at each component's minimum, so
-    * the edges ARE the (node → cluster) labels. Convergence = the
-    * (count, order-independent checksum) signature of the edge set is
-    * unchanged by a round — one aggregate per round, and each round is
-    * `localCheckpoint`ed so lineage stays flat. Returns the labels and
-    * the round count (exposed for the diameter-independence test).
+    * the edges ARE the (node → cluster) labels. Convergence test is
+    * two-stage: a cheap (count, order-independent checksum) signature
+    * per round — one aggregate — and, only when the signature repeats,
+    * an exact set-equality confirmation (`exceptAll.isEmpty`; both
+    * sides are `distinct()` outputs, so equal count + empty difference
+    * ⇒ equal sets). The exact pass normally runs once, at convergence,
+    * and turns a checksum collision from wrong labels into one extra
+    * round. Each round is `localCheckpoint`ed so lineage stays flat.
+    * Returns the labels and the round count (exposed for the
+    * diameter-independence test).
     */
   private[llm] def starContraction(edges0: DataFrame): (DataFrame, Int) = {
     var e = edges0.localCheckpoint()
@@ -317,7 +330,7 @@ object TextDedup {
       val sig = next.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")))
         .head()
       rounds += 1
-      converged = sig == signature
+      converged = sig == signature && next.exceptAll(e).isEmpty
       signature = sig
       e = next
     }

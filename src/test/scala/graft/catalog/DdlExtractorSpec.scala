@@ -58,6 +58,18 @@ class DdlExtractorSpec extends AnyFunSuite {
       Seq("CREATE TABLE t (", "  a INT)", "TBLPROPERTIES (",
         "  'comment' = 'stats (approx)',", "  'owner' = 'me')"))
   }
+  test("stripVolatileProps: \\'-escaped quotes inside values don't flip quote state") {
+    // SHOW CREATE TABLE emits embedded quotes as \' — the unbalanced
+    // paren and the quote inside 'it\'s (raw)' must both stay inert
+    val lines = Seq("CREATE TABLE t (", "  a INT)",
+      "TBLPROPERTIES (", "  'comment' = 'it\\'s (raw',",
+      "  'transient_lastDdlTime' = '123',", "  'path' = 'a\\\\',",
+      "  'owner' = 'me')")
+    assert(stripVolatileProps(lines) ==
+      Seq("CREATE TABLE t (", "  a INT)", "TBLPROPERTIES (",
+        "  'comment' = 'it\\'s (raw',", "  'path' = 'a\\\\',",
+        "  'owner' = 'me')"))
+  }
 }
 
 class ExtractConfigSpec extends AnyFunSuite {

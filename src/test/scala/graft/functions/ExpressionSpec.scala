@@ -26,6 +26,19 @@ class ExpressionSpec extends AnyFunSuite {
     assert(rows == Seq(99162322L, 394285854L, 0L))
   }
 
+  test("minhash_sig: null array elements are skipped, not hashed as 0") {
+    GraftFunctions.ensureRegistered(spark)
+    // registered SQL function is callable on arbitrary array<bigint>;
+    // a null element must contribute nothing, and an all-null array is
+    // an empty shingle set → null signature
+    val rows = spark.sql(
+      """SELECT minhash_sig(array(cast(null as bigint), 5L), 4),
+        |       minhash_sig(array(5L), 4),
+        |       minhash_sig(array(cast(null as bigint)), 4)""".stripMargin).head()
+    assert(rows.getSeq[Long](0) == rows.getSeq[Long](1))
+    assert(rows.isNullAt(2))
+  }
+
   test("vector_dot_scaled: exact scaled-long sum, both eval paths") {
     GraftFunctions.ensureRegistered(spark)
     val df = spark.sql(

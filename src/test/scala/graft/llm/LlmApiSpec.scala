@@ -191,14 +191,20 @@ class LlmApiSpec extends AnyFunSuite {
     // min-label semantics follow the column type's ordering — for
     // strings, lexicographic (Spark min() and the driver union-find's
     // Comparable path must agree)
-    val pairs = Seq(("docB", "docA"), ("docC", "docB"), ("zz", "yy"))
-      .toDF("d1", "d2")
+    // "😀" (😀, U+1F600) sorts BELOW "！" (！) in UTF-16
+    // code-unit order but ABOVE it in codepoint/UTF-8 order, which is
+    // what Spark's min() uses — both tiers must agree on the latter
+    val emoji = "😀"
+    val fullwidth = "！"
+    val pairs = Seq(("docB", "docA"), ("docC", "docB"), ("zz", "yy"),
+      (emoji, fullwidth)).toDF("d1", "d2")
     Seq(1L << 20, 0L).foreach { limit =>
       val labels = TextDedup
         .connectedComponents(pairs, "d1", "d2", driverEdgeLimit = limit)
         .collect().map(r => r.getString(0) -> r.getString(1)).toMap
       assert(labels == Map("docA" -> "docA", "docB" -> "docA",
-        "docC" -> "docA", "yy" -> "yy", "zz" -> "yy"), s"limit=$limit")
+        "docC" -> "docA", "yy" -> "yy", "zz" -> "yy",
+        emoji -> fullwidth, fullwidth -> fullwidth), s"limit=$limit")
     }
   }
 
