@@ -1,0 +1,97 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Quantized Lloyd k-means over an embedding column — the clustering
+  * stage of semantic dedup (cluster embeddings, keep one representative
+  * per cluster; cf. SemDeDup, Abbas et al. 2023, PAPERS.md) and the
+  * trainer for IVF codebooks ([[VectorSearch.ivfSearch]] consumes a
+  * label column; `assign` produces one).
+  *
+  * All arithmetic is exact integer math so results are deterministic
+  * and engine-portable (the DuckDB oracle reproduces them bit-for-bit):
+  *  - vectors are quantized once to 1e-6 units (`round(x*1e6)` as
+  *    long — both engines round half-away-from-zero on the identical
+  *    double);
+  *  - distances are exact long sums of squared coordinate
+  *    differences (64 dims × (1.2e6)² ≈ 9e13 ≪ 2^63);
+  *  - centroid updates divide exact coordinate sums by the cluster
+  *    size with truncating integer division (Java `/` = DuckDB `//`),
+  *    i.e. centroids live on the same 1e-6 lattice as the vectors.
+  * Initial centroids are the vectors of the k smallest ids — the
+  * deterministic stand-in for k-means|| seeding (which is the right
+  * init at scale but is randomized, so not oracle-checkable).
+  *
+  * Execution shape at 100 TB: the codebook (k×dim longs) lives on the
+  * driver, exactly like Spark MLlib's KMeans. Each assignment pass is
+  * a map-side in-row argmin against centroid *literals* — no join, no
+  * shuffle, whole-stage codegen'd higher-order functions. Each update
+  * pass is one partial-aggregated shuffle of k×dim groups. Cost per
+  * iteration = one scan + one tiny shuffle, independent of k·n pair
+  * count.
+  */
+object KMeans {
+
+  /** 1e-6-lattice quantization of a float/double vector column. */
+  def quantize(vecCol: Column): Column =
+    transform(vecCol, x => round(x.cast("double") * 1000000d).cast("long"))
+
+  /** In-row argmin over centroid literals: returns (cid, d2) struct.
+    * `cents` must be sorted by cid so that `array_position`'s
+    * first-occurrence semantics break distance ties toward the
+    * smallest cid (the oracle's `ORDER BY d2, cid`). */
+  private def assignExpr(sv: Column, cents: Seq[(Int, Array[Long])]): Column = {
+    val centArr = array(cents.map { case (_, m) => array(m.map(lit).toIndexedSeq: _*) }: _*)
+    val cidArr = array(cents.map { case (cid, _) => lit(cid) }: _*)
+    val d2s = transform(centArr, m =>
+      aggregate(zip_with(sv, m, (a, b) => (a - b) * (a - b)), lit(0L), _ + _))
+    val best = array_min(d2s)
+    struct(
+      element_at(cidArr, array_position(d2s, best).cast("int")).as("cid"),
+      best.as("d2"))
+  }
+
+  /** Runs `passes` assignment passes (centroids update between passes,
+    * not after the last). Returns one row per input row:
+    * (idCol, cid int, d2 long) against the final centroids. A cluster
+    * that loses all members simply drops out of the codebook. */
+  def assign(df: DataFrame, idCol: String, vecCol: String,
+             k: Int = 8, passes: Int = 2): DataFrame = {
+    require(k >= 1 && passes >= 1, "k and passes must be >= 1")
+    val sv = df.select(col(idCol), quantize(col(vecCol)).as("sv"))
+
+    // deterministic seed: the k smallest ids' vectors, cid = rank.
+    // k rows to the driver — the codebook collect, not a data collect.
+    var cents: Seq[(Int, Array[Long])] =
+      sv.orderBy(col(idCol)).limit(k).collect().zipWithIndex.map {
+        case (r, i) => (i, r.getSeq[Long](1).toArray)
+      }.toIndexedSeq
+
+    for (_ <- 1 until passes) {
+      val a = sv.select(col(idCol), col("sv"),
+        assignExpr(col("sv"), cents).getField("cid").as("cid"))
+      // one shuffle of (cid, dim) partial sums; k×dim rows back
+      val upd = a.select(col("cid"), posexplode(col("sv")).as(Seq("d", "v")))
+        .groupBy(col("cid"), col("d"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+        .collect()
+      cents = upd.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (cid, rows) =>
+        val m = new Array[Long](rows.length)
+        rows.foreach(r => m(r.getInt(1)) = r.getLong(2) / r.getLong(3))
+        (cid, m)
+      }.toIndexedSeq
+    }
+
+    sv.select(col(idCol), assignExpr(col("sv"), cents).as("a"))
+      .select(col(idCol), col("a.cid").as("cid"), col("a.d2").as("d2"))
+  }
+
+  /** Per-cluster summary of a final assignment: size, representative
+    * (min id — the semantic-dedup survivor), exact within-cluster
+    * squared scatter on the 1e-6 lattice. */
+  def clusterSummary(assigned: DataFrame, idCol: String): DataFrame =
+    assigned.groupBy(col("cid").as("cluster_id"))
+      .agg(count(lit(1)).as("n"), min(col(idCol)).as("rep_id"),
+        sum(col("d2")).as("wss"))
+}

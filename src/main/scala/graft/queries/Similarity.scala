@@ -291,12 +291,69 @@ object Similarity {
        |SELECT va, CAST(rn AS INT) AS rn, vb AS nn, ROUND(cos, 6) AS cos
        |FROM ranked WHERE rn <= 3 ORDER BY va, rn""".stripMargin
 
+  // ---------------------------------------------------------------- q61
+  /** Quantized-Lloyd k-means (k=8, 2 assignment passes) over the
+    * embeddings — the clustering stage of semantic dedup. Exact
+    * integer arithmetic throughout ([[graft.llm.KMeans]] scaladoc);
+    * `rep_id` is the per-cluster semantic-dedup survivor, `wss` the
+    * exact within-cluster squared scatter in 1e-6 lattice units.
+    */
+  def q61(spark: SparkSession, sfDir: String): DataFrame =
+    graft.llm.KMeans
+      .clusterSummary(
+        graft.llm.KMeans.assign(emb(spark, sfDir), "vec_id", "embedding",
+          k = 8, passes = 2),
+        "vec_id")
+      .select(col("cluster_id"), col("n"), col("rep_id"), col("wss"))
+      .orderBy(col("cluster_id"))
+
+  val q61Sql: String =
+    """WITH sv AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS sv
+      |  FROM embeddings),
+      |c0 AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid, sv AS m
+      |  FROM (SELECT * FROM sv ORDER BY vec_id LIMIT 8)),
+      |d1 AS (
+      |  SELECT v.vec_id, c.cid,
+      |    CAST(SUM((v.sv[i+1] - c.m[i+1]) * (v.sv[i+1] - c.m[i+1])) AS BIGINT) AS d2
+      |  FROM sv v CROSS JOIN c0 c CROSS JOIN range(0, 64) r(i)
+      |  GROUP BY v.vec_id, c.cid),
+      |a1 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |    FROM d1) WHERE rn = 1),
+      |c1 AS (
+      |  SELECT cid, list(m ORDER BY d) AS m FROM (
+      |    SELECT a.cid, r.i AS d,
+      |      CAST(SUM(v.sv[r.i+1]) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS m
+      |    FROM a1 a JOIN sv v USING (vec_id) CROSS JOIN range(0, 64) r(i)
+      |    GROUP BY a.cid, r.i)
+      |  GROUP BY cid),
+      |d2p AS (
+      |  SELECT v.vec_id, c.cid,
+      |    CAST(SUM((v.sv[i+1] - c.m[i+1]) * (v.sv[i+1] - c.m[i+1])) AS BIGINT) AS d2
+      |  FROM sv v CROSS JOIN c1 c CROSS JOIN range(0, 64) r(i)
+      |  GROUP BY v.vec_id, c.cid),
+      |a2 AS (
+      |  SELECT vec_id, cid, d2 FROM (
+      |    SELECT vec_id, cid, d2,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |    FROM d2p) WHERE rn = 1)
+      |SELECT cid AS cluster_id, COUNT(*) AS n, MIN(vec_id) AS rep_id,
+      |  CAST(SUM(d2) AS BIGINT) AS wss
+      |FROM a2 GROUP BY cid ORDER BY cluster_id""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q31_cosine_knn", q31 _, Some(q31Sql)),
     ("q32_ann_lsh_buckets", q32 _, Some(q32Sql)),
     ("q33_label_centroids", q33 _, Some(q33Sql)),
     ("q47_embedding_cosine_neardup", q47 _, Some(q47Sql)),
     ("q55_ann_multiprobe", q55 _, Some(q55Sql)),
-    ("q57_ivf_search", q57 _, Some(q57Sql))
+    ("q57_ivf_search", q57 _, Some(q57Sql)),
+    ("q61_kmeans_semantic", q61 _, Some(q61Sql))
   )
 }

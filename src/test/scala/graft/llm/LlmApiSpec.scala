@@ -220,6 +220,37 @@ class LlmApiSpec extends AnyFunSuite {
     assert(rounds <= 15, s"expected O(log n) rounds, got $rounds")
   }
 
+  test("k-means assignment matches a pure-Scala quantized-Lloyd reference") {
+    // same quantization, init, tie-break, and truncating centroid
+    // division, computed with plain Scala collections — the operator's
+    // in-row argmin + distributed update must agree exactly
+    val data = embs.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => BigDecimal(x.toDouble * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray)
+      .sortBy(_._1)
+    val k = 5
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var cents: Seq[(Int, Array[Long])] =
+      data.take(k).zipWithIndex.map { case ((_, v), i) => (i, v) }.toIndexedSeq
+    def assignAll() = data.map { case (id, v) =>
+      id -> cents.map { case (c, m) => (d2(v, m), c) }.min
+    }
+    for (_ <- 1 until 3) {
+      val byC = assignAll().groupBy(_._2._2)
+      cents = byC.toSeq.sortBy(_._1).map { case (c, members) =>
+        val vs = members.map { case (id, _) => data.find(_._1 == id).get._2 }
+        val m = Array.tabulate(64)(d => vs.map(_(d)).sum / vs.length)
+        (c, m)
+      }.toIndexedSeq
+    }
+    val expected = assignAll().map { case (id, (dd, c)) => id -> ((c, dd)) }.toMap
+    val got = KMeans.assign(embs, "vec_id", "embedding", k = k, passes = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(got == expected)
+  }
+
   test("IVF search: recall grows with nprobe and candidates stay bounded") {
     def hits(df: org.apache.spark.sql.DataFrame) =
       df.select("va", "nn").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
