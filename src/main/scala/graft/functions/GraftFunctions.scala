@@ -30,7 +30,12 @@ object GraftFunctions {
     "simhash_fp" -> (children => SimHashFp(children(0),
       children(1).eval().asInstanceOf[Int], children(2).eval().asInstanceOf[Int])),
     "minhash_sig" -> (children => MinHashSig(children(0),
-      children(1).eval().asInstanceOf[Int])))
+      children(1).eval().asInstanceOf[Int])),
+    "bloom_build" -> (children => BloomBuildAgg(children(0),
+      children(1).eval().asInstanceOf[Int],
+      children(2).eval().asInstanceOf[Int]).toAggregateExpression()),
+    "bloom_contains" -> (children => BloomMightContain(children(0), children(1),
+      children(2).eval().asInstanceOf[Int])))
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

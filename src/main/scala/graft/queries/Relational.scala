@@ -662,6 +662,78 @@ object Relational {
       |  true AS p50_ok, true AS p90_ok
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q62
+  /** Bloom-prefiltered join ([[graft.operators.BloomJoin]] scaladoc
+    * for the 100 TB rationale): orders are membership-filtered against
+    * a bitset of BUILDING-segment customer keys before the exact
+    * equi-join. The bloom is a lossless prefilter (no false
+    * negatives), so the oracle is the plain join — any bloom bug that
+    * drops a row is a driver-visible hash mismatch.
+    */
+  def q62(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders")
+    val c = t(spark, sfDir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_nationkey"))
+    graft.operators.BloomJoin.join(o, c, "o_custkey", "c_custkey")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        Num.dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q62Sql: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+       |  ${Num.dsumSql("o_totalprice")} AS revenue
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q64
+  /** MERGE-style upsert ([[graft.operators.Merge]]): the customer
+    * snapshot is merged with derived updates (customers with orders
+    * get a recomputed balance and an ACTIVE segment) plus one synthetic
+    * insert row (key −1, exercising WHEN NOT MATCHED). Deterministic:
+    * the balance is an exact decimal sum, divided and rounded in the
+    * same written order in both engines.
+    */
+  def q64(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = t(spark, sfDir, "customer")
+    val o = t(spark, sfDir, "orders")
+    val updates = o.groupBy(col("o_custkey").as("c_custkey"))
+      .agg(round(Num.dsum(col("o_totalprice")) / 1000, 2).as("new_bal"))
+      .join(c, Seq("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("new_bal").as("c_acctbal"), lit("ACTIVE").as("c_mktsegment"))
+    val insert = spark.range(1).select(
+      lit(-1L).as("c_custkey"), lit("Customer#NEW").as("c_name"),
+      lit(0).as("c_nationkey"), lit(0.0).as("c_acctbal"),
+      lit("ACTIVE").as("c_mktsegment"))
+    graft.operators.Merge.upsert(c, updates.unionByName(insert), "c_custkey")
+      .orderBy(col("c_custkey"))
+  }
+
+  val q64Sql: String =
+    s"""WITH upd AS (
+       |  SELECT o_custkey AS c_custkey,
+       |    ROUND(${Num.dsumSql("o_totalprice")} / 1000, 2) AS new_bal
+       |  FROM orders GROUP BY o_custkey),
+       |updates AS (
+       |  SELECT c.c_custkey, c.c_name, c.c_nationkey,
+       |    u.new_bal AS c_acctbal, 'ACTIVE' AS c_mktsegment
+       |  FROM upd u JOIN customer c USING (c_custkey)
+       |  UNION ALL
+       |  SELECT CAST(-1 AS BIGINT), 'Customer#NEW', CAST(0 AS INT),
+       |    CAST(0.0 AS DOUBLE), 'ACTIVE')
+       |SELECT
+       |  COALESCE(u.c_custkey, b.c_custkey) AS c_custkey,
+       |  CASE WHEN u.c_custkey IS NULL THEN b.c_name ELSE u.c_name END AS c_name,
+       |  CASE WHEN u.c_custkey IS NULL THEN b.c_nationkey ELSE u.c_nationkey END AS c_nationkey,
+       |  CASE WHEN u.c_custkey IS NULL THEN b.c_acctbal ELSE u.c_acctbal END AS c_acctbal,
+       |  CASE WHEN u.c_custkey IS NULL THEN b.c_mktsegment ELSE u.c_mktsegment END AS c_mktsegment
+       |FROM customer b FULL OUTER JOIN updates u ON b.c_custkey = u.c_custkey
+       |ORDER BY c_custkey""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q01_pricing_summary", q01 _, Some(q01Sql)),
     ("q02_top_orders", q02 _, Some(q02Sql)),
@@ -689,6 +761,8 @@ object Relational {
     ("q50_pivot_status_priority", q50 _, Some(q50Sql)),
     ("q51_unpivot_measures", q51 _, Some(q51Sql)),
     // sketch outputs are engine-specific → deliberate rows-only check
-    ("q56_sketch_aggregates", q56 _, Some(q56Sql))
+    ("q56_sketch_aggregates", q56 _, Some(q56Sql)),
+    ("q62_bloom_prefilter_join", q62 _, Some(q62Sql)),
+    ("q64_merge_upsert", q64 _, Some(q64Sql))
   )
 }

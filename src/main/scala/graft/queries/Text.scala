@@ -253,12 +253,102 @@ object Text {
        |  CAST(SUM(CASE WHEN topf >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
        |FROM j GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q63
+  /** PII redaction ([[graft.llm.Redact]]): the synthetic tables carry
+    * no organic PII, so the query first composes deterministic contact
+    * strings from customer keys (phone only on even keys, email only
+    * on keys divisible by 3 — the counts must genuinely vary), then
+    * runs the ordered ruleset. Everything is in-row regex work; the
+    * oracle replays the identical construction and patterns (RE2 ∩
+    * Java regex subset, 'g' flag on the DuckDB side).
+    */
+  def q63(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_mktsegment"))
+    val contact = c.withColumn("contact", concat(
+      col("c_name"),
+      when(col("c_custkey") % 2 === 0, concat(lit(" ph "),
+        lpad((col("c_custkey") % 100).cast("string"), 2, "0"), lit("-"),
+        lpad((col("c_custkey") % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((col("c_nationkey").cast("long") * 173 % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(col("c_custkey") % 3 === 0, concat(lit(" em "),
+        lower(col("c_mktsegment")), lit("."), col("c_custkey").cast("string"),
+        lit("@example.com"))).otherwise(lit("")),
+      lit(" end")))
+    graft.llm.Redact.redact(contact, "contact")
+      .select(col("c_custkey"), col("redacted"),
+        col("n_phone"), col("n_email"), col("n_num"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q63Sql: String =
+    """WITH contact AS (
+      |  SELECT c_custkey,
+      |    c_name ||
+      |    CASE WHEN c_custkey % 2 = 0 THEN ' ph ' ||
+      |      lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') || '-' ||
+      |      lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+      |      lpad(CAST(CAST(c_nationkey AS BIGINT) * 173 % 10000 AS VARCHAR), 4, '0')
+      |      ELSE '' END ||
+      |    CASE WHEN c_custkey % 3 = 0 THEN ' em ' ||
+      |      lower(c_mktsegment) || '.' || CAST(c_custkey AS VARCHAR) || '@example.com'
+      |      ELSE '' END || ' end' AS s0
+      |  FROM customer),
+      |r1 AS (
+      |  SELECT c_custkey,
+      |    CAST(len(regexp_extract_all(s0, '\d{2}-\d{3}-\d{4}')) AS INT) AS n_phone,
+      |    regexp_replace(s0, '\d{2}-\d{3}-\d{4}', '[PHONE]', 'g') AS s1
+      |  FROM contact),
+      |r2 AS (
+      |  SELECT c_custkey, n_phone,
+      |    CAST(len(regexp_extract_all(s1, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_email,
+      |    regexp_replace(s1, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g') AS s2
+      |  FROM r1)
+      |SELECT c_custkey,
+      |  regexp_replace(s2, '\d{4,}', '[NUM]', 'g') AS redacted,
+      |  n_phone, n_email,
+      |  CAST(len(regexp_extract_all(s2, '\d{4,}')) AS INT) AS n_num
+      |FROM r2 ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q65
+  /** Vocabulary build + token-id encoding ([[graft.llm.Vocab]]): ids
+    * rank by (freq desc, token asc) — deterministic across engines —
+    * and the encoded corpus is the (doc_id, pos, token_id) stream a
+    * training pipeline ships. Corpus-scale work is one partial-
+    * aggregated count and one broadcast join; only the |V|-sized
+    * ranking runs in a single partition.
+    */
+  def q65(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val vocab = graft.llm.Vocab.build(d, "text")
+    graft.llm.Vocab.encode(d, "doc_id", "text", vocab)
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  val q65Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, CAST(i AS INT) AS pos, s[CAST(i AS INT) + 1] AS tok
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
+      |  CROSS JOIN range(0, 1024) r(i)
+      |  WHERE i < len(s) AND s[CAST(i AS INT) + 1] <> ''),
+      |vocab AS (
+      |  SELECT tok,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS INT) AS token_id
+      |  FROM toks GROUP BY tok)
+      |SELECT doc_id, pos, token_id
+      |FROM toks JOIN vocab USING (tok)
+      |ORDER BY doc_id, pos""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_token_stats", q34 _, Some(q34Sql)),
     ("q35_lang_id_confusion", q35 _, Some(q35Sql)),
     ("q36_quality_score", q36 _, Some(q36Sql)),
     ("q37_winnow_fingerprint", q37 _, Some(q37Sql)),
     ("q52_stratified_hash_sample", q52 _, Some(q52Sql)),
-    ("q59_repetition_quality", q59 _, Some(q59Sql))
+    ("q59_repetition_quality", q59 _, Some(q59Sql)),
+    ("q63_pii_redaction", q63 _, Some(q63Sql)),
+    ("q65_vocab_encode", q65 _, Some(q65Sql))
   )
 }

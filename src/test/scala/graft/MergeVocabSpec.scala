@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Operator contracts for [[graft.operators.Merge]] and
+  * [[graft.llm.Vocab]] beyond the oracle-pinned q64/q65 settings. */
+class MergeVocabSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.hive
+
+  test("upsert: update overrides, insert appears, passthrough survives") {
+    val s = spark
+    import s.implicits._
+    val base = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("k", "v", "x")
+    val updates = Seq((2L, "B", 99), (9L, "new", 1)).toDF("k", "v", "x")
+    val got = graft.operators.Merge.upsert(base, updates, "k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == Set((1L, "a", 10), (2L, "B", 99), (3L, "c", 30), (9L, "new", 1)))
+  }
+
+  test("upsert rejects mismatched schemas") {
+    val s = spark
+    import s.implicits._
+    val base = Seq((1L, "a")).toDF("k", "v")
+    val bad = Seq((1L, "a")).toDF("k", "w")
+    assertThrows[IllegalArgumentException] {
+      graft.operators.Merge.upsert(base, bad, "k")
+    }
+  }
+
+  test("vocab ids are dense, frequency-ranked, ties broken by token") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("b b b a a c", "a c d").toDF("text")
+    val v = graft.llm.Vocab.build(df, "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
+    // freqs: a=3, b=3, c=2, d=1 → tie a/b broken by token asc
+    assert(v == Map("a" -> ((3L, 1)), "b" -> ((3L, 2)),
+      "c" -> ((2L, 3)), "d" -> ((1L, 4))))
+  }
+
+  test("encode preserves every token occurrence with 0-based positions") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((7L, "x y x")).toDF("id", "text")
+    val vocab = graft.llm.Vocab.build(df, "text")
+    val got = graft.llm.Vocab.encode(df, "id", "text", vocab)
+      .orderBy("pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toList
+    // x: freq 2 → id 1; y: freq 1 → id 2
+    assert(got == List((7L, 0, 1), (7L, 1, 2), (7L, 2, 1)))
+  }
+}

@@ -39,6 +39,41 @@ class ExpressionSpec extends AnyFunSuite {
     assert(rows.isNullAt(2))
   }
 
+  test("bloom filter: zero false negatives, bounded false positives") {
+    GraftFunctions.ensureRegistered(spark)
+    val s = spark
+    import s.implicits._
+    val keys = (1L to 1000L).toDF("k")
+    keys.createOrReplaceTempView("bloom_keys")
+    val probes = (1L to 20000L).toDF("p")
+    probes.createOrReplaceTempView("bloom_probes")
+    // 2^14 bits / 1000 keys ≈ 16 bits per key at 5 hashes → fp ≪ 1%
+    val hits = spark.sql(
+      """SELECT p FROM bloom_probes CROSS JOIN
+        |  (SELECT bloom_build(k, 16384, 5) AS b FROM bloom_keys)
+        |WHERE bloom_contains(b, p, 5)""".stripMargin)
+      .collect().map(_.getLong(0)).toSet
+    assert((1L to 1000L).forall(hits), "false negative — bloom must never drop a member")
+    val fps = hits.count(_ > 1000L)
+    assert(fps < 190, s"false-positive rate implausibly high: $fps/19000")
+  }
+
+  test("bloom-prefiltered join equals the plain join") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val probe = (1L to 5000L).map(i => (i, i % 97)).toDF("pk", "payload")
+    val build = (1L to 5000L by 7).map(i => (i, s"v$i")).toDF("bk", "tag")
+    val got = graft.operators.BloomJoin
+      .join(probe, build, "pk", "bk", numBits = 1 << 12, numHashes = 5)
+      .select("pk", "payload", "tag")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val expected = probe.join(build, col("pk") === col("bk"))
+      .select("pk", "payload", "tag")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == expected)
+  }
+
   test("vector_dot_scaled: exact scaled-long sum, both eval paths") {
     GraftFunctions.ensureRegistered(spark)
     val df = spark.sql(
