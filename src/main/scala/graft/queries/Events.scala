@@ -326,6 +326,45 @@ object Events {
       |  COUNT(DISTINCT event_type) AS n_types
       |FROM kv GROUP BY key ORDER BY key""".stripMargin
 
+  // ---------------------------------------------------------------- q68
+  /** Z-order layout clustering ([[graft.operators.ZOrder]]): Morton-
+    * interleave (user_id, day) and take the top 6 z-bits as the shard
+    * id — the `OPTIMIZE ZORDER BY` shape. The per-shard distinct
+    * counts in the output ARE the locality evidence: each shard covers
+    * a small rectangle of (user, day) space, so predicates on either
+    * dimension prune shards. All in-row bit math; one shuffle for the
+    * shard summary.
+    */
+  def q68(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = ev(spark, sfDir)
+      .select((col("user_id") % 256).as("x"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+          .cast("long").%(256).as("y"))
+    graft.operators.ZOrder
+      .shardByZ(base, col("x"), col("y"), bits = 8, shardBits = 6)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), min(col("z")).as("min_z"),
+        max(col("z")).as("max_z"),
+        countDistinct(col("x")).as("n_x"), countDistinct(col("y")).as("n_y"))
+      .orderBy(col("shard"))
+  }
+
+  val q68Sql: String =
+    """WITH base AS (
+      |  SELECT event_id, user_id % 256 AS x,
+      |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 256 AS y
+      |  FROM events),
+      |zv AS (
+      |  SELECT event_id, x, y,
+      |    CAST(SUM(((x >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i)) +
+      |             ((y >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i + 1)))
+      |      AS BIGINT) AS z
+      |  FROM base CROSS JOIN range(0, 8) r(i) GROUP BY event_id, x, y)
+      |SELECT CAST(z >> 10 AS INT) AS shard, COUNT(*) AS n,
+      |  MIN(z) AS min_z, MAX(z) AS max_z,
+      |  COUNT(DISTINCT x) AS n_x, COUNT(DISTINCT y) AS n_y
+      |FROM zv GROUP BY shard ORDER BY shard""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_events_json_stats", q23 _, Some(q23Sql)),
     ("q24_events_daily_window", q24 _, Some(q24Sql)),
@@ -335,6 +374,7 @@ object Events {
     ("q39_range_join_views_1h", q39 _, Some(q39Sql)),
     ("q45_skew_salted_agg", q45 _, Some(q45Sql)),
     ("q46_map_functions", q46 _, Some(q46Sql)),
-    ("q53_sessionization_day_bucketed", q53 _, Some(q53Sql))
+    ("q53_sessionization_day_bucketed", q53 _, Some(q53Sql)),
+    ("q68_zorder_layout", q68 _, Some(q68Sql))
   )
 }

@@ -341,6 +341,59 @@ object Text {
       |FROM toks JOIN vocab USING (tok)
       |ORDER BY doc_id, pos""".stripMargin
 
+  // ---------------------------------------------------------------- q66
+  /** Lexical tf·idf retrieval ([[graft.llm.Lexical]]): top-20 docs for
+    * a 3-term query with exact rational idf (`(N·1e6) div df` — the
+    * documented log-free form; see the operator scaladoc). Posting
+    * build is a pushed-down IN filter; df and N broadcast; top-k is a
+    * TakeOrdered, not a global sort.
+    */
+  def q66(spark: SparkSession, sfDir: String): DataFrame =
+    graft.llm.Lexical.search(docs(spark, sfDir), "doc_id", "text",
+      Seq("spark", "vector", "customer"), topK = 20)
+
+  val q66Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |hits AS (
+      |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+      |  WHERE tok IN ('spark', 'vector', 'customer') GROUP BY doc_id, tok),
+      |dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS dft FROM hits GROUP BY tok),
+      |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents)
+      |SELECT h.doc_id,
+      |  CAST(SUM(h.tf * ((nd.nd * 1000000) // d.dft)) AS BIGINT) AS score,
+      |  CAST(COUNT(*) AS INT) AS n_terms
+      |FROM hits h JOIN dfreq d USING (tok) CROSS JOIN nd
+      |GROUP BY h.doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q67
+  /** Overlapping-window chunking ([[graft.llm.Chunker]]): 32-token
+    * windows at stride 24 — the training-sample prep stage. The
+    * portable rolling hash fingerprints each window for chunk-level
+    * dedup; chunk counts come from exact integer ceil-division.
+    */
+  def q67(spark: SparkSession, sfDir: String): DataFrame =
+    graft.llm.Chunker.chunk(docs(spark, sfDir), "doc_id", "text",
+        window = 32, stride = 24)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  val q67Sql: String = {
+    val ph = graft.functions.PolyHash
+    s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+       |nch AS (
+       |  SELECT doc_id, s,
+       |    CASE WHEN len(s) <= 32 THEN 1
+       |         ELSE CAST((len(s) - 32 + 23) // 24 AS INT) + 1 END AS nch
+       |  FROM base),
+       |ch AS (
+       |  SELECT doc_id, CAST(k AS INT) AS chunk_id,
+       |    s[CAST(k AS INT) * 24 + 1 : CAST(k AS INT) * 24 + 32] AS chunk
+       |  FROM nch CROSS JOIN range(0, 1024) r(k) WHERE k < nch)
+       |SELECT doc_id, chunk_id, CAST(len(chunk) AS INT) AS n_tokens,
+       |  ${ph.duckdbSql("array_to_string(chunk, ' ')")} AS chunk_hash
+       |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_token_stats", q34 _, Some(q34Sql)),
     ("q35_lang_id_confusion", q35 _, Some(q35Sql)),
@@ -349,6 +402,8 @@ object Text {
     ("q52_stratified_hash_sample", q52 _, Some(q52Sql)),
     ("q59_repetition_quality", q59 _, Some(q59Sql)),
     ("q63_pii_redaction", q63 _, Some(q63Sql)),
-    ("q65_vocab_encode", q65 _, Some(q65Sql))
+    ("q65_vocab_encode", q65 _, Some(q65Sql)),
+    ("q66_tfidf_search", q66 _, Some(q66Sql)),
+    ("q67_chunk_windows", q67 _, Some(q67Sql))
   )
 }

@@ -19,7 +19,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q31_cosine_knn",       // all-pairs ≠ join (exact baseline)
     "q48_skyline",          // dominance anti-join over tiny local skylines
     "q21_scalar_subquery",  // 1-row broadcast threshold join
-    "q62_bloom_prefilter_join") // 1-row bloom-bitset broadcast onto the probe scan
+    "q62_bloom_prefilter_join", // 1-row bloom-bitset broadcast onto the probe scan
+    "q66_tfidf_search")     // 1-row corpus-size broadcast into the scoring agg
 
   test("no declared query plans a cartesian product; BNLJ only where intended") {
     // streaming queries execute on materialization, not plan-inspectable

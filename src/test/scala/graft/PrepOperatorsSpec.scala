@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contracts for the sequence-prep / layout operators beyond their
+  * oracle-pinned query settings: [[graft.llm.Chunker]],
+  * [[graft.llm.Lexical]], [[graft.operators.ZOrder]]. */
+class PrepOperatorsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.hive
+
+  test("chunker covers every token; consecutive chunks overlap by window−stride") {
+    val s = spark
+    import s.implicits._
+    val text = (1 to 100).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, text)).toDF("id", "text")
+    val chunks = graft.llm.Chunker.chunk(df, "id", "text", window = 32, stride = 24)
+      .orderBy("chunk_id").collect()
+    // 100 tokens, w=32, s=24 → 1 + ceil(68/24) = 4 chunks
+    assert(chunks.map(_.getInt(1)).toSeq == Seq(0, 1, 2, 3))
+    // chunk k starts at 24k: full windows except the tail (100−72=28)
+    assert(chunks.map(_.getInt(2)).toSeq == Seq(32, 32, 32, 28))
+    // coverage: last chunk start 72 + 28 = 100 = every token seen;
+    // overlap: consecutive starts differ by 24 < 32 → 8-token overlap
+  }
+
+  test("chunker: short doc yields exactly one whole-doc chunk") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a b c")).toDF("id", "text")
+    val rows = graft.llm.Chunker.chunk(df, "id", "text", 32, 24).collect()
+    assert(rows.length == 1 && rows.head.getInt(1) == 0 && rows.head.getInt(2) == 3)
+    assert(rows.head.getLong(3) == graft.functions.PolyHash.hash("a b c"))
+  }
+
+  test("lexical search matches a brute-force tf·idf reference") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "apple cherry cherry date"), (4L, "date date date"))
+    val terms = Seq("apple", "cherry")
+    val n = corpus.size.toLong
+    val tf = corpus.map { case (id, t) =>
+      id -> terms.map(q => q -> t.split(" ").count(_ == q).toLong).filter(_._2 > 0).toMap
+    }.toMap
+    val dft = terms.map(q => q -> tf.values.count(_.contains(q)).toLong).toMap
+    val expected = tf.collect { case (id, m) if m.nonEmpty =>
+      (id, m.map { case (q, f) => f * ((n * 1000000L) / dft(q)) }.sum, m.size)
+    }.toSet
+    val got = graft.llm.Lexical.search(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", terms, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected)
+  }
+
+  test("z-value matches a reference interleave and preserves rectangle locality") {
+    val s = spark
+    import s.implicits._
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    val pts = for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)
+    val got = pts.toDF("x", "y")
+      .withColumn("z", graft.operators.ZOrder.zValue(col("x"), col("y"), bits = 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pts.foreach { case (x, y) => assert(got((x, y)) == ref(x, y, 4)) }
+    // z is a bijection on the 16×16 grid
+    assert(got.values.toSet.size == 256)
+    // locality: each quarter of z-space is exactly one 8×8 quadrant
+    val byShard = got.groupBy(_._2 >> 6).view.mapValues(_.keys.toSeq)
+    byShard.foreach { case (_, cell) =>
+      assert(cell.map(_._1).max - cell.map(_._1).min <= 7)
+      assert(cell.map(_._2).max - cell.map(_._2).min <= 7)
+    }
+  }
+}
