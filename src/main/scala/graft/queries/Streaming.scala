@@ -87,10 +87,41 @@ object Streaming {
       |  COUNT(DISTINCT (user_id, event_type)) AS n_active_pairs
       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------- q69
+  /** Stream-stream interval join ([[EventStreams.clickViewJoin]]):
+    * clicks matched to same-user views within the prior 10 minutes,
+    * executed as a real watermarked append-mode stream-stream join;
+    * the per-user summary runs in batch over the streamed join
+    * output. The oracle is the equivalent batch interval join at
+    * second precision.
+    */
+  def q69(spark: SparkSession, sfDir: String): DataFrame =
+    EventStreams.runToTable(spark,
+        EventStreams.clickViewJoin(EventStreams.source(spark, sfDir)),
+        "stream_click_view", outputMode = "append")
+      .groupBy(col("c_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        max(col("c_ts").cast("long") - col("v_ts").cast("long")).as("max_gap_s"))
+      .orderBy(col("user_id"))
+
+  val q69Sql: String =
+    """WITH c AS (
+      |  SELECT user_id, CAST(epoch(DATE_TRUNC('second', ts)) AS BIGINT) AS c_s
+      |  FROM events WHERE event_type = 'click'),
+      |v AS (
+      |  SELECT user_id, CAST(epoch(DATE_TRUNC('second', ts)) AS BIGINT) AS v_s
+      |  FROM events WHERE event_type = 'view')
+      |SELECT c.user_id AS user_id, COUNT(*) AS n_pairs,
+      |  CAST(MAX(c_s - v_s) AS BIGINT) AS max_gap_s
+      |FROM c JOIN v ON c.user_id = v.user_id
+      |  AND v_s >= c_s - 600 AND v_s <= c_s
+      |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_stream_daily_window", q40 _, Some(q40Sql)),
     ("q41_stream_sliding_window", q41 _, Some(q41Sql)),
     ("q42_stream_session_window", q42 _, Some(q42Sql)),
-    ("q43_stream_dedup_daily", q43 _, Some(q43Sql))
+    ("q43_stream_dedup_daily", q43 _, Some(q43Sql)),
+    ("q69_stream_stream_join", q69 _, Some(q69Sql))
   )
 }

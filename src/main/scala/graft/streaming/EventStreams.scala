@@ -117,6 +117,29 @@ object EventStreams {
       .groupBy(col("day_ts").cast("date").as("day"))
       .agg(count(lit(1)).as("n_active_pairs"))
 
+  /** Stream-stream interval self-join: each click matched to the same
+    * user's views from the preceding 10 minutes. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * buffered join state is evictable (watermark + interval = how far
+    * back a match can reach) — the requirements Spark imposes for
+    * state cleanup on stream-stream joins, and the reason an
+    * unbounded-interval join would grow state forever on a 100 TB/day
+    * stream. Timestamps are pre-truncated to seconds so the batch
+    * oracle's integer arithmetic matches exactly. Inner join → append
+    * mode (each match emitted once, no rewrites).
+    */
+  def clickViewJoin(events: DataFrame): DataFrame = {
+    val sec = events.withColumn("ts", date_trunc("second", col("ts")))
+    val clicks = sec.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val views = sec.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    clicks.join(views, expr(
+      "c_user = v_user AND v_ts >= c_ts - interval 10 minutes AND v_ts <= c_ts"))
+  }
+
   /** Custom stateful operator (`flatMapGroupsWithState`): per-user
     * running counters that survive across micro-batches — the escape
     * hatch for state machines the built-in windows can't express
@@ -155,7 +178,8 @@ object EventStreams {
     * through a distributed sink (the parquet streaming sink covered
     * by `SinksSpec`, or kafka/delta in a real deployment).
     */
-  def runToTable(spark: SparkSession, streamed: DataFrame, name: String): DataFrame = {
+  def runToTable(spark: SparkSession, streamed: DataFrame, name: String,
+                 outputMode: String = "complete"): DataFrame = {
     val checkpoint = java.nio.file.Files.createTempDirectory(s"graft-ckpt-$name")
     // State-store sizing: a stateful operator materializes one state
     // store instance (snapshot + delta files per micro-batch) per
@@ -174,7 +198,7 @@ object EventStreams {
       streamed.writeStream
         .format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(outputMode)
         .option("checkpointLocation", checkpoint.toString)
         .trigger(Trigger.AvailableNow())
         .start()

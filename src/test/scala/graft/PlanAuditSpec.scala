@@ -26,7 +26,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // streaming queries execute on materialization, not plan-inspectable
     // the same way — their plans are exercised by their own suite
     val skip = Set("q40_stream_daily_window", "q41_stream_sliding_window",
-      "q42_stream_session_window", "q43_stream_dedup_daily")
+      "q42_stream_session_window", "q43_stream_dedup_daily",
+      "q69_stream_stream_join")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => skip(n) }
       .flatMap { case (name, fn) =>

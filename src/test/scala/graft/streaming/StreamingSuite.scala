@@ -57,6 +57,29 @@ class StreamingSuite extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches inside the bound, not outside") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams.clickViewJoin(input.toDF)
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", typ = "view"),   // 5 min before → match
+        ev(2, "2024-01-01 09:54:00", typ = "view"),   // 11 min before → no
+        ev(3, "2024-01-01 10:06:00", typ = "click"),
+        ev(4, "2024-01-01 10:05:00", typ = "view", user = 2L), // other user → no
+        ev(5, "2024-01-01 10:07:00", typ = "view"))   // after the click → no
+      q.processAllAvailable()
+      val pairs = s.table("ss_join").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(3).toString)).toSet
+      assert(pairs == Set((1L, "2024-01-01 10:00:00.0")),
+        s"exactly the in-interval same-user view must match, got $pairs")
+    } finally q.stop()
+  }
+
   test("session windows merge events within the gap and split beyond it") {
     val s = spark
     import s.implicits._
