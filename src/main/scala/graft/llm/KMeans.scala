@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** Quantized Lloyd k-means over an embedding column — the clustering
   * stage of semantic dedup (cluster embeddings, keep one representative
-  * per cluster; cf. SemDeDup, Abbas et al. 2023, PAPERS.md) and the
-  * trainer for IVF codebooks ([[VectorSearch.ivfSearch]] consumes a
-  * label column; `assign` produces one).
+  * per cluster; cf. "SemDeDup: Data-efficient learning at web-scale
+  * through semantic deduplication", Abbas et al., arXiv:2303.09540)
+  * and the trainer for IVF codebooks ([[VectorSearch.ivfSearch]]
+  * consumes a label column; `assign` produces one).
   *
   * All arithmetic is exact integer math so results are deterministic
   * and engine-portable (the DuckDB oracle reproduces them bit-for-bit):

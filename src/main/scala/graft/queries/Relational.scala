@@ -734,6 +734,29 @@ object Relational {
        |FROM customer b FULL OUTER JOIN updates u ON b.c_custkey = u.c_custkey
        |ORDER BY c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- q71
+  /** Correlated aggregate subquery through the SQL entry path: orders
+    * beating 1.5× their own customer's average order value. One SQL
+    * text serves both engines — the average is the exact decimal form,
+    * so the correlated threshold is bit-identical. Catalyst
+    * decorrelates this into an aggregate + equi-join (no per-row
+    * re-execution); the plan audit would flag any regression into a
+    * nested-loop shape.
+    */
+  val q71Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders
+      |FROM orders o
+      |WHERE o_totalprice > (
+      |  SELECT 1.5 * CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(27,4))) AS DOUBLE)
+      |         / COUNT(*)
+      |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  def q71(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.Tables.registerAll(spark, sfDir)
+    spark.sql(q71Sql)
+  }
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q01_pricing_summary", q01 _, Some(q01Sql)),
     ("q02_top_orders", q02 _, Some(q02Sql)),
@@ -763,6 +786,7 @@ object Relational {
     // sketch outputs are engine-specific → deliberate rows-only check
     ("q56_sketch_aggregates", q56 _, Some(q56Sql)),
     ("q62_bloom_prefilter_join", q62 _, Some(q62Sql)),
-    ("q64_merge_upsert", q64 _, Some(q64Sql))
+    ("q64_merge_upsert", q64 _, Some(q64Sql)),
+    ("q71_correlated_subquery", q71 _, Some(q71Sql))
   )
 }

@@ -394,6 +394,33 @@ object Text {
        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q70
+  /** Concat-and-cut sequence packing ([[graft.llm.Packer]]): documents
+    * laid end-to-end per hash bucket, cut every 256 tokens; output is
+    * the per-(bucket, batch) fill summary. Buckets are the
+    * parallelism unit — packing is sequential only within a bucket.
+    */
+  def q70(spark: SparkSession, sfDir: String): DataFrame =
+    graft.llm.Packer.pack(docs(spark, sfDir), "doc_id", "text",
+        capacity = 256, buckets = 8)
+      .groupBy(col("bucket"), col("batch"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy(col("bucket"), col("batch"))
+
+  val q70Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(doc_id % 8 AS INT) AS bucket,
+      |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, bucket, n_tokens,
+      |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev_cum
+      |  FROM d)
+      |SELECT bucket, prev_cum // 256 AS batch, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+      |FROM c GROUP BY bucket, batch ORDER BY bucket, batch""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_token_stats", q34 _, Some(q34Sql)),
     ("q35_lang_id_confusion", q35 _, Some(q35Sql)),
@@ -404,6 +431,7 @@ object Text {
     ("q63_pii_redaction", q63 _, Some(q63Sql)),
     ("q65_vocab_encode", q65 _, Some(q65Sql)),
     ("q66_tfidf_search", q66 _, Some(q66Sql)),
-    ("q67_chunk_windows", q67 _, Some(q67Sql))
+    ("q67_chunk_windows", q67 _, Some(q67Sql)),
+    ("q70_sequence_pack", q70 _, Some(q70Sql))
   )
 }

@@ -55,6 +55,32 @@ class PrepOperatorsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("packer: batch*capacity + offset reconstructs the bucket token stream") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val docs = (0L until 200L).map(i =>
+      (i, Seq.fill(1 + rnd.nextInt(60))("w").mkString(" ")))
+    val packed = graft.llm.Packer
+      .pack(docs.toDF("id", "text"), "id", "text", capacity = 64, buckets = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    val byBucket = packed.groupBy(_._2)
+    assert(byBucket.keySet == Set(0, 1, 2, 3))
+    byBucket.foreach { case (b, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).foreach { case (id, _, batch, offset, n) =>
+        assert(id % 4 == b)
+        // the doc starts exactly where the previous ones ended
+        assert(batch * 64 + offset == cum, s"doc $id misplaced")
+        assert(n == docs(id.toInt)._2.split(" ").length)
+        cum += n
+      }
+      // the last doc's batch never exceeds the stream's final cut
+      assert(rows.map(_._3).max <= (cum - 1) / 64)
+    }
+  }
+
   test("z-value matches a reference interleave and preserves rectangle locality") {
     val s = spark
     import s.implicits._
