@@ -757,6 +757,52 @@ object Relational {
     spark.sql(q71Sql)
   }
 
+  // ---------------------------------------------------------------- q72
+  /** Statistical aggregates (corr / sample covariance) in exact-then-
+    * double form: the five moment sums are exact decimals (order-
+    * independent), cast to double once, and the corr/covar formulas
+    * run in the identical written order in both engines — so the
+    * results are bit-identical where the native `corr()` (double
+    * accumulation, partition-order-dependent) would not be. The
+    * per-row products are computed in double and rounded to 4
+    * decimals by the decimal cast, identically in both engines.
+    */
+  def q72(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(COUNT(*) AS DOUBLE)").as("dn"),
+        expr("CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE)").as("dsx"),
+        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)").as("dsy"),
+        expr("CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,4))) AS DOUBLE)").as("dsxx"),
+        expr("CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)").as("dsyy"),
+        expr("CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)").as("dsxy"))
+      .select(col("l_returnflag"), col("n"),
+        expr("ROUND((dn * dsxy - dsx * dsy) / " +
+          "(sqrt(dn * dsxx - dsx * dsx) * sqrt(dn * dsyy - dsy * dsy)), 6)")
+          .as("corr_qty_price"),
+        expr("ROUND((dsxy - dsx * dsy / dn) / (dn - 1.0), 4)")
+          .as("covar_qty_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q72Sql: String =
+    """WITH comp AS (
+      |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(COUNT(*) AS DOUBLE) AS dn,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS dsx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS dsy,
+      |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS dsxx,
+      |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS dsyy,
+      |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS dsxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  ROUND((dn * dsxy - dsx * dsy) /
+      |        (sqrt(dn * dsxx - dsx * dsx) * sqrt(dn * dsyy - dsy * dsy)), 6)
+      |    AS corr_qty_price,
+      |  ROUND((dsxy - dsx * dsy / dn) / (dn - 1.0), 4) AS covar_qty_price
+      |FROM comp ORDER BY l_returnflag""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q01_pricing_summary", q01 _, Some(q01Sql)),
     ("q02_top_orders", q02 _, Some(q02Sql)),
@@ -787,6 +833,7 @@ object Relational {
     ("q56_sketch_aggregates", q56 _, Some(q56Sql)),
     ("q62_bloom_prefilter_join", q62 _, Some(q62Sql)),
     ("q64_merge_upsert", q64 _, Some(q64Sql)),
-    ("q71_correlated_subquery", q71 _, Some(q71Sql))
+    ("q71_correlated_subquery", q71 _, Some(q71Sql)),
+    ("q72_corr_covar", q72 _, Some(q72Sql))
   )
 }

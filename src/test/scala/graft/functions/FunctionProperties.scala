@@ -85,4 +85,18 @@ object FunctionProperties extends Properties("functions") {
       val h = PolyHash.hash(s)
       h >= 0L && h < PolyHash.Mod && h == PolyHash.hash(new String(s))
     }
+
+  property("bloom filter: no false negatives under any geometry or merge split") =
+    forAll(Gen.listOf(Gen.choose(Long.MinValue, Long.MaxValue)),
+      Gen.oneOf(64, 128, 1024), Gen.choose(1, 8)) { (keys, numBits, numHashes) =>
+      // build as two merged partials, like a partial/final aggregate
+      val (a, b) = keys.splitAt(keys.length / 2)
+      val bufA = new Array[Long](numBits / 64)
+      val bufB = new Array[Long](numBits / 64)
+      a.foreach(k => BloomRuntime.set(bufA, k, numHashes))
+      b.foreach(k => BloomRuntime.set(bufB, k, numHashes))
+      val merged = bufA.zip(bufB).map { case (x, y) => x | y }
+      val bits = new GenericArrayData(merged)
+      keys.forall(k => BloomRuntime.contains(bits, k, numHashes))
+    }
 }
