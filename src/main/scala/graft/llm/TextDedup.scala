@@ -150,6 +150,38 @@ object TextDedup {
       .select(col("d1"), col("d2"), col("containment"))
   }
 
+  /** Benchmark decontamination: flag corpus documents that share any
+    * word n-gram with a (small) benchmark/eval set — the standard
+    * test-set-overlap check run before training (n-gram overlap
+    * decontamination as popularized by the GPT-3 appendix; public
+    * method, independent implementation).
+    *
+    * Output: one row per contaminated corpus doc —
+    * (idCol, n_shingles, n_overlap, contamination, bench_id) where
+    * `contamination` = overlapping / total distinct shingles and
+    * `bench_id` is the smallest benchmark doc contributing a hit.
+    *
+    * Scale design: the benchmark side is eval-set sized (≤ millions
+    * of n-grams), so its distinct shingle table is built once,
+    * aggregated to (h → min bench id), and BROADCAST; the 100 TB
+    * corpus side is one scan + native rolling-hash pass + broadcast
+    * hash probe — no corpus-wide shuffle. Only matched (doc, h) rows
+    * (contaminated docs only) reach the final per-doc aggregation.
+    */
+  def contaminationOverlap(corpus: DataFrame, bench: DataFrame,
+                           idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val bset = hashedShingles(bench, idCol, textCol, n)
+      .select(col(idCol).as("bid"), explode(col("hs")).as("h"))
+      .groupBy(col("h")).agg(min(col("bid")).as("bid"))
+    val corp = hashedShingles(corpus, idCol, textCol, n)
+      .select(col(idCol), col("sz"), explode(col("hs")).as("h"))
+    corp.join(broadcast(bset), "h")
+      .groupBy(col(idCol), col("sz"))
+      .agg(count(lit(1)).as("n_overlap"), min(col("bid")).as("bench_id"))
+      .select(col(idCol), col("sz").as("n_shingles"), col("n_overlap"),
+        (col("n_overlap") / col("sz")).as("contamination"), col("bench_id"))
+  }
+
   /** MinHash signatures (in-row native pass) + LSH band candidates
     * with signature-estimated and exact Jaccard similarity.
     * Output: d1, d2, est_sim, jac. `k` must be `bands * rowsPerBand`.

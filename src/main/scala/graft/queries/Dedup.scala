@@ -251,12 +251,46 @@ object Dedup {
        |FROM j WHERE inter * 10 >= mn * 9
        |ORDER BY d1, d2""".stripMargin
 
+  // ---------------------------------------------------------------- q73
+  /** Benchmark decontamination: corpus docs sharing any word 3-gram
+    * with the benchmark set (here: every 97th doc stands in for an
+    * eval set; the operator takes any two frames). The oracle builds
+    * the identical shingle sets and join in DuckDB, so the broadcast
+    * overlap plan is value-checked end to end.
+    */
+  def q73(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val bench = d.where(col("doc_id") % 97 === 0)
+    val corpus = d.where(col("doc_id") % 97 =!= 0)
+    graft.llm.TextDedup.contaminationOverlap(corpus, bench, "doc_id", "text", n = 3)
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        round(col("contamination"), 6).as("contamination"), col("bench_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q73Sql: String =
+    s"""WITH ${shinglesSql(3)},
+       |hsh AS (SELECT doc_id,
+       |          list_distinct(list_transform(shingles, s -> ${PolyHash.duckdbSql("s")})) AS hs
+       |        FROM sh),
+       |bset AS (SELECT h, MIN(bid) AS bench_id
+       |         FROM (SELECT doc_id AS bid, unnest(hs) AS h FROM hsh WHERE doc_id % 97 = 0)
+       |         GROUP BY h),
+       |corp AS (SELECT doc_id, len(hs) AS sz, unnest(hs) AS h
+       |         FROM hsh WHERE doc_id % 97 <> 0)
+       |SELECT c.doc_id, c.sz AS n_shingles, COUNT(*) AS n_overlap,
+       |  ROUND(COUNT(*) / CAST(c.sz AS DOUBLE), 6) AS contamination,
+       |  MIN(b.bench_id) AS bench_id
+       |FROM corp c JOIN bset b USING (h)
+       |GROUP BY c.doc_id, c.sz ORDER BY c.doc_id""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q27_exact_dedup", q27 _, Some(q27Sql)),
     ("q28_ngram_jaccard_neardup", q28 _, Some(q28Sql)),
     ("q29_minhash_lsh_neardup", q29 _, Some(q29Sql)),
     ("q30_simhash_neardup", q30 _, Some(q30Sql)),
     ("q54_neardup_clusters", q54 _, Some(q54Sql)),
-    ("q60_containment_neardup", q60 _, Some(q60Sql))
+    ("q60_containment_neardup", q60 _, Some(q60Sql)),
+    ("q73_decontamination", q73 _, Some(q73Sql))
   )
 }

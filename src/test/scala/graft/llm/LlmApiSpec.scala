@@ -295,6 +295,22 @@ class LlmApiSpec extends AnyFunSuite {
     single.foreach { case (va, c1) => assert(multi(va) >= c1 - 1e-12) }
   }
 
+  test("contamination overlap flags exactly the docs sharing a bench n-gram") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma zeta"),   // shares 1 of its 2 shingles
+      (2L, "alpha beta gamma delta"),  // identical → contamination 1.0
+      (3L, "zeta eta theta iota"),     // disjoint
+      (4L, "beta gamma")               // too short for a 3-gram → dropped
+    ).toDF("doc_id", "text")
+    val got = TextDedup.contaminationOverlap(corpus, bench, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == ((1L, 0.5, 100L)))
+    assert(got(2L) == ((2L, 1.0, 100L)))
+  }
+
   test("quality score stays in [0,1] and sampling buckets cover the range") {
     val scored = TextStats.withQualityScore(docs, "text", Seq("the", "a", "of"))
     val mm = scored.agg(min("score"), max("score")).head()
