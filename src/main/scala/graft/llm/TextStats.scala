@@ -107,6 +107,33 @@ object TextStats {
     * Output: idCol, top_gram_frac, dup_gram_frac (docs shorter than
     * `max(nTop, nDup)` tokens are dropped — no full gram exists).
     */
+  /** Bigram language-model counts: adjacent-token pair frequencies
+    * with the conditional probability P(w2 | w1) = cnt / ctx_cnt,
+    * where ctx_cnt is w1's total bigram-context count. The building
+    * block of n-gram LM estimation and collocation mining.
+    *
+    * Scale shape: the pair stream is generated in-row (zip of two
+    * array slices — no self-join on token position), partially
+    * aggregated map-side on (w1, w2), and the context totals come
+    * from a second partial aggregation of the already-small count
+    * table — the corpus text is never shuffled. Vocabulary-sized
+    * output, corpus-sized input.
+    * Output: w1, w2, cnt, ctx_cnt, cond_p.
+    */
+  def bigramModel(df: DataFrame, textCol: String): DataFrame = {
+    val pairs = df
+      .select(toks(textCol).as("t"))
+      .where(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(slice(t, 1, size(t) - 1), (w, i) -> struct(w AS w1, t[i + 1] AS w2))")).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+    val counts = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+    val ctx = counts.groupBy(col("w1")).agg(sum(col("cnt")).as("ctx_cnt"))
+    counts.join(ctx, "w1")
+      .select(col("w1"), col("w2"), col("cnt"), col("ctx_cnt"),
+        (col("cnt") / col("ctx_cnt")).as("cond_p"))
+  }
+
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
                       nTop: Int = 2, nDup: Int = 3): DataFrame = {
     GraftFunctions.ensureRegistered(df.sparkSession)

@@ -365,6 +365,39 @@ object Events {
       |  COUNT(DISTINCT x) AS n_x, COUNT(DISTINCT y) AS n_y
       |FROM zv GROUP BY shard ORDER BY shard""".stripMargin
 
+  // ---------------------------------------------------------------- q75
+  /** Z-score outlier detection over event values, grouped by type:
+    * rows more than 3 sample standard deviations from their group
+    * mean ([[graft.operators.Outliers]]). The moment sums are exact
+    * decimals and the mean/std/z arithmetic runs in one written
+    * order, so the 3σ cut itself is engine-exact — no rounded-edge
+    * flakiness at the threshold.
+    */
+  def q75(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Outliers
+      .flag(ev(spark, sfDir), "value", Seq("event_type"), threshold = 3.0)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("mean"), 6).as("mean"), round(col("std"), 6).as("std"),
+        round(col("z"), 6).as("z"))
+      .orderBy(col("event_id"))
+
+  val q75Sql: String =
+    """WITH s AS (
+      |  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS dn,
+      |    CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS dsx,
+      |    CAST(SUM(CAST(value * value AS DECIMAL(38,4))) AS DOUBLE) AS dsxx
+      |  FROM events GROUP BY event_type HAVING COUNT(*) >= 2),
+      |z AS (
+      |  SELECT e.event_id, e.event_type, e.value,
+      |    dsx / dn AS mean,
+      |    sqrt((dn * dsxx - dsx * dsx) / (dn * (dn - 1.0))) AS std
+      |  FROM events e JOIN s USING (event_type))
+      |SELECT event_id, event_type, value,
+      |  ROUND(mean, 6) AS mean, ROUND(std, 6) AS std,
+      |  ROUND((value - mean) / std, 6) AS z
+      |FROM z WHERE std > 0.0 AND ABS((value - mean) / std) > 3.0
+      |ORDER BY event_id""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_events_json_stats", q23 _, Some(q23Sql)),
     ("q24_events_daily_window", q24 _, Some(q24Sql)),
@@ -375,6 +408,7 @@ object Events {
     ("q45_skew_salted_agg", q45 _, Some(q45Sql)),
     ("q46_map_functions", q46 _, Some(q46Sql)),
     ("q53_sessionization_day_bucketed", q53 _, Some(q53Sql)),
-    ("q68_zorder_layout", q68 _, Some(q68Sql))
+    ("q68_zorder_layout", q68 _, Some(q68Sql)),
+    ("q75_zscore_outliers", q75 _, Some(q75Sql))
   )
 }

@@ -421,6 +421,31 @@ object Text {
       |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
       |FROM c GROUP BY bucket, batch ORDER BY bucket, batch""".stripMargin
 
+  // ---------------------------------------------------------------- q74
+  /** Bigram language-model head: the 50 most frequent adjacent-token
+    * pairs with conditional probability P(w2 | w1). cond_p is a
+    * double division of the same two BIGINTs in both engines —
+    * bit-identical; ties in cnt break on (w1, w2).
+    */
+  def q74(spark: SparkSession, sfDir: String): DataFrame =
+    graft.llm.TextStats.bigramModel(docs(spark, sfDir), "text")
+      .select(col("w1"), col("w2"), col("cnt"), col("ctx_cnt"),
+        round(col("cond_p"), 6).as("cond_p"))
+      .orderBy(col("cnt").desc, col("w1"), col("w2"))
+      .limit(50)
+
+  val q74Sql: String =
+    """WITH d AS (SELECT string_split(text, ' ') AS s FROM documents),
+      |bg AS (SELECT unnest(s[1:len(s)-1]) AS w1, unnest(s[2:len(s)]) AS w2
+      |       FROM d WHERE len(s) >= 2),
+      |c AS (SELECT w1, w2, COUNT(*) AS cnt FROM bg GROUP BY w1, w2),
+      |t AS (SELECT w1, w2, cnt,
+      |        CAST(SUM(cnt) OVER (PARTITION BY w1) AS BIGINT) AS ctx_cnt
+      |      FROM c)
+      |SELECT w1, w2, cnt, ctx_cnt,
+      |  ROUND(cnt / CAST(ctx_cnt AS DOUBLE), 6) AS cond_p
+      |FROM t ORDER BY cnt DESC, w1, w2 LIMIT 50""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_token_stats", q34 _, Some(q34Sql)),
     ("q35_lang_id_confusion", q35 _, Some(q35Sql)),
@@ -432,6 +457,7 @@ object Text {
     ("q65_vocab_encode", q65 _, Some(q65Sql)),
     ("q66_tfidf_search", q66 _, Some(q66Sql)),
     ("q67_chunk_windows", q67 _, Some(q67Sql)),
-    ("q70_sequence_pack", q70 _, Some(q70Sql))
+    ("q70_sequence_pack", q70 _, Some(q70Sql)),
+    ("q74_bigram_model", q74 _, Some(q74Sql))
   )
 }

@@ -100,4 +100,41 @@ class PrepOperatorsSpec extends AnyFunSuite {
       assert(cell.map(_._2).max - cell.map(_._2).min <= 7)
     }
   }
+
+  test("z-score matches a scala reference; degenerate groups are dropped") {
+    val s = spark
+    import s.implicits._
+    val vals = Seq(1.0, 2.0, 3.0, 4.0, 100.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, "g", v) }
+      .toDF("id", "grp", "v")
+      .union(Seq((90L, "solo", 5.0), (91L, "const", 2.0), (92L, "const", 2.0))
+        .toDF("id", "grp", "v"))
+    val got = graft.operators.Outliers.withZScore(df, "v", Seq("grp"))
+      .select("id", "z").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // solo group (n=1) and zero-variance group produce no rows
+    assert(got.keySet == vals.indices.map(_.toLong).toSet)
+    val n = vals.size.toDouble
+    val mean = vals.sum / n
+    val std = math.sqrt(vals.map(v => (v - mean) * (v - mean)).sum / (n - 1))
+    vals.zipWithIndex.foreach { case (v, i) =>
+      assert(math.abs(got(i.toLong) - (v - mean) / std) < 1e-9)
+    }
+    assert(graft.operators.Outliers.flag(df, "v", Seq("grp"), 1.5)
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(4L))
+  }
+
+  test("bigram model counts adjacent pairs and normalizes per context") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a b a b c"), (2L, "a b"), (3L, "x")).toDF("id", "text")
+    val got = graft.llm.TextStats.bigramModel(df, "text")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    // pairs: (a,b)×3, (b,a)×1, (b,c)×1; doc 3 has no bigram
+    assert(got == Map(
+      ("a", "b") -> ((3L, 3L, 1.0)),
+      ("b", "a") -> ((1L, 2L, 0.5)),
+      ("b", "c") -> ((1L, 2L, 0.5))))
+  }
 }
