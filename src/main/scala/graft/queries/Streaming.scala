@@ -117,11 +117,37 @@ object Streaming {
       |  AND v_s >= c_s - 600 AND v_s <= c_s
       |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q76
+  /** Stream-static enrichment join ([[EventStreams.enrichJoin]]):
+    * the events stream joined per micro-batch to the static customer
+    * dimension (user_id = c_custkey, broadcast), then summarized by
+    * market segment in batch over the streamed join output. Stateless
+    * append mode — the streaming counterpart of the batch broadcast
+    * joins q05/q07.
+    */
+  def q76(spark: SparkSession, sfDir: String): DataFrame =
+    EventStreams.runToTable(spark,
+        EventStreams.enrichJoin(EventStreams.source(spark, sfDir),
+          graft.Tables.load(spark, sfDir, "customer"),
+          "user_id", "c_custkey", Seq("c_mktsegment")),
+        "stream_enriched", outputMode = "append")
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), graft.Num.dsum(col("value")).as("sum_value"))
+      .orderBy(col("c_mktsegment"), col("event_type"))
+
+  val q76Sql: String =
+    s"""SELECT c_mktsegment, event_type, COUNT(*) AS n,
+       |  ${graft.Num.dsumSql("value")} AS sum_value
+       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+       |GROUP BY c_mktsegment, event_type
+       |ORDER BY c_mktsegment, event_type""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_stream_daily_window", q40 _, Some(q40Sql)),
     ("q41_stream_sliding_window", q41 _, Some(q41Sql)),
     ("q42_stream_session_window", q42 _, Some(q42Sql)),
     ("q43_stream_dedup_daily", q43 _, Some(q43Sql)),
-    ("q69_stream_stream_join", q69 _, Some(q69Sql))
+    ("q69_stream_stream_join", q69 _, Some(q69Sql)),
+    ("q76_stream_static_join", q76 _, Some(q76Sql))
   )
 }

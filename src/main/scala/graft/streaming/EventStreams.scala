@@ -140,6 +140,24 @@ object EventStreams {
       "c_user = v_user AND v_ts >= c_ts - interval 10 minutes AND v_ts <= c_ts"))
   }
 
+  /** Stream-static enrichment join: each micro-batch of the stream is
+    * joined to a static dimension table — the standard lookup/enrich
+    * stage of a streaming pipeline. Stateless (no watermark or join
+    * state: the static side is complete by definition), so it runs in
+    * append mode with no state store at all.
+    *
+    * Scale shape: the dimension is pruned to the join key + requested
+    * columns and BROADCAST, so each micro-batch is a map-side hash
+    * probe — the stream is never shuffled. A huge dimension would
+    * instead pre-shuffle both sides on the key; that variant is the
+    * batch q05/q07 shape and needs no streaming-specific code.
+    */
+  def enrichJoin(events: DataFrame, dim: DataFrame, keyCol: String,
+                 dimKey: String, dimCols: Seq[String]): DataFrame =
+    events.join(
+      broadcast(dim.select((col(dimKey).as(keyCol) +: dimCols.map(col)): _*)),
+      Seq(keyCol))
+
   /** Custom stateful operator (`flatMapGroupsWithState`): per-user
     * running counters that survive across micro-batches — the escape
     * hatch for state machines the built-in windows can't express

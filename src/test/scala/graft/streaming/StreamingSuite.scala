@@ -178,4 +178,28 @@ class StreamingSuite extends AnyFunSuite {
       assert(rows == Set(("2024-01-01", 2L), ("2024-01-02", 1L)))
     } finally q.stop()
   }
+
+  test("stream-static enrich join is stateless and inner on the dim key") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[Ev]
+    val dim = Seq((1L, "AUTO"), (2L, "HOUSE")).toDF("k", "segment")
+    val q = EventStreams.enrichJoin(input.toDF, dim, "user_id", "k", Seq("segment"))
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      input.addData(ev(1, "2024-01-01 10:00:00", user = 1L))
+      q.processAllAvailable()
+      input.addData(
+        ev(2, "2024-01-01 10:01:00", user = 2L),
+        ev(3, "2024-01-01 10:02:00", user = 9L)) // no dim row → dropped
+      q.processAllAvailable()
+      val rows = s.table("enriched").collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("segment"))).toSet
+      assert(rows == Set((1L, "AUTO"), (2L, "HOUSE")))
+      // stateless: no state store operators in the executed plan
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
 }
