@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Fixed-iteration PageRank in exact integer arithmetic.
+  *
+  * Ranks are scaled longs (`scale` = 1.0) and every step is integer
+  * div/mod, so the result is bit-identical across engines, partition
+  * counts, and add orders — the floating-point formulation is none of
+  * those, and a declared query could not be oracle-checked. With
+  * damping d = num/den and per-node seed mass `scale`:
+  *
+  *   rank'(v) = scale·(den−num)/den + num·Σ_{(u,v)∈E} (rank(u) div outdeg(u)) div den
+  *
+  * Dangling mass (nodes with no out-edges) is dropped, matching the
+  * common sparse formulation; iterations are a declared constant, not
+  * run-to-convergence — both engines compute the same fixpoint prefix.
+  *
+  * Scale design: the edge list (joined with out-degrees once, persisted
+  * — it is reused every iteration) shuffles on `src`; each iteration is
+  * one partial-aggregated shuffle on `dst` plus one left join back to
+  * the node set. That is the textbook O(iters) round structure — no
+  * driver-side state, no collect; rank-table size is |V|, edge table
+  * |E|, both partition-parallel. Overflow bound: total in-flight mass
+  * is ≤ |V|·scale, so |V|·scale must stay below 2^63 (document at call
+  * site; 10^6 nodes at the default scale is safe by 3 orders).
+  */
+object PageRank {
+
+  /** @param edges two columns `src`, `dst` (long node ids); multi-edges
+    *              should be `.distinct()`-ed by the caller if unwanted
+    * @param iters number of synchronous iterations (≥ 0)
+    * @return one row per node: `node`, `rank` (scaled long)
+    */
+  def run(edges: DataFrame, iters: Int,
+          scale: Long = 1000000000000L,
+          dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = edges.join(outdeg, "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val base = scale / dampDen * (dampDen - dampNum)
+    var ranks = nodes.select(col("node"), lit(scale).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = edgesDeg
+        .join(ranks, edgesDeg("src") === ranks("node"))
+        .select(col("dst"), expr("rank div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = nodes
+        .join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(col("node"),
+          expr(s"${base}L + ($dampNum * coalesce(s, 0L)) div $dampDen").as("rank"))
+    }
+    ranks
+  }
+}

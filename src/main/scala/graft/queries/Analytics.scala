@@ -1,0 +1,287 @@
+package graft.queries
+
+import graft.{Num, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-5 analytic additions: ordered array/string aggregation,
+  * mergeable sketch re-aggregation, equi-depth binning, range-frame
+  * windows, and explicit GROUPING SETS — the remaining standard
+  * analytic shapes a warehouse user reaches for daily.
+  *
+  * Scale notes per operator are on each query; the common thread is
+  * that every shuffle here is on a bounded-cardinality key (nation,
+  * event_type, decile) or is a partial-aggregated map-side combine
+  * (sketches, decimal sums) before it.
+  */
+object Analytics {
+
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    Tables.load(spark, sfDir, name)
+
+  // ---------------------------------------------------------------- q77
+  /** Ordered collect/string aggregation: per nation, the five
+    * lexicographically-first customer names, comma-joined.
+    *
+    * `collect_list` is unordered by contract (partition arrival order);
+    * the deterministic form is collect → `array_sort` → `slice` —
+    * order is imposed *after* aggregation, so the plan keeps map-side
+    * partial aggregation and the result is engine- and
+    * partitioning-independent. The per-group state is bounded only by
+    * group size; for 100 TB groups a bounded top-k aggregate (see
+    * [[graft.functions.TopKNeighborsAgg]]) is the drop-in — here the
+    * group is a nation's customers and the declared slice keeps 5.
+    */
+  def q77(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "customer")
+      .join(broadcast(t(spark, sfDir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        concat_ws(",", slice(array_sort(collect_list(col("c_name"))), 1, 5))
+          .as("first_names"))
+      .orderBy(col("n_name"))
+
+  val q77Sql: String =
+    """SELECT n_name, COUNT(*) AS n_customers,
+      |  array_to_string(list_sort(list(c_name))[1:5], ',') AS first_names
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q78
+  /** Mergeable-sketch re-aggregation — the 100 TB distinct-count
+    * pattern: build per-(event_type, day) HLL sketches once, then
+    * answer the coarser per-type question by *unioning sketches*
+    * instead of re-scanning the raw events. The declared output pins
+    * the exact distinct count and asserts the merged estimate lands in
+    * a ±5 % envelope (default lgConfigK=12 ⇒ ~1.6 % standard error),
+    * so the oracle is fully hash-checkable (exact values + TRUE).
+    */
+  def q78(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+    val daily = ev
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = daily
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"),
+        count(lit(1)).as("n_days"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.join(merged, "event_type")
+      .select(col("event_type"), col("n_exact"), col("n_days"),
+        (col("est") >= col("n_exact") * 0.95 &&
+          col("est") <= col("n_exact") * 1.05).as("est_in_envelope"))
+      .orderBy(col("event_type"))
+  }
+
+  val q78Sql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+      |  COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+      |  TRUE AS est_in_envelope
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q79
+  /** Equi-depth binning: NTILE(10) over order value (unique tie-break
+    * on o_orderkey makes the frame deterministic), then per-decile
+    * stats. The single global sort is the operator's contract — at
+    * 100 TB the same binning comes from `approxQuantile`-derived range
+    * bounds + a repartitionByRange, but the declared query pins exact
+    * NTILE semantics (remainder rows land in the leading deciles).
+    */
+  def q79(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(spark, sfDir, "orders")
+      .select(col("o_totalprice"), ntile(10).over(w).as("decile"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        Num.dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("decile"))
+  }
+
+  val q79Sql: String =
+    s"""WITH d AS (
+       |  SELECT o_totalprice,
+       |    NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+       |  FROM orders)
+       |SELECT decile, COUNT(*) AS n_orders,
+       |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+       |  ${Num.dsumSql("o_totalprice")} AS sum_price
+       |FROM d GROUP BY decile ORDER BY decile""".stripMargin
+
+  // ---------------------------------------------------------------- q80
+  /** RANGE-frame window: 7-day trailing revenue per nation over daily
+    * supplier revenue, 1995 only. The range frame is over an integer
+    * day index (`RANGE BETWEEN 6 PRECEDING AND CURRENT ROW`), so days
+    * missing from the data still widen the frame correctly — the
+    * ROWS-frame shortcut would silently skip gaps. Exact decimal sums
+    * inside the frame keep the double output bit-identical.
+    *
+    * Scale: the window partitions by nation over *daily aggregates*
+    * (365 rows per nation), not raw lineitem — the heavy reduction
+    * happens in the partial-aggregated groupBy before the window.
+    */
+  def q80(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+    val sup = t(spark, sfDir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val nat = t(spark, sfDir, "nation").select(col("n_nationkey"), col("n_name"))
+    val daily = li
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), to_date(col("l_shipdate")).as("day"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(27, 4))).as("rev"))
+      .withColumn("day_idx", datediff(col("day"), lit("1995-01-01")))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("day_idx"))
+      .rangeBetween(-6, Window.currentRow)
+    daily
+      .select(col("n_name"), col("day"),
+        col("rev").cast(DoubleType).as("day_rev"),
+        sum(col("rev")).over(w).cast(DoubleType).as("rev_7d"))
+      .orderBy(col("n_name"), col("day"))
+  }
+
+  val q80Sql: String =
+    """WITH daily AS (
+      |  SELECT n_name, CAST(l_shipdate AS DATE) AS day,
+      |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) AS rev,
+      |    datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS day_idx
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+      |  GROUP BY n_name, CAST(l_shipdate AS DATE))
+      |SELECT n_name, day, CAST(rev AS DOUBLE) AS day_rev,
+      |  CAST(SUM(rev) OVER (PARTITION BY n_name ORDER BY day_idx
+      |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d
+      |FROM daily ORDER BY n_name, day""".stripMargin
+
+  // ---------------------------------------------------------------- q81
+  /** Explicit GROUPING SETS with grouping_id — the general form that
+    * rollup/cube (q13/q14) specialize. The declared sets skip the
+    * (linestatus-only) level, which neither rollup nor cube can
+    * express, and carry `grouping_id()` so consumers can dispatch on
+    * level. Spark plans one Expand over the three sets with partial
+    * aggregation; keys COALESCE to 'ALL' for null-free output.
+    */
+  def q81(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "lineitem").createOrReplaceTempView("q81_lineitem")
+    spark.sql(
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  grouping_id() AS gid, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty
+        |FROM q81_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY gid, returnflag, linestatus""".stripMargin)
+  }
+
+  val q81Sql: String =
+    s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+       |  GROUPING(l_returnflag, l_linestatus) AS gid, COUNT(*) AS n,
+       |  ${Num.dsumSql("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+       |ORDER BY gid, returnflag, linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q82
+  /** Fixed-iteration integer PageRank ([[graft.operators.PageRank]])
+    * over the part↔supplier supply graph (both directions, so the
+    * bipartite graph has cycles and the fixpoint is non-trivial; node
+    * ids are parity-encoded to disjoint the key spaces). Three
+    * iterations, scale 10⁹ — small enough that |V|·scale·damping stays
+    * far under 2⁶³ at any tested sf. The oracle unrolls the identical
+    * three integer-arithmetic rounds as CTEs.
+    */
+  def q82(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+    val fwd = li.select((col("l_partkey") * 2).as("src"),
+      (col("l_suppkey") * 2 + 1).as("dst"))
+    val rev = li.select((col("l_suppkey") * 2 + 1).as("src"),
+      (col("l_partkey") * 2).as("dst"))
+    graft.operators.PageRank
+      .run(fwd.union(rev).distinct(), iters = 3, scale = 1000000000L)
+      .select(
+        when(col("node") % 2 === 0, "part").otherwise("supplier").as("kind"),
+        expr("node div 2").as("key"), col("node"), col("rank").as("rank_val"))
+      .orderBy(col("rank_val").desc, col("node"))
+      .limit(20)
+  }
+
+  val q82Sql: String = {
+    def round(prev: String): String =
+      s"""SELECT n.node, 150000000 + (85 * COALESCE(c.s, 0)) // 100 AS rank_val
+         |       FROM n LEFT JOIN (
+         |         SELECT e.dst, SUM(r.rank_val // d.outdeg) AS s
+         |         FROM e JOIN $prev r ON e.src = r.node
+         |         JOIN deg d ON e.src = d.src
+         |         GROUP BY e.dst) c ON n.node = c.dst""".stripMargin
+    s"""WITH e AS (
+       |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem
+       |  UNION
+       |  SELECT DISTINCT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst FROM lineitem),
+       |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+       |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank_val FROM n),
+       |r1 AS (${round("r0")}),
+       |r2 AS (${round("r1")}),
+       |r3 AS (${round("r2")})
+       |SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind,
+       |  node // 2 AS key, node, rank_val
+       |FROM r3 ORDER BY rank_val DESC, node LIMIT 20""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q83
+  /** Co-located (bucketed) join — the shuffle-free large-large join.
+    * Both sides are written bucketed AND sorted by the join key into
+    * the session warehouse, so the subsequent sort-merge join needs
+    * neither an Exchange nor a Sort on either side (asserted in
+    * `AnalyticsSpec`): at 100 TB this is the difference between
+    * re-shuffling both fact tables on every run and shuffling once at
+    * write time. The merge hint pins SMJ so the bucket layout (not a
+    * broadcast) is what's exercised; the oracle is the plain join —
+    * bucketing must be invisible to results.
+    */
+  def q83(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val l = t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    o.write.mode("overwrite").format("parquet")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("g83_orders")
+    l.write.mode("overwrite").format("parquet")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("g83_lineitem")
+    spark.table("g83_orders").hint("merge")
+      .join(spark.table("g83_lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        Num.dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q83Sql: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+       |  ${Num.dsumSql("l_extendedprice")} AS sum_price
+       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q77_ordered_listagg", q77 _, Some(q77Sql)),
+    ("q78_hll_mergeable", q78 _, Some(q78Sql)),
+    ("q79_ntile_deciles", q79 _, Some(q79Sql)),
+    ("q80_range_frame_7d", q80 _, Some(q80Sql)),
+    ("q81_grouping_sets", q81 _, Some(q81Sql)),
+    ("q82_pagerank_supply", q82 _, Some(q82Sql)),
+    ("q83_bucketed_join", q83 _, Some(q83Sql))
+  )
+}

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-5 analytic queries (q77–q83): invariants that the DuckDB
+  * oracle cannot express (plan shape, sketch envelopes, cross-query
+  * consistency) plus a pure-Scala reference for the integer PageRank.
+  */
+class AnalyticsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.hive
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // ---------------------------------------------------------- PageRank
+  /** Pure-Scala reference of the exact integer formulation in
+    * [[graft.operators.PageRank]] — same div/mod arithmetic, driver
+    * loop over an adjacency map.
+    */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int,
+                          scale: Long, num: Long = 85, den: Long = 100): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val base = scale / den * (den - num)
+    var rank = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .groupBy(_._2).view
+        .mapValues(_.map { case (s, _) => rank(s) / outdeg(s) }.sum).toMap
+      rank = nodes.map(n => n -> (base + num * contrib.getOrElse(n, 0L) / den)).toMap
+    }
+    rank
+  }
+
+  test("PageRank matches the pure integer reference on an asymmetric graph") {
+    val s = spark
+    import s.implicits._
+    // star-with-backedge: 1→2, 2→1, 3→1, 1→3 (node 1 is the hub)
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L), (1L, 3L))
+    val got = graft.operators.PageRank
+      .run(edges.toDF("src", "dst"), iters = 4, scale = 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refPageRank(edges, 4, 1000000L))
+    // the hub must outrank the leaves, and leaves tie by symmetry
+    assert(got(1L) > got(2L) && got(2L) == got(3L))
+  }
+
+  test("PageRank conserves mass on a cycle (every node keeps seed rank)") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val got = graft.operators.PageRank
+      .run(edges.toDF("src", "dst"), iters = 5, scale = 1000000000L)
+      .collect().map(_.getLong(1))
+    assert(got.forall(_ == 1000000000L))
+  }
+
+  // ------------------------------------------------------- q77 … q81
+  test("q77: names are the sorted 5-prefix and customer counts total") {
+    val rows = graft.queries.Analytics.q77(spark, sfDir).collect()
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == Tables.load(spark, sfDir, "customer").count())
+    rows.foreach { r =>
+      val names = r.getString(2).split(",")
+      assert(names.length <= 5 && (names sameElements names.sorted))
+    }
+  }
+
+  test("q78: merged-sketch estimates land in the declared envelope") {
+    val rows = graft.queries.Analytics.q78(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.forall(_.getBoolean(3)),
+      "HLL union estimate outside ±5% of exact distinct")
+  }
+
+  test("q79: ten deciles, counts total, boundaries monotonic") {
+    val rows = graft.queries.Analytics.q79(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 10))
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables.load(spark, sfDir, "orders").count())
+    val bounds = rows.map(r => (r.getDouble(2), r.getDouble(3)))
+    bounds.sliding(2).foreach { case Array((_, hi), (lo2, _)) =>
+      assert(hi <= lo2, "decile ranges overlap")
+    }
+  }
+
+  test("q80: trailing 7-day revenue is at least the day's revenue") {
+    val rows = graft.queries.Analytics.q80(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(3) >= r.getDouble(2) - 1e-6))
+  }
+
+  test("q81: grand-total level matches the full row count") {
+    val rows = graft.queries.Analytics.q81(spark, sfDir).collect()
+    assert(rows.map(_.getLong(2)).toSet == Set(0L, 1L, 3L))
+    val grand = rows.filter(_.getLong(2) == 3L)
+    assert(grand.length == 1)
+    assert(grand.head.getLong(3) ==
+      Tables.load(spark, sfDir, "lineitem").count())
+  }
+
+  // ------------------------------------------------------------- q83
+  test("q83: bucketed join plans without a join-side shuffle") {
+    val df = graft.queries.Analytics.q83(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 1, s"join side shuffled, plan:\n$plan")
+    assert(plan.contains("SortMergeJoin"), "merge hint did not pin SMJ")
+    assert(plan.contains("Bucketed: true"), "scan did not use bucketing")
+  }
+}
