@@ -35,7 +35,9 @@ object GraftFunctions {
       children(1).eval().asInstanceOf[Int],
       children(2).eval().asInstanceOf[Int]).toAggregateExpression()),
     "bloom_contains" -> (children => BloomMightContain(children(0), children(1),
-      children(2).eval().asInstanceOf[Int])))
+      children(2).eval().asInstanceOf[Int])),
+    "freq_candidates" -> (children => FreqItemsAgg(children(0),
+      children(1).eval().asInstanceOf[Int]).toAggregateExpression()))
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -253,6 +253,18 @@ object Analytics {
     * bucketing must be invisible to results.
     */
   def q83(spark: SparkSession, sfDir: String): DataFrame = {
+    // idempotence across JVMs: the warehouse dir outlives the session's
+    // in-memory catalog, and CREATE TABLE refuses a leftover location
+    val wh = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    Seq("g83_orders", "g83_lineitem").foreach { name =>
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(wh, name))
+    }
     val o = t(spark, sfDir, "orders")
       .select(col("o_orderkey"), col("o_orderpriority"))
     val l = t(spark, sfDir, "lineitem")
@@ -275,6 +287,44 @@ object Analytics {
        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q87
+  /** Incremental re-aggregation — the never-rescan-history pattern: a
+    * frozen base partial aggregate (orders before the cutover) and a
+    * fresh delta partial aggregate are COMBINED (sum-of-counts,
+    * sum-of-decimal-sums) instead of re-scanning the base data; the
+    * average derives from the merged moments. Works because count and
+    * decimal sum form a commutative monoid — the oracle recomputes
+    * from scratch and must match exactly, proving the decomposition
+    * is lossless. At 100 TB the base aggregate is a stored table and
+    * each increment touches only the delta.
+    */
+  def q87(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders")
+      .select(to_date(date_trunc("month", col("o_orderdate"))).as("month"),
+        col("o_orderdate"), col("o_totalprice"))
+    val cut = lit("1997-01-01").cast("timestamp")
+    def partial(df: DataFrame): DataFrame = df.groupBy(col("month"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(27, 4))).as("s"))
+    val base = partial(o.filter(col("o_orderdate") < cut))
+    val delta = partial(o.filter(col("o_orderdate") >= cut))
+    base.union(delta)
+      .groupBy(col("month"))
+      .agg(sum(col("n")).as("n_orders"), sum(col("s")).as("sdec"))
+      .select(col("month"), col("n_orders"),
+        col("sdec").cast(DoubleType).as("sum_price"),
+        round(col("sdec").cast(DoubleType) / col("n_orders"), 6).as("avg_price"))
+      .orderBy(col("month"))
+  }
+
+  val q87Sql: String =
+    """SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS sum_price,
+      |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE)
+      |    / COUNT(*), 6) AS avg_price
+      |FROM orders GROUP BY 1 ORDER BY month""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q77_ordered_listagg", q77 _, Some(q77Sql)),
     ("q78_hll_mergeable", q78 _, Some(q78Sql)),
@@ -282,6 +332,7 @@ object Analytics {
     ("q80_range_frame_7d", q80 _, Some(q80Sql)),
     ("q81_grouping_sets", q81 _, Some(q81Sql)),
     ("q82_pagerank_supply", q82 _, Some(q82Sql)),
-    ("q83_bucketed_join", q83 _, Some(q83Sql))
+    ("q83_bucketed_join", q83 _, Some(q83Sql)),
+    ("q87_incremental_reagg", q87 _, Some(q87Sql))
   )
 }

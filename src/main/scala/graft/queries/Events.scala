@@ -398,6 +398,43 @@ object Events {
       |FROM z WHERE std > 0.0 AND ABS((value - mean) / std) > 3.0
       |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q86
+  /** Sweep-line interval concurrency ([[graft.operators.Sweep]]): each
+    * event opens a 30-minute half-open activity span; the query reports
+    * the peak number of simultaneously-open spans per day. The operator
+    * runs the scalable two-level form — day-partitioned running sums
+    * plus a carry prefix over the tiny day dimension — while the
+    * oracle is the classic single-sort global sweep; both are exact
+    * integer arithmetic with end-before-start tie order, so they agree
+    * bit-for-bit.
+    */
+  def q86(spark: SparkSession, sfDir: String): DataFrame = {
+    val spans = ev(spark, sfDir)
+      .select(date_trunc("second", col("ts")).cast("long").as("start_s"))
+      .withColumn("end_s", col("start_s") + 1800L)
+    graft.operators.Sweep
+      .maxConcurrent(spans, t => to_date(timestamp_seconds(t)))
+      .withColumnRenamed("bucket", "day")
+      .orderBy(col("day"))
+  }
+
+  val q86Sql: String =
+    """WITH spans AS (
+      |  SELECT CAST(epoch(DATE_TRUNC('second', ts)) AS BIGINT) AS start_s,
+      |    CAST(epoch(DATE_TRUNC('second', ts)) AS BIGINT) + 1800 AS end_s
+      |  FROM events),
+      |p AS (
+      |  SELECT start_s AS t, 1 AS delta FROM spans
+      |  UNION ALL
+      |  SELECT end_s AS t, -1 AS delta FROM spans),
+      |r AS (
+      |  SELECT t, SUM(delta) OVER (ORDER BY t, delta
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      |  FROM p)
+      |SELECT CAST(to_timestamp(t) AS DATE) AS day,
+      |  CAST(MAX(run) AS BIGINT) AS max_concurrent
+      |FROM r GROUP BY 1 ORDER BY day""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_events_json_stats", q23 _, Some(q23Sql)),
     ("q24_events_daily_window", q24 _, Some(q24Sql)),
@@ -409,6 +446,7 @@ object Events {
     ("q46_map_functions", q46 _, Some(q46Sql)),
     ("q53_sessionization_day_bucketed", q53 _, Some(q53Sql)),
     ("q68_zorder_layout", q68 _, Some(q68Sql)),
-    ("q75_zscore_outliers", q75 _, Some(q75Sql))
+    ("q75_zscore_outliers", q75 _, Some(q75Sql)),
+    ("q86_concurrency_sweep", q86 _, Some(q86Sql))
   )
 }

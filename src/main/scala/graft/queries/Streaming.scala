@@ -142,12 +142,36 @@ object Streaming {
        |GROUP BY c_mktsegment, event_type
        |ORDER BY c_mktsegment, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q84
+  /** Streaming latest-state snapshot ([[EventStreams.latestSnapshot]]):
+    * the changelog-compaction / CDC-upsert pattern — per user, the
+    * arg-max event under (second-truncated ts, event_id), maintained
+    * as a streaming aggregate whose result is provably independent of
+    * micro-batch slicing. The oracle is the batch window argmax.
+    */
+  def q84(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir, "stream_snapshot", EventStreams.latestSnapshot)
+      .orderBy(col("user_id"))
+
+  val q84Sql: String =
+    """WITH r AS (
+      |  SELECT user_id,
+      |    CAST(epoch(DATE_TRUNC('second', ts)) AS BIGINT) AS ts_s,
+      |    event_id, event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY DATE_TRUNC('second', ts) DESC, event_id DESC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n_events
+      |  FROM events)
+      |SELECT user_id, ts_s, event_id, event_type, value, n_events
+      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_stream_daily_window", q40 _, Some(q40Sql)),
     ("q41_stream_sliding_window", q41 _, Some(q41Sql)),
     ("q42_stream_session_window", q42 _, Some(q42Sql)),
     ("q43_stream_dedup_daily", q43 _, Some(q43Sql)),
     ("q69_stream_stream_join", q69 _, Some(q69Sql)),
-    ("q76_stream_static_join", q76 _, Some(q76Sql))
+    ("q76_stream_static_join", q76 _, Some(q76Sql)),
+    ("q84_stream_upsert_snapshot", q84 _, Some(q84Sql))
   )
 }

@@ -446,6 +446,42 @@ object Text {
       |  ROUND(cnt / CAST(ctx_cnt AS DOUBLE), 6) AS cond_p
       |FROM t ORDER BY cnt DESC, w1, w2 LIMIT 50""".stripMargin
 
+  // ---------------------------------------------------------------- q85
+  /** Heavy hitters without a full-vocabulary shuffle: a mergeable
+    * Misra–Gries candidate pass ([[graft.functions.FreqItemsAgg]],
+    * capacity 256 ⇒ every token with share > 1/257 guaranteed
+    * surviving), then an exact re-count of candidates only, filtered
+    * at share > 1/200 — above the guarantee line, so the result is
+    * exact and independent of partition/merge order. At 100 TB this
+    * shuffles 256 counters per partition + the ~dozens of candidate
+    * keys, never the full token key space.
+    */
+  def q85(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = docs(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val sketch = toks.agg(
+      expr("freq_candidates(tok, 256)").as("cands"),
+      count(lit(1)).as("total"))
+    val cands = sketch.select(explode(col("cands")).as("tok"))
+    toks.join(broadcast(cands), Seq("tok"), "left_semi")
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(sketch.select(col("total"))))
+      .filter(col("n") * 200 > col("total"))
+      .select(col("tok"), col("n"),
+        round(col("n") / col("total").cast("double"), 6).as("share"))
+      .orderBy(col("n").desc, col("tok"))
+  }
+
+  val q85Sql: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |ne AS (SELECT tok FROM toks WHERE tok <> ''),
+      |t AS (SELECT COUNT(*) AS total FROM ne),
+      |c AS (SELECT tok, COUNT(*) AS n FROM ne GROUP BY tok)
+      |SELECT tok, n, ROUND(n / CAST(total AS DOUBLE), 6) AS share
+      |FROM c, t WHERE n * 200 > total ORDER BY n DESC, tok""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_token_stats", q34 _, Some(q34Sql)),
     ("q35_lang_id_confusion", q35 _, Some(q35Sql)),
@@ -458,6 +494,7 @@ object Text {
     ("q66_tfidf_search", q66 _, Some(q66Sql)),
     ("q67_chunk_windows", q67 _, Some(q67Sql)),
     ("q70_sequence_pack", q70 _, Some(q70Sql)),
-    ("q74_bigram_model", q74 _, Some(q74Sql))
+    ("q74_bigram_model", q74 _, Some(q74Sql)),
+    ("q85_heavy_hitters", q85 _, Some(q85Sql))
   )
 }

@@ -158,6 +158,29 @@ object EventStreams {
       broadcast(dim.select((col(dimKey).as(keyCol) +: dimCols.map(col)): _*)),
       Seq(keyCol))
 
+  /** Latest-state snapshot (streaming CDC/upsert materialization):
+    * per user, the arg-max event under the total order
+    * (second-truncated ts, event_id) — `max` over a struct compares
+    * lexicographically, and event_id is unique, so the result is
+    * independent of micro-batch boundaries and arrival order
+    * (commutative + associative), which is what makes an upsert
+    * stream deterministic. Truncation to seconds aligns the ordering
+    * key with what both engines can compare exactly (the raw parquet
+    * ts is ns; Spark holds µs). State: one struct per user — bounded
+    * by key cardinality, the standard changelog-compaction footprint.
+    */
+  def latestSnapshot(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(max(struct(
+        date_trunc("second", col("ts")).cast("long").as("ts_s"),
+        col("event_id"), col("event_type"), col("value"))).as("last"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("last.ts_s").as("ts_s"),
+        col("last.event_id").as("event_id"),
+        col("last.event_type").as("event_type"),
+        col("last.value").as("value"), col("n_events"))
+
   /** Custom stateful operator (`flatMapGroupsWithState`): per-user
     * running counters that survive across micro-batches — the escape
     * hatch for state machines the built-in windows can't express

@@ -98,6 +98,46 @@ class AnalyticsSpec extends AnyFunSuite {
       Tables.load(spark, sfDir, "lineitem").count())
   }
 
+  // ------------------------------------------------------------ Sweep
+  /** Brute-force reference: concurrency at point-times only, bucketed;
+    * same half-open tie rule (end applies before start).
+    */
+  private def refMaxConcurrent(spans: Seq[(Long, Long)],
+                               bucket: Long => Long): Map[Long, Long] = {
+    val points = spans.flatMap { case (s, e) => Seq((s, 1L), (e, -1L)) }
+      .sortBy { case (t, d) => (t, d) }
+    var run = 0L
+    val perBucket = scala.collection.mutable.Map.empty[Long, Long]
+    points.foreach { case (t, d) =>
+      run += d
+      val b = bucket(t)
+      perBucket.update(b, math.max(perBucket.getOrElse(b, Long.MinValue), run))
+    }
+    perBucket.toMap
+  }
+
+  test("Sweep.maxConcurrent matches brute force incl. cross-bucket carry") {
+    val s = spark
+    import s.implicits._
+    // spans cross the bucket-10 boundaries; [8,9) nests; [22,31) carries
+    val spans = Seq((1L, 25L), (5L, 12L), (8L, 9L), (22L, 31L), (2L, 5L), (5L, 7L))
+    val got = graft.operators.Sweep
+      .maxConcurrent(spans.toDF("start_s", "end_s"),
+        t => floor(t / 10).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refMaxConcurrent(spans, _ / 10))
+  }
+
+  test("Sweep half-open tie rule: touching spans never overlap") {
+    val s = spark
+    import s.implicits._
+    val spans = Seq((0L, 5L), (5L, 10L), (10L, 15L))
+    val got = graft.operators.Sweep
+      .maxConcurrent(spans.toDF("start_s", "end_s"), t => lit(0L))
+      .collect().map(_.getLong(1))
+    assert(got.toSeq == Seq(1L))
+  }
+
   // ------------------------------------------------------------- q83
   test("q83: bucketed join plans without a join-side shuffle") {
     val df = graft.queries.Analytics.q83(spark, sfDir)

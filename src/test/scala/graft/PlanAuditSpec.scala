@@ -20,14 +20,16 @@ class PlanAuditSpec extends AnyFunSuite {
     "q48_skyline",          // dominance anti-join over tiny local skylines
     "q21_scalar_subquery",  // 1-row broadcast threshold join
     "q62_bloom_prefilter_join", // 1-row bloom-bitset broadcast onto the probe scan
-    "q66_tfidf_search")     // 1-row corpus-size broadcast into the scoring agg
+    "q66_tfidf_search",     // 1-row corpus-size broadcast into the scoring agg
+    "q85_heavy_hitters")    // 1-row token-total broadcast into the share filter
 
   test("no declared query plans a cartesian product; BNLJ only where intended") {
     // streaming queries execute on materialization, not plan-inspectable
     // the same way — their plans are exercised by their own suite
     val skip = Set("q40_stream_daily_window", "q41_stream_sliding_window",
       "q42_stream_session_window", "q43_stream_dedup_daily",
-      "q69_stream_stream_join")
+      "q69_stream_stream_join", "q76_stream_static_join",
+      "q84_stream_upsert_snapshot")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => skip(n) }
       .flatMap { case (name, fn) =>
