@@ -32,27 +32,42 @@ object PageRank {
   /** @param edges two columns `src`, `dst` (long node ids); multi-edges
     *              should be `.distinct()`-ed by the caller if unwanted
     * @param iters number of synchronous iterations (≥ 0)
+    * @param broadcastRanks when the node set fits in executor memory
+    *              (catalog-sized graphs like part↔supplier), broadcast
+    *              the rank table into each iteration's joins — one
+    *              small partial-agg shuffle per iteration instead of
+    *              three edge-sized ones. Leave false for web-scale
+    *              graphs, where ranks must stay partitioned.
     * @return one row per node: `node`, `rank` (scaled long)
     */
   def run(edges: DataFrame, iters: Int,
           scale: Long = 1000000000000L,
-          dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+          dampNum: Long = 85, dampDen: Long = 100,
+          broadcastRanks: Boolean = false): DataFrame = {
+    val bc: DataFrame => DataFrame =
+      if (broadcastRanks) org.apache.spark.sql.functions.broadcast else identity
+    // both static tables persist: `nodes` re-enters the plan at every
+    // iteration's left join (4 recomputes of a full-edge distinct for
+    // 3 iterations otherwise), `edgesDeg` at every contrib join
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct()
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val edgesDeg = edges.join(outdeg, "src")
-      .select(col("src"), col("dst"), col("outdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // out-degree as a window count: one shuffle on src, versus the
+    // groupBy+join formulation's two passes over the edge list
+    val edgesDeg = edges
+      .withColumn("outdeg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val base = scale / dampDen * (dampDen - dampNum)
     var ranks = nodes.select(col("node"), lit(scale).as("rank"))
     for (_ <- 1 to iters) {
       val contrib = edgesDeg
-        .join(ranks, edgesDeg("src") === ranks("node"))
+        .join(bc(ranks), edgesDeg("src") === ranks("node"))
         .select(col("dst"), expr("rank div outdeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
       ranks = nodes
-        .join(contrib, nodes("node") === contrib("dst"), "left")
+        .join(bc(contrib), nodes("node") === contrib("dst"), "left")
         .select(col("node"),
           expr(s"${base}L + ($dampNum * coalesce(s, 0L)) div $dampDen").as("rank"))
     }

@@ -203,14 +203,17 @@ object Analytics {
     * three integer-arithmetic rounds as CTEs.
     */
   def q82(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = t(spark, sfDir, "lineitem")
-      .select(col("l_partkey"), col("l_suppkey"))
-    val fwd = li.select((col("l_partkey") * 2).as("src"),
+    // one distinct over the raw (part, supp) pairs, mirrored after:
+    // the two directions are parity-disjoint, so no second dedup pass
+    val pairs = t(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val fwd = pairs.select((col("l_partkey") * 2).as("src"),
       (col("l_suppkey") * 2 + 1).as("dst"))
-    val rev = li.select((col("l_suppkey") * 2 + 1).as("src"),
+    val rev = pairs.select((col("l_suppkey") * 2 + 1).as("src"),
       (col("l_partkey") * 2).as("dst"))
     graft.operators.PageRank
-      .run(fwd.union(rev).distinct(), iters = 3, scale = 1000000000L)
+      .run(fwd.union(rev), iters = 3, scale = 1000000000L,
+        broadcastRanks = true)
       .select(
         when(col("node") % 2 === 0, "part").otherwise("supplier").as("kind"),
         expr("node div 2").as("key"), col("node"), col("rank").as("rank_val"))
@@ -270,9 +273,9 @@ object Analytics {
     val l = t(spark, sfDir, "lineitem")
       .select(col("l_orderkey"), col("l_extendedprice"))
     o.write.mode("overwrite").format("parquet")
-      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("g83_orders")
+      .bucketBy(16, "o_orderkey").sortBy("o_orderkey").saveAsTable("g83_orders")
     l.write.mode("overwrite").format("parquet")
-      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("g83_lineitem")
+      .bucketBy(16, "l_orderkey").sortBy("l_orderkey").saveAsTable("g83_lineitem")
     spark.table("g83_orders").hint("merge")
       .join(spark.table("g83_lineitem"), col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderpriority"))
@@ -325,6 +328,49 @@ object Analytics {
       |    / COUNT(*), 6) AS avg_price
       |FROM orders GROUP BY 1 ORDER BY month""".stripMargin
 
+  // ---------------------------------------------------------------- q88
+  /** Single-pass data-quality constraint suite
+    * ([[graft.operators.Quality]]) over `orders`: completeness,
+    * key-uniqueness, value-range, set-membership and pattern
+    * compliance — five constraints, ONE scan, one 1-row aggregate.
+    * Metrics are exact bigint/bigint double divisions rounded at 6,
+    * so pass/fail booleans are engine-exact.
+    */
+  def q88(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Quality
+    import Quality.Constraint
+    Quality.check(t(spark, sfDir, "orders"), Seq(
+      Constraint("completeness_custkey",
+        Quality.completeness(col("o_custkey")), _ === 1.0),
+      Constraint("min_totalprice_nonneg",
+        round(min(col("o_totalprice")), 6), _ >= 0.0),
+      Constraint("pattern_orderpriority",
+        Quality.compliance(col("o_orderpriority").rlike("^[1-5]-")), _ === 1.0),
+      Constraint("set_orderstatus",
+        Quality.compliance(col("o_orderstatus").isin("O", "F", "P")), _ === 1.0),
+      Constraint("unique_orderkey",
+        Quality.uniqueness(col("o_orderkey")), _ === 1.0)))
+  }
+
+  val q88Sql: String =
+    """WITH m AS (
+      |  SELECT
+      |    ROUND(COUNT(o_custkey) / CAST(COUNT(*) AS DOUBLE), 6) AS comp,
+      |    ROUND(MIN(o_totalprice), 6) AS minp,
+      |    ROUND(COUNT(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+      |      THEN 1 END) / CAST(COUNT(*) AS DOUBLE), 6) AS pat,
+      |    ROUND(COUNT(CASE WHEN o_orderstatus IN ('O','F','P')
+      |      THEN 1 END) / CAST(COUNT(*) AS DOUBLE), 6) AS st,
+      |    ROUND(COUNT(DISTINCT o_orderkey) / CAST(COUNT(*) AS DOUBLE), 6) AS uq
+      |  FROM orders)
+      |SELECT 'completeness_custkey' AS constraint_name, comp AS metric,
+      |  comp = 1.0 AS passed FROM m
+      |UNION ALL SELECT 'min_totalprice_nonneg', minp, minp >= 0.0 FROM m
+      |UNION ALL SELECT 'pattern_orderpriority', pat, pat = 1.0 FROM m
+      |UNION ALL SELECT 'set_orderstatus', st, st = 1.0 FROM m
+      |UNION ALL SELECT 'unique_orderkey', uq, uq = 1.0 FROM m
+      |ORDER BY constraint_name""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q77_ordered_listagg", q77 _, Some(q77Sql)),
     ("q78_hll_mergeable", q78 _, Some(q78Sql)),
@@ -333,6 +379,7 @@ object Analytics {
     ("q81_grouping_sets", q81 _, Some(q81Sql)),
     ("q82_pagerank_supply", q82 _, Some(q82Sql)),
     ("q83_bucketed_join", q83 _, Some(q83Sql)),
-    ("q87_incremental_reagg", q87 _, Some(q87Sql))
+    ("q87_incremental_reagg", q87 _, Some(q87Sql)),
+    ("q88_quality_constraints", q88 _, Some(q88Sql))
   )
 }
