@@ -37,6 +37,11 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       spark.catalog.listTables().collect()
         .filter(_.isTemporary).foreach(t => spark.catalog.dropTempView(t.name))
+      // broadcast blocks are only reclaimed when their driver-side
+      // handles are GC'd (ContextCleaner is reference-triggered);
+      // dozens of broadcast-heavy queries in one JVM otherwise
+      // accumulate old-gen pressure that taxes later timings
+      System.gc()
     }
 
     // two trials per query, report the min: a single run is hostage to

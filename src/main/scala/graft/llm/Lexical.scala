@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Lexical (tf·idf-family) relevance scoring — the retrieval side of
   * a training-data pipeline (query-driven corpus slicing, contrast
@@ -36,6 +37,58 @@ object Lexical {
       .groupBy(col(idCol))
       .agg(sum(col("tf") * expr("(nd * 1000000) div dft")).as("score"),
         count(lit(1)).cast("int").as("n_terms"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+  }
+
+  /** BM25 retrieval (k1 = 6/5, b = 3/4) in exact rational form: with
+    * N docs, T total tokens (so avgdl = T/N), per-doc length dl and
+    * per-term document frequency df, the Robertson/Spärck Jones term
+    * score
+    *
+    *   idf·tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    *   idf = (N−df+½)/(df+½)
+    *
+    * clears to the single integer-ratio
+    *
+    *   (2N−2df+1)·22·T·tf / ((2df+1)·(10·T·tf + 3·T + 9·dl·N))
+    *
+    * — one bigint/bigint double division per (doc, term), exactly
+    * reproducible across engines (same documented log-free idf
+    * deviation as [[search]]; the saturation shape, BM25's actual
+    * ranking contribution, is preserved exactly). Integer range: the
+    * numerator stays under 2⁶³ while 44·N²·avgdl·tf < 2⁶³ — beyond
+    * that (≳10¹⁸ token corpora) the same ratio runs in DECIMAL(38,0).
+    *
+    * Shape at scale: doc lengths ride the one tokenize pass that also
+    * emits the postings; df/N/T are broadcast scalars; per-term scores
+    * are decimal-summed per doc (order-independent) and the top-k is a
+    * TakeOrdered. Output: (idCol, n_terms int, score double).
+    */
+  def bm25Search(df: DataFrame, idCol: String, textCol: String,
+                 terms: Seq[String], topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val toks = df.select(col(idCol), split(col(textCol), " ").as("t"))
+      .select(col(idCol), size(col("t")).cast("long").as("dl"),
+        explode(col("t")).as("tok"))
+    // dl is functionally dependent on the doc id — grouping by it is
+    // free and carries the length through to the scoring join
+    val hits = toks.where(col("tok").isin(terms: _*))
+      .groupBy(col(idCol), col("dl"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = hits.groupBy(col("tok")).agg(count(lit(1)).as("dft"))
+    val corpus = df.select(size(split(col(textCol), " ")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("nd"), sum(col("dl")).as("tt"))
+    hits.join(broadcast(dfreq), "tok").crossJoin(broadcast(corpus))
+      .withColumn("term_score",
+        ((lit(2) * col("nd") - lit(2) * col("dft") + lit(1)) * lit(22) * col("tt") * col("tf"))
+          .cast("double") /
+          ((lit(2) * col("dft") + lit(1)) *
+            (lit(10) * col("tt") * col("tf") + lit(3) * col("tt") + lit(9) * col("dl") * col("nd")))
+            .cast("double"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_terms"),
+        round(sum(round(col("term_score"), 9).cast(DecimalType(27, 9)))
+          .cast("double"), 6).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(topK)
   }

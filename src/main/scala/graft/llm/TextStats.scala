@@ -134,6 +134,44 @@ object TextStats {
         (col("cnt") / col("ctx_cnt")).as("cond_p"))
   }
 
+  /** Per-document bigram LM familiarity: the mean add-one-smoothed
+    * conditional probability P(w2 | w1) = (cnt+1)/(ctx+V) of the
+    * document's own adjacent-token pairs under the corpus bigram model
+    * ([[bigramModel]] counts; V = bigram-successor vocabulary). Low
+    * scores mark documents whose phrasing the corpus has never seen —
+    * the log-free twin of perplexity filtering (each smoothed p is one
+    * bigint/bigint double division, so scores are engine-exact without
+    * transcendentals; the mean is a decimal sum of round(p, 9) terms).
+    *
+    * Shape at scale: pairs are generated in-row and partially
+    * aggregated map-side, so the model build shuffles vocabulary²
+    * rows, not corpus rows; the model→pairs scoring join shuffles on
+    * (w1, w2) — with a frequency-pruned model (`minCount`) the model
+    * side broadcasts instead. Output: idCol, n_bigrams, avg_p.
+    */
+  def bigramSurprise(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pairs = df
+      .select(col(idCol), toks(textCol).as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(slice(t, 1, size(t) - 1), (w, i) -> struct(w AS w1, t[i + 1] AS w2))")).as("p"))
+      .select(col(idCol), col("p.w1"), col("p.w2"))
+    // the model (vocabulary²-bounded) is materialized once so its
+    // three consumers below don't re-tokenize the corpus each
+    val counts = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val ctx = counts.groupBy(col("w1")).agg(sum(col("cnt")).as("ctx_cnt"))
+    val vocab = counts.agg(countDistinct(col("w2")).as("vs"))
+    val model = counts.join(ctx, "w1").crossJoin(broadcast(vocab))
+    pairs.join(model, Seq("w1", "w2"))
+      .withColumn("p",
+        (col("cnt") + lit(1)).cast("double") / (col("ctx_cnt") + col("vs")).cast("double"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(round(col("p"), 9).cast(org.apache.spark.sql.types.DecimalType(27, 9)))
+          .cast("double") / count(lit(1)), 6).as("avg_p"))
+  }
+
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
                       nTop: Int = 2, nDup: Int = 3): DataFrame = {
     GraftFunctions.ensureRegistered(df.sparkSession)

@@ -371,6 +371,176 @@ object Analytics {
       |UNION ALL SELECT 'unique_orderkey', uq, uq = 1.0 FROM m
       |ORDER BY constraint_name""".stripMargin
 
+  // ---------------------------------------------------------------- q92
+  /** Market-basket co-occurrence: the 20 part pairs most often ordered
+    * together. One shuffle on the order key builds each order's sorted
+    * distinct-part set; the (p1 < p2) pairs are generated IN-ROW from
+    * that array (group size is the order's line count, so the
+    * expansion is bounded ~quadratic in a small constant) and
+    * partially aggregated map-side — against the naive self-join on
+    * l_orderkey, this halves the shuffles and never materializes the
+    * pair stream wider than one order. The oracle IS the naive
+    * self-join, proving the in-row expansion equivalent.
+    */
+  def q92(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+      .where(size(col("ps")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ps,
+          |  (x, i) -> transform(slice(ps, i + 2, size(ps)),
+          |    y -> struct(x AS p1, y AS p2))))""".stripMargin)).as("e"))
+      .select(col("e.p1"), col("e.p2"))
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+      .limit(20)
+
+  val q92Sql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      |SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_orders
+      |FROM op a JOIN op b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |GROUP BY 1, 2 ORDER BY n_orders DESC, p1, p2 LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q94
+  /** Calendar gap-fill + forward-fill: per event type, a complete
+    * daily revenue series over the type's [min, max] date span —
+    * missing days are generated from an in-row `sequence()` spine
+    * (no driver-side calendar) and carry the last observed value
+    * (`last(..., ignoreNulls)` over an unbounded-preceding frame),
+    * with `is_gap` marking filled rows. The window partitions by
+    * event type over DAILY aggregates, so its input is bounded by
+    * (types × days) regardless of raw event volume.
+    */
+  def q94(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(spark, sfDir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast(DecimalType(27, 6))).as("rev"))
+    val spine = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        col("rev").isNull.as("is_gap"),
+        last(col("rev"), ignoreNulls = true).over(w)
+          .cast(DoubleType).as("rev_filled"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val q94Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    SUM(CAST(value AS DECIMAL(27,6))) AS rev
+      |  FROM events GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT event_type,
+      |    CAST(unnest(generate_series(MIN(day), MAX(day), INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM daily GROUP BY event_type)
+      |SELECT s.event_type, s.day, d.rev IS NULL AS is_gap,
+      |  CAST(LAST_VALUE(d.rev IGNORE NULLS) OVER (
+      |    PARTITION BY s.event_type ORDER BY s.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_filled
+      |FROM spine s LEFT JOIN daily d USING (event_type, day)
+      |ORDER BY s.event_type, s.day""".stripMargin
+
+  // ---------------------------------------------------------------- q95
+  /** SCD-2 interval build: each customer's order history becomes
+    * versioned validity ranges — `valid_from` the order date,
+    * `valid_to` the next order's date (`lead` over the customer
+    * partition, NULL = current). The window shuffles once on the
+    * natural change key (customer); version numbers make the output a
+    * directly loadable type-2 dimension. Declared over every 97th
+    * customer to keep the verified result focused; the operator is the
+    * window shape, which is key-partitioned and scale-free.
+    */
+  def q95(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(spark, sfDir, "orders")
+      .where(col("o_custkey") % 97 === 0)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        to_date(col("o_orderdate")).as("valid_from"),
+        to_date(lead(col("o_orderdate"), 1).over(w)).as("valid_to"),
+        row_number().over(w).as("version"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy(col("o_custkey"), col("version"))
+  }
+
+  val q95Sql: String =
+    """SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price,
+      |  CAST(o_orderdate AS DATE) AS valid_from,
+      |  CAST(LEAD(o_orderdate, 1) OVER w AS DATE) AS valid_to,
+      |  CAST(ROW_NUMBER() OVER w AS INT) AS version,
+      |  LEAD(o_orderdate, 1) OVER w IS NULL AS is_current
+      |FROM orders WHERE o_custkey % 97 = 0
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, version""".stripMargin
+
+  // ---------------------------------------------------------------- q96
+  /** Triangle census over the part co-purchase graph (parts linked
+    * when some 1995-H1-shipped order contains both): edge count,
+    * wedge (2-path) count, triangle count. Edges are built once with
+    * the q92 in-row expansion and ORIENTED (p1 < p2), so each
+    * triangle is counted exactly once by the wedge→closing-edge join
+    * — the standard two-join formulation whose cost is Σ deg², kept
+    * bounded here by the ship-date slice (at 100 TB: degree-cap the
+    * few super-connected hubs first, which bounds Σ deg² linearly).
+    */
+  def q96(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = t(spark, sfDir, "lineitem")
+      .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-07-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+      .where(size(col("ps")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ps,
+          |  (x, i) -> transform(slice(ps, i + 2, size(ps)),
+          |    y -> struct(x AS p1, y AS p2))))""".stripMargin)).as("e"))
+      .select(col("e.p1"), col("e.p2")).distinct()
+      // materialized once (lineage-truncating), then read three times
+      // by the census below — without this the edge build would run
+      // per reference
+      .localCheckpoint()
+    // one pass over the wedges: a LEFT join against the closing edge
+    // (oriented + distinct ⇒ at most one match, no row duplication)
+    // yields wedge and triangle counts from the same aggregate
+    val closing = edges
+      .select(col("p1").as("ca"), col("p2").as("cc"), lit(1).as("hit"))
+    val census = edges.as("ab").join(edges.as("bc"),
+        col("ab.p2") === col("bc.p1"))
+      .select(col("ab.p1").as("a"), col("bc.p2").as("c"))
+      .join(closing, col("a") === col("ca") && col("c") === col("cc"), "left")
+      .agg(count(lit(1)).as("n_wedges"), count(col("hit")).as("n_triangles"))
+    edges.agg(count(lit(1)).as("n_edges")).crossJoin(census)
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"))
+  }
+
+  val q96Sql: String =
+    """WITH op AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1995-07-01 00:00:00'),
+      |e AS (
+      |  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+      |  FROM op a JOIN op b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |w AS (SELECT ab.p1 AS a, ab.p2 AS b, bc.p2 AS c
+      |      FROM e ab JOIN e bc ON ab.p2 = bc.p1)
+      |SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+      |  (SELECT COUNT(*) FROM w) AS n_wedges,
+      |  (SELECT COUNT(*) FROM w WHERE EXISTS (
+      |    SELECT 1 FROM e WHERE e.p1 = w.a AND e.p2 = w.c)) AS n_triangles""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q77_ordered_listagg", q77 _, Some(q77Sql)),
     ("q78_hll_mergeable", q78 _, Some(q78Sql)),
@@ -380,6 +550,10 @@ object Analytics {
     ("q82_pagerank_supply", q82 _, Some(q82Sql)),
     ("q83_bucketed_join", q83 _, Some(q83Sql)),
     ("q87_incremental_reagg", q87 _, Some(q87Sql)),
-    ("q88_quality_constraints", q88 _, Some(q88Sql))
+    ("q88_quality_constraints", q88 _, Some(q88Sql)),
+    ("q92_part_cooccurrence", q92 _, Some(q92Sql)),
+    ("q94_gap_fill_daily", q94 _, Some(q94Sql)),
+    ("q95_scd2_intervals", q95 _, Some(q95Sql)),
+    ("q96_triangle_census", q96 _, Some(q96Sql))
   )
 }

@@ -435,6 +435,45 @@ object Events {
       |  CAST(MAX(run) AS BIGINT) AS max_concurrent
       |FROM r GROUP BY 1 ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------- q93
+  /** First-order Markov transition matrix over per-user event
+    * sequences: P(next type | current type) with counts and row
+    * totals. One shuffle on user_id for the `lead` window (ordered by
+    * truncated ts + event_id, ns-parity as q25); the transition pairs
+    * partially aggregate map-side onto an event-type² result, so the
+    * matrix stays tiny at any event volume. Probabilities are
+    * bigint/bigint double divisions — engine-exact.
+    */
+  def q93(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_s"), col("event_id"))
+    ev(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("ts_s"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("ctx_cnt",
+        sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+      .select(col("event_type"), col("next_type"), col("cnt"), col("ctx_cnt"),
+        round(col("cnt").cast("double") / col("ctx_cnt").cast("double"), 6).as("p"))
+      .orderBy(col("event_type"), col("next_type"))
+  }
+
+  val q93Sql: String =
+    """WITH seq AS (
+      |  SELECT event_type,
+      |    LEAD(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY date_trunc('second', ts), event_id) AS next_type
+      |  FROM events),
+      |c AS (SELECT event_type, next_type, COUNT(*) AS cnt FROM seq
+      |      WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT event_type, next_type, cnt,
+      |  SUM(cnt) OVER (PARTITION BY event_type) AS ctx_cnt,
+      |  ROUND(cnt / CAST(SUM(cnt) OVER (PARTITION BY event_type) AS DOUBLE), 6) AS p
+      |FROM c ORDER BY event_type, next_type""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_events_json_stats", q23 _, Some(q23Sql)),
     ("q24_events_daily_window", q24 _, Some(q24Sql)),
@@ -447,6 +486,7 @@ object Events {
     ("q53_sessionization_day_bucketed", q53 _, Some(q53Sql)),
     ("q68_zorder_layout", q68 _, Some(q68Sql)),
     ("q75_zscore_outliers", q75 _, Some(q75Sql)),
-    ("q86_concurrency_sweep", q86 _, Some(q86Sql))
+    ("q86_concurrency_sweep", q86 _, Some(q86Sql)),
+    ("q93_event_transitions", q93 _, Some(q93Sql))
   )
 }

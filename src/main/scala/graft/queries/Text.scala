@@ -482,6 +482,98 @@ object Text {
       |SELECT tok, n, ROUND(n / CAST(total AS DOUBLE), 6) AS share
       |FROM c, t WHERE n * 200 > total ORDER BY n DESC, tok""".stripMargin
 
+  // ---------------------------------------------------------------- q89
+  /** Per-document bigram LM familiarity
+    * ([[graft.llm.TextStats.bigramSurprise]]): the 20 documents whose
+    * adjacent-token pairs the corpus model finds least probable — the
+    * log-free perplexity filter that catches gibberish / boilerplate
+    * phrasing a unigram quality score misses. Every smoothed
+    * probability is one bigint/bigint double division, so the ranking
+    * is engine-exact.
+    */
+  def q89(spark: SparkSession, sfDir: String): DataFrame =
+    graft.llm.TextStats.bigramSurprise(docs(spark, sfDir), "doc_id", "text")
+      .orderBy(col("avg_p"), col("doc_id"))
+      .limit(20)
+
+  val q89Sql: String =
+    """WITH base AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+      |p AS (SELECT doc_id, unnest([s[i] || ' ' || s[i+1] for i in range(1, len(s))]) AS g
+      |      FROM base WHERE len(s) >= 2),
+      |pp AS (SELECT doc_id, string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2 FROM p),
+      |m AS (SELECT w1, w2, COUNT(*) AS cnt FROM pp GROUP BY 1, 2),
+      |cx AS (SELECT w1, SUM(cnt) AS ctx_cnt FROM m GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT w2) AS vs FROM m)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  ROUND(CAST(SUM(CAST(ROUND((m.cnt + 1) / CAST(cx.ctx_cnt + v.vs AS DOUBLE), 9)
+      |    AS DECIMAL(27,9))) AS DOUBLE) / COUNT(*), 6) AS avg_p
+      |FROM pp JOIN m USING (w1, w2) JOIN cx USING (w1) CROSS JOIN v
+      |GROUP BY doc_id ORDER BY avg_p, doc_id LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q90
+  /** BM25 retrieval ([[graft.llm.Lexical.bm25Search]]) for the q66
+    * query terms: adds the document-length saturation that plain
+    * tf·idf lacks, in the exact-rational (log-free) form — top-20 by
+    * score with deterministic doc-id tie-break.
+    */
+  def q90(spark: SparkSession, sfDir: String): DataFrame =
+    graft.llm.Lexical.bm25Search(docs(spark, sfDir), "doc_id", "text",
+      Seq("spark", "vector", "customer"), topK = 20)
+
+  val q90Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+      |    unnest(string_split(text, ' ')) AS tok FROM documents),
+      |hits AS (
+      |  SELECT doc_id, dl, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+      |  WHERE tok IN ('spark', 'vector', 'customer') GROUP BY 1, 2, 3),
+      |dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS dft FROM hits GROUP BY tok),
+      |corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tt FROM documents)
+      |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_terms,
+      |  ROUND(CAST(SUM(CAST(ROUND(
+      |    ((2*nd - 2*dft + 1) * 22 * tt * tf)
+      |      / CAST((2*dft + 1) * (10*tt*tf + 3*tt + 9*dl*nd) AS DOUBLE), 9)
+      |    AS DECIMAL(27,9))) AS DOUBLE), 6) AS score
+      |FROM hits JOIN dfreq USING (tok) CROSS JOIN corpus
+      |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q91
+  /** Per-(source, lang) quota sampling — the domain-balancing step of
+    * a web-scale training mix: keep at most 50 documents per stratum,
+    * chosen by content-hash order (stable across runs, engines and
+    * partitionings, like q52's buckets), and pin the exact kept set
+    * with its doc-id sum. The declared form ranks with one window over
+    * each stratum; at 100 TB the same selection runs as a two-pass
+    * hash-histogram threshold (find the 50th-smallest hash per
+    * stratum, then filter), which needs no per-stratum sort.
+    */
+  def q91(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"), col("lang"))
+      .orderBy(col("h"), col("doc_id"))
+    docs(spark, sfDir)
+      .select(col("source"), col("lang"), col("doc_id"),
+        GraftFunctions.polyHash("text").as("h"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("rn") <= 50, 1)).as("n_kept"),
+        sum(when(col("rn") <= 50, col("doc_id"))).as("sum_kept_ids"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  val q91Sql: String =
+    s"""WITH d AS (
+       |  SELECT source, lang, doc_id,
+       |    ${graft.functions.PolyHash.duckdbSql("text")} AS h FROM documents),
+       |r AS (SELECT source, lang, doc_id,
+       |  row_number() OVER (PARTITION BY source, lang ORDER BY h, doc_id) AS rn FROM d)
+       |SELECT source, lang, COUNT(*) AS n_total,
+       |  COUNT(CASE WHEN rn <= 50 THEN 1 END) AS n_kept,
+       |  SUM(CASE WHEN rn <= 50 THEN doc_id END) AS sum_kept_ids
+       |FROM r GROUP BY source, lang ORDER BY source, lang""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_token_stats", q34 _, Some(q34Sql)),
     ("q35_lang_id_confusion", q35 _, Some(q35Sql)),
@@ -495,6 +587,9 @@ object Text {
     ("q67_chunk_windows", q67 _, Some(q67Sql)),
     ("q70_sequence_pack", q70 _, Some(q70Sql)),
     ("q74_bigram_model", q74 _, Some(q74Sql)),
-    ("q85_heavy_hitters", q85 _, Some(q85Sql))
+    ("q85_heavy_hitters", q85 _, Some(q85Sql)),
+    ("q89_bigram_surprise", q89 _, Some(q89Sql)),
+    ("q90_bm25_search", q90 _, Some(q90Sql)),
+    ("q91_domain_quota", q91 _, Some(q91Sql))
   )
 }

@@ -147,4 +147,110 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(plan.contains("SortMergeJoin"), "merge hint did not pin SMJ")
     assert(plan.contains("Bucketed: true"), "scan did not use bucketing")
   }
+
+  // ------------------------------------------------------------- q92
+  test("q92 in-row pair expansion equals the naive self-join") {
+    val s = spark
+    import s.implicits._
+    val li = graft.Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val naive = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      .agg(count(lit(1)).as("n_orders"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // full matrix (drop the query's top-20) from the in-row expansion
+    val inRow = graft.Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+      .where(size(col("ps")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ps,
+          |  (x, i) -> transform(slice(ps, i + 2, size(ps)),
+          |    y -> struct(x AS p1, y AS p2))))""".stripMargin)).as("e"))
+      .groupBy(col("e.p1"), col("e.p2")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(inRow == naive)
+  }
+
+  // ------------------------------------------------------------- q94
+  test("gap-fill emits a complete per-type calendar with forward-filled gaps") {
+    val rows = graft.queries.Analytics.q94(spark, sfDir).collect()
+    val byType = rows.groupBy(_.getString(0))
+    byType.foreach { case (_, rs) =>
+      val days = rs.map(_.getDate(1).toLocalDate)
+      // spine completeness: every day between min and max exactly once
+      assert(days.length ==
+        java.time.temporal.ChronoUnit.DAYS.between(days.min, days.max) + 1)
+      assert(days.distinct.length == days.length)
+      // first row is never a gap (spine starts at an observed day) and
+      // filled values are never null after it
+      assert(!rs.sortBy(_.getDate(1).getTime).head.getBoolean(2))
+      assert(rs.forall(!_.isNullAt(3)))
+    }
+  }
+
+  test("gap-fill carries the previous observed value across a hole") {
+    val s = spark
+    import s.implicits._
+    import java.sql.Timestamp
+    val ev = Seq(
+      ("a", Timestamp.valueOf("2024-01-01 10:00:00"), 5.0),
+      ("a", Timestamp.valueOf("2024-01-04 10:00:00"), 7.0))
+      .toDF("event_type", "ts", "value")
+    ev.createOrReplaceTempView("q94_test_events")
+    // same shape as q94, inline over the tiny frame
+    import org.apache.spark.sql.expressions.Window
+    val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value")).as("rev"))
+    val spine = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val got = spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("day"), col("rev").isNull.as("is_gap"),
+        last(col("rev"), ignoreNulls = true).over(w).as("filled"))
+      .orderBy(col("day")).collect()
+    assert(got.length == 4)
+    assert(got.map(_.getBoolean(1)).toSeq == Seq(false, true, true, false))
+    assert(got.map(_.getDouble(2)).toSeq == Seq(5.0, 5.0, 5.0, 7.0))
+  }
+
+  // ------------------------------------------------------------- q95
+  test("SCD2 intervals: versions are contiguous, non-overlapping, one current per key") {
+    val rows = graft.queries.Analytics.q95(spark, sfDir).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val hist = rs.sortBy(_.getInt(5))
+      assert(hist.map(_.getInt(5)).toSeq == (1 to hist.length))
+      // each version's valid_to is the next version's valid_from
+      hist.sliding(2).foreach {
+        case Array(a, b) => assert(a.getDate(4) == b.getDate(3))
+        case _ =>
+      }
+      // exactly the last version is current (valid_to NULL)
+      assert(hist.count(_.getBoolean(6)) == 1 && hist.last.getBoolean(6))
+    }
+  }
+
+  // ------------------------------------------------------------- q96
+  test("triangle census counts a known graph exactly") {
+    val s = spark
+    import s.implicits._
+    // triangle 1-2-3 plus pendant edge 3-4: wedges with p1<p2 oriented
+    // edges {12,13,23,34}: (1,2)+(2,3)→(1,3)✓; (1,3)+(3,4)→(1,4)✗;
+    // (2,3)+(3,4)→(2,4)✗ ⇒ 3 wedges, 1 closed
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("p1", "p2")
+      .localCheckpoint()
+    val closing = e.select(col("p1").as("ca"), col("p2").as("cc"), lit(1).as("hit"))
+    val census = e.as("ab").join(e.as("bc"), col("ab.p2") === col("bc.p1"))
+      .select(col("ab.p1").as("a"), col("bc.p2").as("c"))
+      .join(closing, col("a") === col("ca") && col("c") === col("cc"), "left")
+      .agg(count(lit(1)).as("n_wedges"), count(col("hit")).as("n_triangles"))
+      .collect().head
+    assert(census.getLong(0) == 3 && census.getLong(1) == 1)
+  }
 }

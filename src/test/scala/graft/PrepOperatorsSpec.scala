@@ -137,4 +137,56 @@ class PrepOperatorsSpec extends AnyFunSuite {
       ("b", "a") -> ((1L, 2L, 0.5)),
       ("b", "c") -> ((1L, 2L, 0.5))))
   }
+
+  test("bigram surprise averages add-one-smoothed corpus probabilities") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a b a b c"), (2L, "a b"), (3L, "x")).toDF("id", "text")
+    val got = graft.llm.TextStats.bigramSurprise(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // model: cnt(a,b)=3 ctx(a)=3; cnt(b,a)=1, cnt(b,c)=1 ctx(b)=2;
+    // V = |{a,b,c}| = 3
+    val pAB = 4.0 / 6.0   // (3+1)/(3+3)
+    val pBA = 2.0 / 5.0   // (1+1)/(2+3)
+    val pBC = 2.0 / 5.0
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got.keySet == Set(1L, 2L))           // doc 3 has no bigrams
+    assert(got(1L)._1 == 4L && got(2L)._1 == 1L)
+    assert(got(1L)._2 == r6((pAB + pBA + pAB + pBC) / 4.0))
+    assert(got(2L)._2 == r6(pAB))
+    // the unique-phrasing doc scores strictly lower than the common one
+    assert(got(2L)._2 > got(1L)._2)
+  }
+
+  test("bm25 matches a brute-force rational reference and ranks by saturation") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "apple banana apple"),            // tf(apple)=2, dl=3
+      (2L, "banana cherry"),                 // tf(cherry)=1, dl=2
+      (3L, "apple cherry cherry date"),      // both terms, dl=4
+      (4L, "date date date"))                // no terms
+    val terms = Seq("apple", "cherry")
+    val nd = corpus.size.toLong
+    val tt = corpus.map(_._2.split(" ").length.toLong).sum
+    def termScore(tf: Long, dl: Long, dft: Long): Double =
+      math.rint(((2 * nd - 2 * dft + 1) * 22 * tt * tf).toDouble /
+        ((2 * dft + 1) * (10 * tt * tf + 3 * tt + 9 * dl * nd)).toDouble * 1e9) / 1e9
+    val dft = Map("apple" -> 2L, "cherry" -> 2L)
+    val expected = corpus.flatMap { case (id, text) =>
+      val toks = text.split(" ")
+      val scores = terms.flatMap { q =>
+        val tf = toks.count(_ == q).toLong
+        if (tf > 0) Some(termScore(tf, toks.length.toLong, dft(q))) else None
+      }
+      if (scores.isEmpty) None
+      else Some(id -> ((scores.size, math.rint(scores.sum * 1e6) / 1e6)))
+    }.toMap
+    val got = graft.llm.Lexical.bm25Search(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", terms, topK = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    assert(got == expected)
+    // doc 3 matches both terms and must outrank the single-term docs
+    assert(got(3L)._2 > got(1L)._2 && got(3L)._2 > got(2L)._2)
+  }
 }
