@@ -474,6 +474,106 @@ object Events {
       |  ROUND(cnt / CAST(SUM(cnt) OVER (PARTITION BY event_type) AS DOUBLE), 6) AS p
       |FROM c ORDER BY event_type, next_type""".stripMargin
 
+  // ---------------------------------------------------------------- q98
+  /** Retention cohort matrix: users grouped by first-seen week, the
+    * share of each cohort still active k weeks later. Two shuffles,
+    * both on bounded keys: one groupBy user_id for the cohort
+    * assignment (users ≪ events after the distinct), one on
+    * (cohort, offset) whose cardinality is weeks². The (user, week)
+    * distinct happens FIRST, so raw event volume never reaches the
+    * cohort join; retention is an exact bigint/bigint division.
+    */
+  def q98(spark: SparkSession, sfDir: String): DataFrame = {
+    val uw = ev(spark, sfDir)
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+      .distinct()
+    val first = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
+    val m = uw.join(first, "user_id")
+      .withColumn("week_offset",
+        (datediff(col("wk"), col("cohort_week")) / 7).cast(IntegerType))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val w = Window.partitionBy(col("cohort_week"))
+    m.withColumn("cohort_size",
+        max(when(col("week_offset") === 0, col("n_active"))).over(w))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("cohort_size"),
+        round(col("n_active").cast("double") / col("cohort_size").cast("double"), 6)
+          .as("retention"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val q98Sql: String =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      |  FROM events),
+      |f AS (SELECT user_id, MIN(wk) AS cohort_week FROM uw GROUP BY 1),
+      |m AS (
+      |  SELECT cohort_week,
+      |    CAST(datediff('day', cohort_week, wk) // 7 AS INT) AS week_offset,
+      |    CAST(COUNT(*) AS BIGINT) AS n_active
+      |  FROM uw JOIN f USING (user_id) GROUP BY 1, 2)
+      |SELECT cohort_week, week_offset, n_active,
+      |  MAX(CASE WHEN week_offset = 0 THEN n_active END)
+      |    OVER (PARTITION BY cohort_week) AS cohort_size,
+      |  ROUND(n_active / CAST(MAX(CASE WHEN week_offset = 0 THEN n_active END)
+      |    OVER (PARTITION BY cohort_week) AS DOUBLE), 6) AS retention
+      |FROM m ORDER BY cohort_week, week_offset""".stripMargin
+
+  // ---------------------------------------------------------------- q99
+  /** Trailing 7-day active users per day, twice: exactly, and as a
+    * mergeable HLL-sketch union — the sliding-MAU pattern where
+    * 100 TB of history is never rescanned (daily sketches are built
+    * once; each day's trailing window UNIONS seven tiny sketches).
+    * Both sides use the same in-row day-expansion (each daily row
+    * contributes to days d..d+6 via `sequence()`+explode) instead of
+    * a range join, so the only shuffles are on day keys. The sketch
+    * estimate is pinned by a ±5 % envelope boolean against the exact
+    * count (default lgConfigK=12 ⇒ ~1.6 % standard error), keeping
+    * the row fully hash-checkable, as q78.
+    */
+  def q99(spark: SparkSession, sfDir: String): DataFrame = {
+    val dayUser = ev(spark, sfDir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .localCheckpoint() // (days × users)-bounded; shared by both sides
+    val maxDay = dayUser.agg(max(col("day")).as("max_day"))
+    // exact side: expand each (day, user) to its 7 target days
+    val exact = dayUser
+      .select(explode(expr("sequence(day, date_add(day, 6))")).as("day_t"),
+        col("user_id"))
+      .groupBy(col("day_t"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    // sketch side: per-day sketches, then 7-way union per target day
+    val est = dayUser
+      .groupBy(col("day")).agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .select(explode(expr("sequence(day, date_add(day, 6))")).as("day_t"),
+        col("sk"))
+      .groupBy(col("day_t"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"),
+        count(lit(1)).as("n_days_seen"))
+    exact.join(est, "day_t").crossJoin(broadcast(maxDay))
+      .where(col("day_t") <= col("max_day"))
+      .select(col("day_t").as("day"), col("n_exact"), col("n_days_seen"),
+        (col("est") >= col("n_exact") * 0.95 &&
+          col("est") <= col("n_exact") * 1.05).as("est_in_envelope"))
+      .orderBy(col("day"))
+  }
+
+  val q99Sql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |mx AS (SELECT MAX(day) AS max_day FROM du),
+      |ex AS (
+      |  SELECT CAST(unnest(generate_series(day, day + 6, INTERVAL 1 DAY)) AS DATE) AS day_t,
+      |    day, user_id
+      |  FROM du)
+      |SELECT day_t AS day,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+      |  CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days_seen,
+      |  TRUE AS est_in_envelope
+      |FROM ex CROSS JOIN mx WHERE day_t <= max_day
+      |GROUP BY day_t ORDER BY day_t""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_events_json_stats", q23 _, Some(q23Sql)),
     ("q24_events_daily_window", q24 _, Some(q24Sql)),
@@ -487,6 +587,8 @@ object Events {
     ("q68_zorder_layout", q68 _, Some(q68Sql)),
     ("q75_zscore_outliers", q75 _, Some(q75Sql)),
     ("q86_concurrency_sweep", q86 _, Some(q86Sql)),
-    ("q93_event_transitions", q93 _, Some(q93Sql))
+    ("q93_event_transitions", q93 _, Some(q93Sql)),
+    ("q98_retention_cohorts", q98 _, Some(q98Sql)),
+    ("q99_sliding_mau_sketch", q99 _, Some(q99Sql))
   )
 }

@@ -574,6 +574,115 @@ object Text {
        |  SUM(CASE WHEN rn <= 50 THEN doc_id END) AS sum_kept_ids
        |FROM r GROUP BY source, lang ORDER BY source, lang""".stripMargin
 
+  // ---------------------------------------------------------------- q97
+  /** Chi-square independence cross-tab over (lang × source): observed
+    * counts against the independence expectation rᵢ·cⱼ/N, with each
+    * cell's χ² contribution in cleared-fraction integer form
+    * (o·N − rᵢ·cⱼ)²/(N·rᵢ·cⱼ) — one bigint/bigint double division per
+    * cell, engine-exact. The full grid (including never-observed
+    * cells, which proper χ² must count) is the cross join of the two
+    * marginal tables — cardinality-bounded, never corpus-sized; the
+    * corpus is touched once by the counts aggregation.
+    */
+  def q97(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = docs(spark, sfDir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+      // grid-bounded (langs × sources); materialized once so the four
+      // consumers below share a single corpus scan
+      .localCheckpoint()
+    val langT = counts.groupBy(col("lang")).agg(sum(col("n")).as("rt"))
+    val srcT = counts.groupBy(col("source")).agg(sum(col("n")).as("ct"))
+    val tot = counts.agg(sum(col("n")).as("nn"))
+    langT.crossJoin(srcT).crossJoin(broadcast(tot))
+      .join(counts, Seq("lang", "source"), "left")
+      .withColumn("n_obs", coalesce(col("n"), lit(0L)))
+      .withColumn("dev", col("n_obs") * col("nn") - col("rt") * col("ct"))
+      .select(col("lang"), col("source"), col("n_obs"),
+        round((col("rt") * col("ct")).cast("double") / col("nn").cast("double"), 6)
+          .as("expected"),
+        round((col("dev") * col("dev")).cast("double") /
+          (col("nn") * col("rt") * col("ct")).cast("double"), 6).as("contrib"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val q97Sql: String =
+    """WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+      |           FROM documents GROUP BY 1, 2),
+      |r AS (SELECT lang, SUM(n) AS rt FROM c GROUP BY 1),
+      |s AS (SELECT source, SUM(n) AS ct FROM c GROUP BY 1),
+      |t AS (SELECT SUM(n) AS nn FROM c),
+      |g AS (SELECT lang, source, rt, ct, nn FROM r CROSS JOIN s CROSS JOIN t)
+      |SELECT g.lang, g.source, COALESCE(c.n, 0) AS n_obs,
+      |  ROUND(CAST(rt * ct AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS expected,
+      |  ROUND(CAST((COALESCE(c.n, 0) * nn - rt * ct) * (COALESCE(c.n, 0) * nn - rt * ct)
+      |    AS DOUBLE) / CAST(nn * rt * ct AS DOUBLE), 6) AS contrib
+      |FROM g LEFT JOIN c ON g.lang = c.lang AND g.source = c.source
+      |ORDER BY g.lang, g.source""".stripMargin
+
+  // ---------------------------------------------------------------- q100
+  /** Weighted stratum allocation + deterministic selection: apportion
+    * a global budget of 100 sample slots across languages
+    * proportionally to stratum size by largest-remainder (Hamilton)
+    * rounding — exact integer arithmetic, remainder ties broken by
+    * lang — then select each stratum's quota by content-hash order
+    * (stable across runs/engines/partitionings, as q52/q91). The
+    * apportionment runs on the marginal table (5 rows); only the
+    * final selection touches per-document rows, with one window per
+    * stratum. Output pins the kept set via its doc-id sum.
+    */
+  def q100(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 100
+    val strata = docs(spark, sfDir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+    val tot = strata.agg(sum(col("n_total")).as("nn"))
+    val alloc = strata.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"($k * n_total) div nn"))
+      .withColumn("rem", expr(s"($k * n_total) % nn"))
+      .withColumn("extra_rank",
+        row_number().over(Window.orderBy(col("rem").desc, col("lang"))))
+      .withColumn("n_extra",
+        lit(k) - sum(col("base")).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("quota",
+        (col("base") + when(col("extra_rank") <= col("n_extra"), 1L).otherwise(0L))
+          .as("quota"))
+      .select(col("lang"), col("n_total"), col("quota"))
+    val ranked = docs(spark, sfDir)
+      .select(col("lang"), col("doc_id"), GraftFunctions.polyHash("text").as("h"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))))
+    ranked.join(broadcast(alloc), "lang")
+      .groupBy(col("lang"))
+      .agg(first(col("n_total")).as("n_total"), first(col("quota")).as("quota"),
+        count(when(col("rn") <= col("quota"), 1)).as("n_kept"),
+        sum(when(col("rn") <= col("quota"), col("doc_id"))).as("sum_kept_ids"))
+      .orderBy(col("lang"))
+  }
+
+  val q100Sql: String =
+    s"""WITH strata AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total FROM documents GROUP BY 1),
+       |tot AS (SELECT SUM(n_total) AS nn FROM strata),
+       |alloc AS (
+       |  SELECT lang, n_total,
+       |    (100 * n_total) // nn AS base, (100 * n_total) % nn AS rem,
+       |    ROW_NUMBER() OVER (ORDER BY (100 * n_total) % nn DESC, lang) AS extra_rank,
+       |    100 - SUM((100 * n_total) // nn) OVER () AS n_extra
+       |  FROM strata CROSS JOIN tot),
+       |q AS (SELECT lang, n_total,
+       |  base + CASE WHEN extra_rank <= n_extra THEN 1 ELSE 0 END AS quota FROM alloc),
+       |ranked AS (
+       |  SELECT lang, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY lang
+       |      ORDER BY ${graft.functions.PolyHash.duckdbSql("text")}, doc_id) AS rn
+       |  FROM documents)
+       |SELECT r.lang, q.n_total, q.quota,
+       |  COUNT(CASE WHEN r.rn <= q.quota THEN 1 END) AS n_kept,
+       |  SUM(CASE WHEN r.rn <= q.quota THEN r.doc_id END) AS sum_kept_ids
+       |FROM ranked r JOIN q ON r.lang = q.lang
+       |GROUP BY r.lang, q.n_total, q.quota ORDER BY r.lang""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_token_stats", q34 _, Some(q34Sql)),
     ("q35_lang_id_confusion", q35 _, Some(q35Sql)),
@@ -590,6 +699,8 @@ object Text {
     ("q85_heavy_hitters", q85 _, Some(q85Sql)),
     ("q89_bigram_surprise", q89 _, Some(q89Sql)),
     ("q90_bm25_search", q90 _, Some(q90Sql)),
-    ("q91_domain_quota", q91 _, Some(q91Sql))
+    ("q91_domain_quota", q91 _, Some(q91Sql)),
+    ("q97_chisq_independence", q97 _, Some(q97Sql)),
+    ("q100_weighted_allocation", q100 _, Some(q100Sql))
   )
 }

@@ -236,6 +236,81 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------- q97
+  test("chi-square grid covers every (lang, source) cell and sums to the scalar statistic") {
+    val rows = graft.queries.Text.q97(spark, sfDir).collect()
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("lang"), col("source")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val langs = docs.map(_._1).distinct.length
+    val sources = docs.map(_._2).distinct.length
+    assert(rows.length == langs * sources) // full grid, absent cells included
+    assert(rows.map(_.getLong(2)).sum == docs.length) // observed counts partition N
+    // contributions reproduce the scalar chi² from a flat Scala count
+    val n = docs.length.toDouble
+    val rt = docs.groupBy(_._1).view.mapValues(_.length.toDouble).toMap
+    val ct = docs.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+    val o = docs.groupBy(identity).view.mapValues(_.length.toDouble).toMap
+    // keys.toSeq: a for-yield over Set keys would collect the per-cell
+    // contributions into a Set and silently dedupe equal values
+    val want = (for (l <- rt.keys.toSeq; s <- ct.keys.toSeq) yield {
+      val e = rt(l) * ct(s) / n
+      val d = o.getOrElse((l, s), 0.0) - e
+      d * d / e
+    }).sum
+    val got = rows.map(_.getDouble(4)).sum
+    assert(math.abs(got - want) < 1e-3)
+  }
+
+  // ------------------------------------------------------------- q98
+  test("retention cohorts: offset 0 is complete and retention never exceeds 1") {
+    val rows = graft.queries.Events.q98(spark, sfDir).collect()
+    val byCohort = rows.groupBy(_.getDate(0))
+    byCohort.foreach { case (_, rs) =>
+      val at0 = rs.filter(_.getInt(1) == 0)
+      assert(at0.length == 1 && at0.head.getDouble(4) == 1.0)
+      rs.foreach { r =>
+        assert(r.getLong(2) <= r.getLong(3)) // n_active <= cohort_size
+        assert(r.getDouble(4) <= 1.0 && r.getDouble(4) > 0.0)
+      }
+    }
+  }
+
+  // ------------------------------------------------------------- q99
+  test("sliding MAU: sketch estimate stays in the declared envelope, window spans <= 7 days") {
+    val rows = graft.queries.Events.q99(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(3), s"estimate out of envelope on ${r.getDate(0)}")
+      val nd = r.getLong(2)
+      assert(nd >= 1 && nd <= 7)
+    }
+    // a trailing window can never hold fewer users than its busiest
+    // single day: check the last full-window day against daily actives
+    val daily = graft.Tables.load(spark, sfDir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .groupBy("day").count().collect().map(r => r.getDate(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      daily.get(r.getDate(0)).foreach(d => assert(r.getLong(1) >= d))
+    }
+  }
+
+  // ------------------------------------------------------------ q100
+  test("weighted allocation: quotas sum to the budget and selection fills every quota") {
+    val rows = graft.queries.Text.q100(spark, sfDir).collect()
+    assert(rows.map(_.getLong(2)).sum == 100L) // largest-remainder exactness
+    rows.foreach { r =>
+      assert(r.getLong(3) == r.getLong(2)) // n_kept == quota
+      assert(r.getLong(2) <= r.getLong(1)) // quota <= stratum size
+    }
+    // proportionality within one slot: quota is floor or ceil of share
+    val n = rows.map(_.getLong(1)).sum.toDouble
+    rows.foreach { r =>
+      val share = 100.0 * r.getLong(1) / n
+      assert(r.getLong(2) >= math.floor(share) && r.getLong(2) <= math.ceil(share))
+    }
+  }
+
   // ------------------------------------------------------------- q96
   test("triangle census counts a known graph exactly") {
     val s = spark

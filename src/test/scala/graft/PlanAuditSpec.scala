@@ -21,7 +21,13 @@ class PlanAuditSpec extends AnyFunSuite {
     "q21_scalar_subquery",  // 1-row broadcast threshold join
     "q62_bloom_prefilter_join", // 1-row bloom-bitset broadcast onto the probe scan
     "q66_tfidf_search",     // 1-row corpus-size broadcast into the scoring agg
-    "q85_heavy_hitters")    // 1-row token-total broadcast into the share filter
+    "q85_heavy_hitters",    // 1-row token-total broadcast into the share filter
+    "q89_bigram_surprise",  // 1-row vocab-size broadcast into the smoothing
+    "q90_bm25_search",      // 1-row (N, total-tokens) broadcast into the scoring agg
+    "q96_triangle_census",  // 1-row count crossjoins assembling the census row
+    "q97_chisq_independence", // 1-row grand-total broadcast into the grid
+    "q99_sliding_mau_sketch", // 1-row max-day broadcast bounding the spine
+    "q100_weighted_allocation") // 1-row budget-total broadcast into apportionment
 
   test("no declared query plans a cartesian product; BNLJ only where intended") {
     // streaming queries execute on materialization, not plan-inspectable
