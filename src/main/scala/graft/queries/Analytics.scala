@@ -541,6 +541,134 @@ object Analytics {
       |  (SELECT COUNT(*) FROM w WHERE EXISTS (
       |    SELECT 1 FROM e WHERE e.p1 = w.a AND e.p2 = w.c)) AS n_triangles""".stripMargin
 
+  // ---------------------------------------------------------------- q101
+  /** Snapshot reconciliation ([[graft.operators.Diff]]): two
+    * deterministic versions of `orders` (the "old" load missing every
+    * 10th key, the "new" load missing every 7th-mod-3 key and
+    * repricing every 5th) are classified added / removed / changed /
+    * unchanged in one full-outer join, summarized with key-sum
+    * checksums that pin the exact membership of every class.
+    */
+  def q101(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders")
+    val base = o.where(col("o_orderkey") % 10 =!= 0)
+    val curr = o.where(col("o_orderkey") % 7 =!= 3)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 5 === 0, round(col("o_totalprice") + 1.0, 2))
+          .otherwise(col("o_totalprice")))
+    graft.operators.Diff
+      .snapshotDiff(base, curr, Seq("o_orderkey"),
+        Seq("o_totalprice", "o_orderstatus"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("o_orderkey")).as("sum_keys"))
+      .orderBy(col("status"))
+  }
+
+  val q101Sql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+      |  WHERE o_orderkey % 10 <> 0),
+      |curr AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 5 = 0 THEN ROUND(o_totalprice + 1.0, 2)
+      |         ELSE o_totalprice END AS o_totalprice,
+      |    o_orderstatus
+      |  FROM orders WHERE o_orderkey % 7 <> 3),
+      |d AS (
+      |  SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS k,
+      |    CASE WHEN b.o_orderkey IS NULL THEN 'added'
+      |         WHEN c.o_orderkey IS NULL THEN 'removed'
+      |         WHEN b.o_totalprice IS NOT DISTINCT FROM c.o_totalprice
+      |          AND b.o_orderstatus IS NOT DISTINCT FROM c.o_orderstatus
+      |           THEN 'unchanged'
+      |         ELSE 'changed' END AS status
+      |  FROM base b FULL OUTER JOIN curr c ON b.o_orderkey = c.o_orderkey)
+      |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |  SUM(k) AS sum_keys
+      |FROM d GROUP BY status ORDER BY status""".stripMargin
+
+  // ---------------------------------------------------------------- q102
+  /** One-pass column profiling over `orders` — the schema-drift /
+    * data-discovery scan: per column, null count, exact distinct
+    * count and min/max (rendered as strings so one tidy table covers
+    * every type). All six columns profile in a single aggregate over
+    * one scan — per-column distincts share the one Expand pass —
+    * and the unpivot to rows happens on the 1-row result, never on
+    * data.
+    */
+  def q102(spark: SparkSession, sfDir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val o = t(spark, sfDir, "orders")
+    val agg = o.agg(count(lit(1)).as("n_rows"),
+      cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))): _*)
+    agg.select(explode(array(cols.map(c => struct(
+        lit(c).as("column_name"), col("n_rows"),
+        col(s"${c}__nulls").as("n_nulls"),
+        col(s"${c}__distinct").as("n_distinct"),
+        col(s"${c}__min").as("min_str"),
+        col(s"${c}__max").as("max_str"))): _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("column_name"))
+  }
+
+  val q102Sql: String = {
+    def row(c: String) =
+      s"""SELECT '$c' AS column_name, (SELECT COUNT(*) FROM orders) AS n_rows,
+         |  COUNT(*) - COUNT($c) AS n_nulls,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(MIN($c) AS VARCHAR) AS min_str, CAST(MAX($c) AS VARCHAR) AS max_str
+         |FROM orders""".stripMargin
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .map(row).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
+  // ---------------------------------------------------------------- q103
+  /** Join-size / skew pre-flight: for the self-join of `lineitem` on
+    * `l_partkey`, compute — WITHOUT running the join — its exact
+    * output cardinality (Σ n_k²), key count, and the five heaviest
+    * keys with their exact share in parts-per-million. This is the
+    * key-histogram statistic a 100 TB pipeline computes before
+    * choosing salting / AQE skew handling: the histogram costs one
+    * map-side-combined aggregation over the probe key, vs the join it
+    * predicts. All shares are bigint `div` — engine-exact.
+    */
+  def q103(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = t(spark, sfDir, "lineitem")
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_rows"))
+      .withColumn("key_pairs", col("n_rows") * col("n_rows"))
+    val stats = h.agg(sum(col("key_pairs")).cast("long").as("total_pairs"),
+      count(lit(1)).as("n_keys"))
+    h.crossJoin(broadcast(stats))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("key_pairs").desc, col("l_partkey"))))
+      .where(col("rank") <= 5)
+      .select(col("rank"), col("l_partkey"), col("n_rows"), col("key_pairs"),
+        col("total_pairs"), col("n_keys"),
+        expr("(key_pairs * 1000000) div total_pairs").as("share_ppm"))
+      .orderBy(col("rank"))
+  }
+
+  val q103Sql: String =
+    """WITH h AS (
+      |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(COUNT(*) AS BIGINT) * CAST(COUNT(*) AS BIGINT) AS key_pairs
+      |  FROM lineitem GROUP BY 1),
+      |s AS (SELECT CAST(SUM(key_pairs) AS BIGINT) AS total_pairs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_keys FROM h),
+      |r AS (SELECT h.*, s.total_pairs, s.n_keys,
+      |  ROW_NUMBER() OVER (ORDER BY key_pairs DESC, l_partkey) AS rank
+      |  FROM h CROSS JOIN s)
+      |SELECT CAST(rank AS INT) AS rank, l_partkey, n_rows, key_pairs,
+      |  total_pairs, n_keys, (key_pairs * 1000000) // total_pairs AS share_ppm
+      |FROM r WHERE rank <= 5 ORDER BY rank""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q77_ordered_listagg", q77 _, Some(q77Sql)),
     ("q78_hll_mergeable", q78 _, Some(q78Sql)),
@@ -554,6 +682,9 @@ object Analytics {
     ("q92_part_cooccurrence", q92 _, Some(q92Sql)),
     ("q94_gap_fill_daily", q94 _, Some(q94Sql)),
     ("q95_scd2_intervals", q95 _, Some(q95Sql)),
-    ("q96_triangle_census", q96 _, Some(q96Sql))
+    ("q96_triangle_census", q96 _, Some(q96Sql)),
+    ("q101_snapshot_diff", q101 _, Some(q101Sql)),
+    ("q102_column_profile", q102 _, Some(q102Sql)),
+    ("q103_join_skew_stats", q103 _, Some(q103Sql))
   )
 }

@@ -311,6 +311,47 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------ q101
+  test("snapshot diff classifies every key exactly once, null-safely") {
+    val s = spark
+    import s.implicits._
+    val base = Seq((1L, Some(10.0), "A"), (2L, Some(20.0), "B"),
+      (3L, None: Option[Double], "C"), (4L, Some(40.0), "D"))
+      .toDF("k", "v", "tag")
+    val curr = Seq((2L, Some(21.0), "B"), (3L, None: Option[Double], "C"),
+      (4L, Some(40.0), "E"), (5L, Some(50.0), "F"))
+      .toDF("k", "v", "tag")
+    val got = graft.operators.Diff
+      .snapshotDiff(base, curr, Seq("k"), Seq("v", "tag"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 1 only in base; 2 repriced; 3 identical incl. null v (<=>);
+    // 4 tag changed; 5 only in curr
+    assert(got == Map(1L -> "removed", 2L -> "changed", 3L -> "unchanged",
+      4L -> "changed", 5L -> "added"))
+  }
+
+  // ------------------------------------------------------------ q102
+  test("column profile matches per-column recomputation") {
+    val rows = graft.queries.Analytics.q102(spark, sfDir).collect()
+    val o = graft.Tables.load(spark, sfDir, "orders")
+    val n = o.count()
+    rows.foreach { r =>
+      val c = r.getString(0)
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) == o.filter(col(c).isNull).count())
+      assert(r.getLong(3) == o.select(c).distinct().count())
+    }
+  }
+
+  // ------------------------------------------------------------ q103
+  test("join-size pre-flight predicts the executed self-join cardinality exactly") {
+    val first = graft.queries.Analytics.q103(spark, sfDir).collect().head
+    val li = graft.Tables.load(spark, sfDir, "lineitem").select(col("l_partkey"))
+    val actual = li.join(li.withColumnRenamed("l_partkey", "k"),
+      col("l_partkey") === col("k")).count()
+    assert(first.getLong(4) == actual) // total_pairs column
+  }
+
   // ------------------------------------------------------------- q96
   test("triangle census counts a known graph exactly") {
     val s = spark

@@ -27,7 +27,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q96_triangle_census",  // 1-row count crossjoins assembling the census row
     "q97_chisq_independence", // 1-row grand-total broadcast into the grid
     "q99_sliding_mau_sketch", // 1-row max-day broadcast bounding the spine
-    "q100_weighted_allocation") // 1-row budget-total broadcast into apportionment
+    "q100_weighted_allocation", // 1-row budget-total broadcast into apportionment
+    "q103_join_skew_stats") // 1-row histogram-total broadcast into the shares
 
   test("no declared query plans a cartesian product; BNLJ only where intended") {
     // streaming queries execute on materialization, not plan-inspectable
