@@ -150,14 +150,17 @@ object TextStats {
     * side broadcasts instead. Output: idCol, n_bigrams, avg_p.
     */
   def bigramSurprise(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // the pair stream feeds both the model build and the scoring join;
+    // materializing it once halves the corpus tokenization passes
     val pairs = df
       .select(col(idCol), toks(textCol).as("t"))
       .where(size(col("t")) >= 2)
       .select(col(idCol), explode(expr(
         "transform(slice(t, 1, size(t) - 1), (w, i) -> struct(w AS w1, t[i + 1] AS w2))")).as("p"))
       .select(col(idCol), col("p.w1"), col("p.w2"))
-    // the model (vocabulary²-bounded) is materialized once so its
-    // three consumers below don't re-tokenize the corpus each
+      .localCheckpoint()
+    // the model (vocabulary²-bounded) also materializes once: its three
+    // consumers below would otherwise each re-shuffle the pair stream
     val counts = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
     val ctx = counts.groupBy(col("w1")).agg(sum(col("cnt")).as("ctx_cnt"))

@@ -487,6 +487,9 @@ object Events {
     val uw = ev(spark, sfDir)
       .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
       .distinct()
+      // (users × weeks)-bounded; materialized once so the cohort
+      // assignment and the activity join don't each rescan raw events
+      .localCheckpoint()
     val first = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
     val m = uw.join(first, "user_id")
       .withColumn("week_offset",
