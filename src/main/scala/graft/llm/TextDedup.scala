@@ -402,4 +402,43 @@ object TextDedup {
       .select(col("d1"), col("d2"), col("fp1"), col("fp2"),
         col("hamming").cast("int").as("hamming"))
   }
+
+  /** Sorted-neighborhood (SNM) near-dup pairs — the sort-based
+    * blocking family, complementing the hash-based blockers
+    * (MinHash/SimHash bands, PPJoin prefixes): order the corpus by a
+    * sort key (here the text itself, id tie-break), then compare each
+    * document only against its next `window − 1` neighbors by
+    * distinct-token Jaccard. Finds the near-identical-prefix
+    * duplicates sort order co-locates, at a guaranteed
+    * (window−1)·n comparison budget — no bucket-skew blowup by
+    * construction, the property hash blockers cannot promise.
+    *
+    * Ranks come from [[graft.operators.GlobalRank]] — range-partition
+    * + per-partition row_number + offset prefix-sum — so there is no
+    * single-partition window anywhere; the neighbor pairing is a plain
+    * equi-join on the rank. Jaccard is |∩|/|∪| of distinct token sets,
+    * an int/int double division — engine-exact.
+    * Output: d1, d2 (rank order), jaccard.
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, textCol: String,
+                              window: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    require(window >= 2, "window must cover at least one neighbor")
+    val ranked = graft.operators.GlobalRank
+      .withGlobalRank(df.select(col(idCol), col(textCol)),
+        Seq(col(textCol), col(idCol)), "r")
+    val probes = ranked
+      .select(col(idCol).as("d1"), col(textCol).as("t1"), col("r"),
+        explode(expr(s"sequence(1, ${window - 1})")).as("delta"))
+      .withColumn("r2", col("r") + col("delta"))
+    probes.join(
+        ranked.select(col(idCol).as("d2"), col(textCol).as("t2"),
+          col("r").as("r2")), "r2")
+      .withColumn("n1", array_distinct(split(col("t1"), " ")))
+      .withColumn("n2", array_distinct(split(col("t2"), " ")))
+      .withColumn("inter", size(array_intersect(col("n1"), col("n2"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("n1")) + size(col("n2")) - col("inter")).cast("double"))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
+  }
 }

@@ -284,6 +284,43 @@ object Dedup {
        |FROM corp c JOIN bset b USING (h)
        |GROUP BY c.doc_id, c.sz ORDER BY c.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q104
+  /** Sorted-neighborhood near-dup pairs
+    * ([[graft.llm.TextDedup.sortedNeighborhoodPairs]]): the SORT-based
+    * blocking family next to the hash blockers (q28-q30) — each doc
+    * compares only with its next 2 neighbors in (text, id) order, a
+    * fixed 2n comparison budget with no bucket-skew risk. The oracle's
+    * `row_number` global sort proves the distributed rank
+    * ([[graft.operators.GlobalRank]]: range partition + local ranks +
+    * offset prefix-sum, no single-partition window) assigns the
+    * identical total order.
+    */
+  def q104(spark: SparkSession, sfDir: String): DataFrame =
+    graft.llm.TextDedup
+      .sortedNeighborhoodPairs(docs(spark, sfDir), "doc_id", "text",
+        window = 3, minJaccard = 0.5)
+      .orderBy(col("d1"), col("d2"))
+
+  val q104Sql: String =
+    """WITH ranked AS (
+      |  SELECT doc_id, text,
+      |    ROW_NUMBER() OVER (ORDER BY text, doc_id) AS r
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+      |    list_distinct(string_split(a.text, ' ')) AS n1,
+      |    list_distinct(string_split(b.text, ' ')) AS n2
+      |  FROM ranked a JOIN ranked b ON b.r - a.r BETWEEN 1 AND 2),
+      |j AS (
+      |  SELECT d1, d2,
+      |    len(list_filter(n1, x -> list_contains(n2, x))) AS inter,
+      |    len(n1) + len(n2) AS tot
+      |  FROM pairs)
+      |SELECT d1, d2,
+      |  ROUND(inter / CAST(tot - inter AS DOUBLE), 6) AS jaccard
+      |FROM j WHERE inter / CAST(tot - inter AS DOUBLE) >= 0.5
+      |ORDER BY d1, d2""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q27_exact_dedup", q27 _, Some(q27Sql)),
     ("q28_ngram_jaccard_neardup", q28 _, Some(q28Sql)),
@@ -291,6 +328,7 @@ object Dedup {
     ("q30_simhash_neardup", q30 _, Some(q30Sql)),
     ("q54_neardup_clusters", q54 _, Some(q54Sql)),
     ("q60_containment_neardup", q60 _, Some(q60Sql)),
-    ("q73_decontamination", q73 _, Some(q73Sql))
+    ("q73_decontamination", q73 _, Some(q73Sql)),
+    ("q104_snm_neardup", q104 _, Some(q104Sql))
   )
 }

@@ -319,4 +319,42 @@ class LlmApiSpec extends AnyFunSuite {
       .select("sample_bucket").distinct().collect().map(_.getLong(0)).toSet
     assert(buckets.subsetOf((0L until 10L).toSet) && buckets.size > 5)
   }
+
+  test("global rank equals the single-sort row_number for duplicate-laden keys") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (i.toLong, s"k${i % 7}")).toDF("id", "key")
+    val got = graft.operators.GlobalRank
+      .withGlobalRank(df, Seq(col("key"), col("id")), "rank")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val want = df.collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy { case (id, k) => (k, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    assert(got == want) // contiguous 1..n, same total order, no gaps
+  }
+
+  test("sorted-neighborhood pairs match brute-force adjacent comparison") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta epsilon"), // near-dup of 1, adjacent in sort
+      (3L, "zeta eta theta"),
+      (4L, "alpha beta gamma"),               // near-dup of 1/2
+      (5L, "completely different words here"))
+    val w = 3
+    val got = TextDedup.sortedNeighborhoodPairs(
+        corpus.toDF("doc_id", "text"), "doc_id", "text",
+        window = w, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // brute force: sort by (text, id), compare each with next w-1
+    val sorted = corpus.sortBy { case (id, t) => (t, id) }
+    val want = (for {
+      i <- sorted.indices; j <- (i + 1) until math.min(i + w, sorted.length)
+      a = sorted(i); b = sorted(j)
+      s1 = a._2.split(" ").toSet; s2 = b._2.split(" ").toSet
+      jac = s1.intersect(s2).size.toDouble / s1.union(s2).size
+      if jac >= 0.5
+    } yield (a._1, b._1) -> math.rint(jac * 1e6) / 1e6).toMap
+    assert(got == want)
+    assert(got.nonEmpty) // the engineered near-dups must surface
+  }
 }
