@@ -321,6 +321,40 @@ object Dedup {
       |FROM j WHERE inter / CAST(tot - inter AS DOUBLE) >= 0.5
       |ORDER BY d1, d2""".stripMargin
 
+  // ---------------------------------------------------------------- q106
+  /** Fuzzy string matching by edit distance over sort-adjacent
+    * candidates: the 20 closest consecutive part-name pairs in
+    * lexicographic order, scored with full Levenshtein. The same
+    * sorted-blocking shape as q104 ([[graft.operators.GlobalRank]] —
+    * no single-partition window) with a character-level metric
+    * instead of token Jaccard: n−1 distance computations total where
+    * the all-pairs matcher needs n²/2. Distances are exact DP
+    * integers — engine-identical.
+    */
+  def q106(spark: SparkSession, sfDir: String): DataFrame = {
+    val ranked = graft.operators.GlobalRank
+      .withGlobalRank(
+        Tables.load(spark, sfDir, "part").select(col("p_partkey"), col("p_name")),
+        Seq(col("p_name"), col("p_partkey")), "r")
+    val nxt = ranked.select(col("p_partkey").as("p2"), col("p_name").as("n2"),
+      (col("r") - 1).as("r"))
+    ranked.join(nxt, "r")
+      .select(col("p_partkey").as("p1"), col("p2"),
+        levenshtein(col("p_name"), col("n2")).as("edit_dist"))
+      .orderBy(col("edit_dist"), col("p1"))
+      .limit(20)
+  }
+
+  val q106Sql: String =
+    """WITH ranked AS (
+      |  SELECT p_partkey, p_name,
+      |    ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) AS r
+      |  FROM part)
+      |SELECT a.p_partkey AS p1, b.p_partkey AS p2,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+      |FROM ranked a JOIN ranked b ON b.r = a.r + 1
+      |ORDER BY edit_dist, p1 LIMIT 20""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q27_exact_dedup", q27 _, Some(q27Sql)),
     ("q28_ngram_jaccard_neardup", q28 _, Some(q28Sql)),
@@ -329,6 +363,7 @@ object Dedup {
     ("q54_neardup_clusters", q54 _, Some(q54Sql)),
     ("q60_containment_neardup", q60 _, Some(q60Sql)),
     ("q73_decontamination", q73 _, Some(q73Sql)),
-    ("q104_snm_neardup", q104 _, Some(q104Sql))
+    ("q104_snm_neardup", q104 _, Some(q104Sql)),
+    ("q106_editdist_neighbors", q106 _, Some(q106Sql))
   )
 }

@@ -803,6 +803,39 @@ object Relational {
       |  ROUND((dsxy - dsx * dsy / dn) / (dn - 1.0), 4) AS covar_qty_price
       |FROM comp ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q105
+  /** Distribution window functions — percent_rank / cume_dist /
+    * nth_value over suppliers per nation, completing the window-zoo
+    * coverage (q10-q12 rank/analytic/frame families). The
+    * (acctbal, suppkey) order is tie-free, so both distribution
+    * functions are rank/n rationals of the same total order in both
+    * engines; nth_value reads the full frame explicitly (its default
+    * running frame would return a row-dependent value).
+    */
+  def q105(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("s_acctbal"), col("s_suppkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(spark, sfDir, "supplier")
+      .select(col("s_nationkey"), col("s_suppkey"),
+        round(col("s_acctbal"), 2).as("acctbal"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        nth_value(col("s_suppkey"), 2).over(full).as("second_poorest"))
+      .orderBy(col("s_nationkey"), col("s_suppkey"))
+  }
+
+  val q105Sql: String =
+    """SELECT s_nationkey, s_suppkey, ROUND(s_acctbal, 2) AS acctbal,
+      |  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+      |  ROUND(CUME_DIST() OVER w, 6) AS cume,
+      |  NTH_VALUE(s_suppkey, 2) OVER (PARTITION BY s_nationkey
+      |    ORDER BY s_acctbal, s_suppkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_poorest
+      |FROM supplier
+      |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+      |ORDER BY s_nationkey, s_suppkey""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q01_pricing_summary", q01 _, Some(q01Sql)),
     ("q02_top_orders", q02 _, Some(q02Sql)),
@@ -834,6 +867,7 @@ object Relational {
     ("q62_bloom_prefilter_join", q62 _, Some(q62Sql)),
     ("q64_merge_upsert", q64 _, Some(q64Sql)),
     ("q71_correlated_subquery", q71 _, Some(q71Sql)),
-    ("q72_corr_covar", q72 _, Some(q72Sql))
+    ("q72_corr_covar", q72 _, Some(q72Sql)),
+    ("q105_window_distribution", q105 _, Some(q105Sql))
   )
 }
