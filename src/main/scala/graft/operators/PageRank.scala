@@ -46,16 +46,19 @@ object PageRank {
           broadcastRanks: Boolean = false): DataFrame = {
     val bc: DataFrame => DataFrame =
       if (broadcastRanks) org.apache.spark.sql.functions.broadcast else identity
-    // both static tables persist: `nodes` re-enters the plan at every
-    // iteration's left join (4 recomputes of a full-edge distinct for
-    // 3 iterations otherwise), `edgesDeg` at every contrib join
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node")))
+    // all three static tables persist: the caller's edge plan is often
+    // itself expensive (a distinct over a fact table) and feeds the
+    // node set, the degree join and the contrib joins; `nodes`
+    // re-enters the plan at every iteration's left join, `edgesDeg` at
+    // every contrib join
+    val edgesP = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = edgesP.select(col("src").as("node"))
+      .union(edgesP.select(col("dst").as("node")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     // out-degree as a window count: one shuffle on src, versus the
     // groupBy+join formulation's two passes over the edge list
-    val edgesDeg = edges
+    val edgesDeg = edgesP
       .withColumn("outdeg", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .persist(StorageLevel.MEMORY_AND_DISK)
