@@ -577,6 +577,60 @@ object Events {
       |FROM ex CROSS JOIN mx WHERE day_t <= max_day
       |GROUP BY day_t ORDER BY day_t""".stripMargin
 
+  // ---------------------------------------------------------------- q107
+  /** Point-in-time dimension join: each event is matched to the
+    * dimension version (the customer's latest order price) in effect
+    * on the event's day. Implemented as the MERGED-STREAM window —
+    * union dimension changes (kind 0) and facts (kind 1), one window
+    * per key ordered by (day, kind, key2), `last(value, ignoreNulls)`
+    * — which is linear with ONE shuffle on the join key, where the
+    * naive formulation is an inequality range join plus a per-fact
+    * row_number dedup (the oracle runs exactly that formulation,
+    * proving equivalence). Same-day semantics: a dimension change
+    * sorts before facts of that day (kind 0 < 1) and the latest
+    * orderkey wins among same-day changes — deterministic in both
+    * engines.
+    */
+  def q107(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = Tables.load(spark, sfDir, "orders")
+      .select(col("o_custkey").as("k"), to_date(col("o_orderdate")).as("day"),
+        col("o_orderkey").as("ord"), col("o_totalprice").as("p"),
+        lit(0).as("kind"), lit(null).cast(LongType).as("event_id"))
+    val facts = ev(spark, sfDir)
+      .select(col("user_id").as("k"), to_date(col("ts")).as("day"),
+        col("event_id").as("ord"), lit(null).cast("double").as("p"),
+        lit(1).as("kind"), col("event_id"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("day"), col("kind"), col("ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dim.unionByName(facts)
+      .withColumn("eff_p", last(col("p"), ignoreNulls = true).over(w))
+      .where(col("kind") === 1)
+      .groupBy(col("k").as("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("eff_p")).as("n_matched"),
+        Num.dsum(col("eff_p")).as("sum_matched_price"))
+      .orderBy(col("user_id"))
+  }
+
+  val q107Sql: String =
+    """WITH dim AS (
+      |  SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS d,
+      |    o_orderkey AS okey, o_totalprice AS p
+      |  FROM orders),
+      |f AS (SELECT user_id AS k, event_id, CAST(ts AS DATE) AS d FROM events),
+      |j AS (
+      |  SELECT f.k, f.event_id, dim.p,
+      |    ROW_NUMBER() OVER (PARTITION BY f.k, f.event_id
+      |      ORDER BY dim.d DESC, dim.okey DESC) AS rn
+      |  FROM f JOIN dim ON dim.k = f.k AND dim.d <= f.d),
+      |m AS (SELECT k, event_id, p FROM j WHERE rn = 1)
+      |SELECT f.k AS user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(COUNT(m.p) AS BIGINT) AS n_matched,
+      |  CAST(SUM(CAST(m.p AS DECIMAL(27,4))) AS DOUBLE) AS sum_matched_price
+      |FROM f LEFT JOIN m USING (k, event_id)
+      |GROUP BY f.k ORDER BY user_id""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_events_json_stats", q23 _, Some(q23Sql)),
     ("q24_events_daily_window", q24 _, Some(q24Sql)),
@@ -592,6 +646,7 @@ object Events {
     ("q86_concurrency_sweep", q86 _, Some(q86Sql)),
     ("q93_event_transitions", q93 _, Some(q93Sql)),
     ("q98_retention_cohorts", q98 _, Some(q98Sql)),
-    ("q99_sliding_mau_sketch", q99 _, Some(q99Sql))
+    ("q99_sliding_mau_sketch", q99 _, Some(q99Sql)),
+    ("q107_pit_join", q107 _, Some(q107Sql))
   )
 }
