@@ -21,6 +21,8 @@ object GraftFunctions {
     "vector_dot_scaled" -> (children => VectorDotScaled(children(0), children(1))),
     "winnow_stats" -> (children => WinnowStats(children.head,
       children(1).eval().asInstanceOf[Int], children(2).eval().asInstanceOf[Int])),
+    "winnow_set" -> (children => WinnowSet(children.head,
+      children(1).eval().asInstanceOf[Int], children(2).eval().asInstanceOf[Int])),
     "topk_neighbors" -> (children => TopKNeighborsAgg(children(0), children(1),
       children(2).eval().asInstanceOf[Int]).toAggregateExpression()),
     "shingle_hashes" -> (children => ShingleHashes(children(0),

@@ -189,18 +189,13 @@ object TextDedup {
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, k: Int = 12, bands: Int = 4): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
-    val rows = k / bands
     val sh = hashedShingles(df, idCol, textCol, n)
     // signatures are row-local ([[graft.functions.MinHashSig]], same
     // affine hashes as the typed MinHashAggregator — cross-pinned in
     // FunctionProperties): no shingle explode, no per-doc shuffle
     val sig = sh.select(col(idCol), col("sz"), col("hs"),
       expr(s"minhash_sig(hs, $k)").as("sig"))
-    val bandKeyExpr = (0 until rows)
-      .map(r => s"cast(sig[band*$rows+$r] as string)").mkString("concat_ws(',', ", ", ", ")")
-    val banded = sig.select(col(idCol), col("sig"), col("sz"), col("hs"),
-        explode(expr(s"sequence(0, ${bands - 1})")).as("band"))
-      .withColumn("bkey", expr(bandKeyExpr))
+    val banded = bandify(sig, idCol, k, bands)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
@@ -215,6 +210,126 @@ object TextDedup {
       .withColumn("inter", size(array_intersect(col("hs1"), col("hs2"))))
       .withColumn("jac", col("inter") / (col("sz1") + col("sz2") - col("inter")))
       .select(col("d1"), col("d2"), col("est_sim"), col("jac"))
+  }
+
+  /** Writes the MinHash signature store for `df` — the artifact an
+    * incremental dedup pipeline persists so the NEXT refresh can dedup
+    * a new batch against history without rescanning the corpus.
+    * Schema: (idCol, sz, hs, sig) — keeping the shingle-hash sets `hs`
+    * alongside the k-long signature is what lets the next run verify
+    * exact Jaccard against history without the original text.
+    *
+    * Scale shape: one scan + native hash pass over the corpus, no
+    * shuffle at all — the store is written with the source's
+    * partitioning. At 100 TB the store is a small fraction of corpus
+    * bytes (ids + hashes, no text).
+    */
+  def writeSignatureStore(df: DataFrame, idCol: String, textCol: String,
+                          path: String, n: Int = 3, k: Int = 12): Unit = {
+    val sh = hashedShingles(df, idCol, textCol, n)
+    sh.select(col(idCol), col("sz"), col("hs"),
+        expr(s"minhash_sig(hs, $k)").as("sig"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** LSH band explosion over a signature table: one row per (id, band)
+    * with the band's row-concatenated key. Shared by the self-join and
+    * the against-history paths so both sides band identically.
+    */
+  private def bandify(sig: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    val bandKeyExpr = (0 until rows)
+      .map(r => s"cast(sig[band*$rows+$r] as string)").mkString("concat_ws(',', ", ", ", ")")
+    sig.select(col(idCol), col("sig"), col("sz"), col("hs"),
+        explode(expr(s"sequence(0, ${bands - 1})")).as("band"))
+      .withColumn("bkey", expr(bandKeyExpr))
+  }
+
+  /** Incremental near-dup: dedup a NEW batch against the persisted
+    * signature store of everything already ingested — the production
+    * 100 TB refresh shape, where history is read back as (id, hs, sig)
+    * rows and never recomputed from text. Candidates are LSH band
+    * matches between store and batch; each carries the
+    * signature-estimated and exact Jaccard similarity (exact thanks to
+    * the stored shingle sets).
+    *
+    * Output: d_hist, d_new, est_sim, jac.
+    *
+    * Scale shape: signatures are computed ONLY for the new batch
+    * (typically ≪ history); the join shuffles both sides on the band
+    * key — history moves (id, band-key, hs) bytes, not text — and only
+    * band-bucket matches reach the verify arithmetic. The same store
+    * path is then extended by appending the batch's signatures
+    * ([[writeSignatureStore]] on the batch with `Append` semantics at
+    * the caller's discretion).
+    */
+  def dedupAgainstStore(newBatch: DataFrame, idCol: String, textCol: String,
+                        storePath: String, n: Int = 3, k: Int = 12,
+                        bands: Int = 4): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val spark = newBatch.sparkSession
+    GraftFunctions.ensureRegistered(spark)
+    val hist = bandify(spark.read.parquet(storePath), idCol, k, bands)
+    val sh = hashedShingles(newBatch, idCol, textCol, n)
+    val fresh = bandify(
+      sh.select(col(idCol), col("sz"), col("hs"),
+        expr(s"minhash_sig(hs, $k)").as("sig")), idCol, k, bands)
+    val cand = hist.as("a").join(fresh.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+      .select(col(s"a.$idCol").as("d_hist"), col(s"b.$idCol").as("d_new"),
+        col("a.sig").as("sig1"), col("b.sig").as("sig2"),
+        col("a.hs").as("hs1"), col("b.hs").as("hs2"),
+        col("a.sz").as("sz1"), col("b.sz").as("sz2"))
+      .dropDuplicates("d_hist", "d_new")
+    cand
+      .withColumn("est_sim",
+        expr("size(filter(zip_with(sig1, sig2, (x, y) -> x = y), b -> b))") / k.toDouble)
+      .withColumn("inter", size(array_intersect(col("hs1"), col("hs2"))))
+      .withColumn("jac", col("inter") / (col("sz1") + col("sz2") - col("inter")))
+      .select(col("d_hist"), col("d_new"), col("est_sim"), col("jac"))
+  }
+
+  /** Partial-overlap (shared-passage) detection via a winnowing
+    * fingerprint inverted index — MOSS-style (Schleimer, Wilkerson,
+    * Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD'03): documents sharing at least `minShared` selected
+    * fingerprints are flagged with the shared count and the overlap
+    * fraction vs the smaller fingerprint set. This catches documents
+    * that QUOTE each other — partial duplication MinHash's whole-set
+    * Jaccard dilutes below threshold.
+    *
+    * Output: d1, d2, n_shared, overlap.
+    *
+    * Scale shape: one in-row `winnow_set` pass (O(L) rolling hash, no
+    * gram shuffle), then an equi-join on fingerprint. Fingerprints
+    * present in more than `maxDocFreq` documents are dropped first —
+    * boilerplate passages are non-discriminative, and the cap bounds
+    * every join bucket to ≤ maxDocFreq² pairs, the skew guard that
+    * keeps a viral passage from going quadratic at 100 TB.
+    */
+  def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 8, w: Int = 16, minShared: Int = 2,
+                         maxDocFreq: Int = 20): DataFrame = {
+    GraftFunctions.ensureRegistered(df.sparkSession)
+    val sel = spread(df)
+      .select(col(idCol), expr(s"winnow_set($textCol, $k, $w)").as("fps"))
+      .where(col("fps").isNotNull)
+    val ex = sel.select(col(idCol), size(col("fps")).as("n_sel"),
+      explode(col("fps")).as("fp"))
+    val keep = ex.groupBy(col("fp"))
+      .agg(count(lit(1)).as("dfreq"))
+      .where(col("dfreq") <= maxDocFreq)
+      .select(col("fp"))
+    val filtered = ex.join(keep, "fp")
+    filtered.as("a").join(filtered.as("b"),
+        col("a.fp") === col("b.fp") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"),
+        col("a.n_sel").as("n1"), col("b.n_sel").as("n2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .select(col("d1"), col("d2"), col("n_shared"),
+        (col("n_shared") / least(col("n1"), col("n2")).cast("double"))
+          .as("overlap"))
   }
 
   /** Connected components over a near-dup pair list: every document in

@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing is real — schema, typed Dataset, batched
   * `mapPartitions` (the JVM analogue of a Pandas-UDF `mapInPandas`
   * pass: fixed-size batches per partition, one codec instance per
-  * partition, columnar-friendly output). The *decode* itself is a
-  * deterministic STUB ([[FakeFrameCodec]]): this environment has no
-  * image/audio libraries, so a real codec (libjpeg/ffmpeg binding)
-  * would plug in behind [[MediaCodec]] without touching any plumbing.
+  * partition, columnar-friendly output). Two codecs sit behind
+  * [[MediaCodec]]: [[ImageIoCodec]] is a REAL PNG/JPEG decoder on the
+  * JDK's built-in `javax.imageio` (q108 round-trips actual PNG bytes
+  * through it under an oracle); [[FakeFrameCodec]] remains the
+  * deterministic stand-in for codecs this environment lacks
+  * (video/audio — an ffmpeg binding would plug in the same way).
   */
 final case class MediaBlob(doc_id: Long, media_type: String, data: Array[Byte])
 
@@ -54,6 +56,48 @@ final class FakeFrameCodec(val mediaType: String = "fake/frames",
     }.toArray
     MediaFeatures(blob.doc_id, blob.media_type, bytes.length.toLong,
       nFrames, bytes.take(4), feature)
+  }
+}
+
+/** REAL image codec over the JDK's built-in `javax.imageio` (PNG/JPEG
+  * — no external libraries). Decodes the blob to a `BufferedImage` and
+  * emits geometry + exact per-channel pixel sums as the feature
+  * vector: `[width, height, sumR, sumG, sumB, 0…]`. Sums stay exact in
+  * Float up to 2²⁴ (a 16×8 tile sums to ≤ 32640), so the declared
+  * query can cast them back to BIGINT losslessly. `n_frames` = 1 —
+  * stills have one frame; an animated reader would plug in the same
+  * way via `ImageIO.getImageReaders`.
+  */
+final class ImageIoCodec(val featureDim: Int = 8) extends MediaCodec {
+  require(featureDim >= 5, "featureDim must fit [w, h, sumR, sumG, sumB]")
+  override val mediaType: String = "image/png"
+
+  override def decode(blob: MediaBlob): MediaFeatures = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob.data))
+    require(img != null, s"undecodable image blob for doc ${blob.doc_id}")
+    val w = img.getWidth
+    val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xff
+        sg += (rgb >> 8) & 0xff
+        sb += rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val feature = new Array[Float](featureDim)
+    feature(0) = w.toFloat
+    feature(1) = h.toFloat
+    feature(2) = sr.toFloat
+    feature(3) = sg.toFloat
+    feature(4) = sb.toFloat
+    MediaFeatures(blob.doc_id, mediaType, blob.data.length.toLong, 1,
+      blob.data.take(4), feature)
   }
 }
 
@@ -98,6 +142,78 @@ object Multimodal {
         col("n_frames"))
       .orderBy(col("doc_id"))
 
+  /** Synthetic PNG blobs, one per document: a `w×h` two-color
+    * checkerboard whose geometry and palette derive arithmetically
+    * from `doc_id`, PNG-encoded with `javax.imageio` inside the
+    * partition pass. Deterministic by construction, so the *decoded*
+    * pixel sums are SQL-recomputable — which is what lets a real
+    * binary image decode sit behind a DuckDB oracle.
+    */
+  def syntheticPngBlobs(spark: SparkSession, sfDir: String): Dataset[MediaBlob] = {
+    import spark.implicits._
+    graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = 1 + (id % 16).toInt
+          val h = 1 + (id % 8).toInt
+          val c0 = (((id % 256).toInt << 16)
+            | (((id * 7) % 256).toInt << 8) | ((id * 13) % 256).toInt)
+          val c1 = ((((id * 3 + 1) % 256).toInt << 16)
+            | (((id * 5 + 2) % 256).toInt << 8) | ((id * 11 + 3) % 256).toInt)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y, if ((x + y) % 2 == 0) c0 else c1)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          MediaBlob(id, "image/png", bos.toByteArray)
+        }
+      }
+  }
+
+  /** q108: PNG-encode → batched `ImageIoCodec` decode → per-channel
+    * pixel sums. Every output value passed through a real PNG byte
+    * stream; the oracle recomputes the checkerboard arithmetic the
+    * image was built from. Embarrassingly parallel — one partition
+    * pass, no shuffle until the final order.
+    */
+  def imageDecode(spark: SparkSession, sfDir: String): DataFrame =
+    extractFeatures(syntheticPngBlobs(spark, sfDir), new ImageIoCodec)
+      .toDF()
+      .select(col("doc_id"),
+        element_at(col("feature"), 1).cast("int").as("width"),
+        element_at(col("feature"), 2).cast("int").as("height"),
+        element_at(col("feature"), 3).cast("bigint").as("sum_r"),
+        element_at(col("feature"), 4).cast("bigint").as("sum_g"),
+        element_at(col("feature"), 5).cast("bigint").as("sum_b"))
+      .orderBy(col("doc_id"))
+
+  val q108Sql: String =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    1 + doc_id % 16 AS w, 1 + doc_id % 8 AS h,
+      |    doc_id % 256 AS r0, (doc_id * 7) % 256 AS g0, (doc_id * 13) % 256 AS b0,
+      |    (doc_id * 3 + 1) % 256 AS r1, (doc_id * 5 + 2) % 256 AS g1,
+      |    (doc_id * 11 + 3) % 256 AS b1
+      |  FROM documents),
+      |c AS (
+      |  SELECT *, (w * h + (w % 2) * (h % 2)) // 2 AS n0,
+      |    w * h - (w * h + (w % 2) * (h % 2)) // 2 AS n1
+      |  FROM g)
+      |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |  CAST(n0 * r0 + n1 * r1 AS BIGINT) AS sum_r,
+      |  CAST(n0 * g0 + n1 * g1 AS BIGINT) AS sum_g,
+      |  CAST(n0 * b0 + n1 * b1 AS BIGINT) AS sum_b
+      |FROM c ORDER BY doc_id""".stripMargin
+
   val q44Sql: String =
     """SELECT doc_id, 'text/utf-8' AS media_type,
       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -105,5 +221,6 @@ object Multimodal {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
-    ("q44_multimodal_features", featureTable _, Some(q44Sql)))
+    ("q44_multimodal_features", featureTable _, Some(q44Sql)),
+    ("q108_imageio_decode", imageDecode _, Some(q108Sql)))
 }

@@ -23,6 +23,11 @@ object Diff {
                    keyCols: Seq[String], compareCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")
     require(compareCols.nonEmpty, "need at least one compared column")
+    // a compared key would be renamed to __b_/__c_ form below and the
+    // full-outer join on keyCols would silently fail to resolve
+    require(keyCols.intersect(compareCols).isEmpty,
+      s"keyCols and compareCols must be disjoint; both contain " +
+        keyCols.intersect(compareCols).mkString(", "))
     val b = base.select((keyCols ++ compareCols).map(col): _*)
       .withColumn("__in_b", lit(1))
     val c = curr.select((keyCols ++ compareCols).map(col): _*)

@@ -223,7 +223,7 @@ object Analytics {
 
   val q82Sql: String = {
     def round(prev: String): String =
-      s"""SELECT n.node, 150000000 + (85 * COALESCE(c.s, 0)) // 100 AS rank_val
+      s"""SELECT n.node, CAST(150000000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank_val
          |       FROM n LEFT JOIN (
          |         SELECT e.dst, SUM(r.rank_val // d.outdeg) AS s
          |         FROM e JOIN $prev r ON e.src = r.node
@@ -584,7 +584,7 @@ object Analytics {
       |         ELSE 'changed' END AS status
       |  FROM base b FULL OUTER JOIN curr c ON b.o_orderkey = c.o_orderkey)
       |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_keys,
-      |  SUM(k) AS sum_keys
+      |  CAST(SUM(k) AS BIGINT) AS sum_keys
       |FROM d GROUP BY status ORDER BY status""".stripMargin
 
   // ---------------------------------------------------------------- q102
@@ -628,6 +628,62 @@ object Analytics {
       .map(row).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
 
+  // ---------------------------------------------------------------- q110
+  /** Column profiling, sketch mode — the 100 TB variant of q102.
+    * q102's exact per-column distincts share one Expand pass, a 6×
+    * row multiplier on the fact table; here every distinct is an
+    * `approx_count_distinct` HLL, so the whole profile (nulls,
+    * distincts, min/max, row count for six columns) is ONE
+    * non-expanded scan with constant per-column aggregation state.
+    * Like q56/q78, sketch values are engine-specific, so the declared
+    * output carries the exact distinct (from six tiny single-distinct
+    * frames, each two-phase and Expand-free) plus a boolean asserting
+    * the sketch landed within ±15% — the oracle emits the exact
+    * values and TRUE, making envelope drift a driver-visible hash
+    * mismatch.
+    */
+  def q110(spark: SparkSession, sfDir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val o = t(spark, sfDir, "orders")
+    // the operator itself: one scan, no Expand, bounded state
+    val approx = o.agg(count(lit(1)).as("n_rows"),
+      cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        approx_count_distinct(col(c)).as(s"${c}__approx"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))): _*)
+    // exact references, each from its own single-distinct plan —
+    // joined as 1-row broadcast frames, only for the envelope check
+    val exact = cols
+      .map(c => o.agg(countDistinct(col(c)).as(s"${c}__exact")))
+      .reduce((a, b) => a.crossJoin(broadcast(b)))
+    approx.crossJoin(broadcast(exact))
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("column_name"), col("n_rows"),
+        col(s"${c}__nulls").as("n_nulls"),
+        col(s"${c}__exact").as("n_distinct"),
+        (abs(col(s"${c}__approx") - col(s"${c}__exact")) <=
+          col(s"${c}__exact") * 0.15).as("hll_ok"),
+        col(s"${c}__min").as("min_str"),
+        col(s"${c}__max").as("max_str"))): _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("column_name"))
+  }
+
+  val q110Sql: String = {
+    def row(c: String) =
+      s"""SELECT '$c' AS column_name, (SELECT COUNT(*) FROM orders) AS n_rows,
+         |  COUNT(*) - COUNT($c) AS n_nulls,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  TRUE AS hll_ok,
+         |  CAST(MIN($c) AS VARCHAR) AS min_str, CAST(MAX($c) AS VARCHAR) AS max_str
+         |FROM orders""".stripMargin
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .map(row).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
   // ---------------------------------------------------------------- q103
   /** Join-size / skew pre-flight: for the self-join of `lineitem` on
     * `l_partkey`, compute — WITHOUT running the join — its exact
@@ -645,10 +701,15 @@ object Analytics {
       .withColumn("key_pairs", col("n_rows") * col("n_rows"))
     val stats = h.agg(sum(col("key_pairs")).cast("long").as("total_pairs"),
       count(lit(1)).as("n_keys"))
+    // top-5 via TakeOrdered (partition-parallel), NOT a global
+    // row_number window — the rank is derived after the limit, when
+    // only 5 rows remain, so no single-partition pass over the
+    // whole key histogram ever happens
     h.crossJoin(broadcast(stats))
+      .orderBy(col("key_pairs").desc, col("l_partkey"))
+      .limit(5)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("key_pairs").desc, col("l_partkey"))))
-      .where(col("rank") <= 5)
       .select(col("rank"), col("l_partkey"), col("n_rows"), col("key_pairs"),
         col("total_pairs"), col("n_keys"),
         expr("(key_pairs * 1000000) div total_pairs").as("share_ppm"))
@@ -685,6 +746,7 @@ object Analytics {
     ("q96_triangle_census", q96 _, Some(q96Sql)),
     ("q101_snapshot_diff", q101 _, Some(q101Sql)),
     ("q102_column_profile", q102 _, Some(q102Sql)),
-    ("q103_join_skew_stats", q103 _, Some(q103Sql))
+    ("q103_join_skew_stats", q103 _, Some(q103Sql)),
+    ("q110_column_profile_approx", q110 _, Some(q110Sql))
   )
 }

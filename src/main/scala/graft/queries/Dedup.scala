@@ -355,6 +355,115 @@ object Dedup {
       |FROM ranked a JOIN ranked b ON b.r = a.r + 1
       |ORDER BY edit_dist, p1 LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q109
+  /** Incremental dedup-against-history: the production refresh shape.
+    *
+    * An 80% "history" slice of `documents` (doc_id % 10 < 8) has its
+    * MinHash signature store persisted by a prior run
+    * ([[graft.llm.TextDedup.writeSignatureStore]]); the 20% "new
+    * batch" is then deduped against that store —
+    * [[graft.llm.TextDedup.dedupAgainstStore]] computes signatures
+    * ONLY for the batch and reads history back as (id, hs, sig) rows,
+    * never rescanning history text. Same 12-hash / 4-band LSH
+    * parameters as q29, so candidates are band matches across the
+    * history/batch boundary with estimated + exact Jaccard.
+    *
+    * The oracle has no store, so it recomputes both sides from text —
+    * which is exactly the equivalence that makes the store sound: the
+    * persisted signatures must be indistinguishable from freshly
+    * computed ones. `PipelineSpec` asserts the plan-level property the
+    * oracle can't see (the history side is a parquet scan of the
+    * store, with no text column anywhere in it).
+    */
+  def q109(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val store = s"${System.getProperty("java.io.tmpdir")}/graft_sigstore_" +
+      Integer.toHexString(sfDir.hashCode)
+    graft.llm.TextDedup.writeSignatureStore(
+      d.where(col("doc_id") % 10 < 8), "doc_id", "text", store)
+    graft.llm.TextDedup.dedupAgainstStore(
+        d.where(col("doc_id") % 10 >= 8), "doc_id", "text", store)
+      .select(col("d_hist"), col("d_new"),
+        round(col("est_sim"), 6).as("est_sim"), round(col("jac"), 6).as("jac"))
+      .orderBy(col("d_hist"), col("d_new"))
+  }
+
+  val q109Sql: String =
+    s"""WITH ${shinglesSql(3)},
+       |hsh AS (SELECT doc_id,
+       |          list_distinct(list_transform(shingles, s -> ${PolyHash.duckdbSql("s")})) AS hs
+       |        FROM sh),
+       |hx AS (SELECT doc_id, unnest(hs) AS x FROM hsh),
+       |params AS (SELECT i, (i*7919 + 1) % $P AS a, (i*104729 + 12345) % $P AS b
+       |           FROM range(0, 12) t(i)),
+       |sig AS (SELECT doc_id, i, MIN((a*x + b) % $P) AS mh
+       |        FROM hx CROSS JOIN params GROUP BY doc_id, i),
+       |bandkey AS (SELECT doc_id, i // 3 AS band,
+       |              string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bkey
+       |            FROM sig GROUP BY doc_id, i // 3),
+       |cand AS (SELECT DISTINCT a.doc_id AS d_hist, b.doc_id AS d_new
+       |         FROM bandkey a JOIN bandkey b
+       |         ON a.band = b.band AND a.bkey = b.bkey
+       |         WHERE a.doc_id % 10 < 8 AND b.doc_id % 10 >= 8),
+       |est AS (SELECT d_hist, d_new,
+       |          SUM(CASE WHEN m1.mh = m2.mh THEN 1 ELSE 0 END) / 12.0 AS est_sim
+       |        FROM cand
+       |        JOIN sig m1 ON m1.doc_id = d_hist
+       |        JOIN sig m2 ON m2.doc_id = d_new AND m1.i = m2.i
+       |        GROUP BY d_hist, d_new)
+       |SELECT d_hist, d_new, ROUND(est_sim, 6) AS est_sim,
+       |  ROUND(len(list_intersect(x.hs, y.hs)) /
+       |        CAST(len(x.hs) + len(y.hs)
+       |             - len(list_intersect(x.hs, y.hs)) AS DOUBLE), 6) AS jac
+       |FROM est JOIN hsh x ON x.doc_id = d_hist JOIN hsh y ON y.doc_id = d_new
+       |ORDER BY d_hist, d_new""".stripMargin
+
+  // ---------------------------------------------------------------- q111
+  /** Winnow-fingerprint overlap pairs — partial-duplication / quoted-
+    * passage detection ([[graft.llm.TextDedup.winnowOverlapPairs]]):
+    * an inverted index over the same k=8/w=16 winnowing selection as
+    * q37, document-frequency-capped (stop-fingerprint removal, the
+    * per-bucket skew bound), pairs sharing ≥ `MinShared` fingerprints
+    * scored by shared count and overlap fraction vs the smaller set.
+    * The oracle rebuilds the naive selection and the full index in
+    * SQL — selection, df-cap, pair counts and fractions all
+    * hash-checked.
+    */
+  private val WinnowMinShared = 3
+  private val WinnowMaxDf = 10
+
+  def q111(spark: SparkSession, sfDir: String): DataFrame =
+    graft.llm.TextDedup
+      .winnowOverlapPairs(docs(spark, sfDir), "doc_id", "text",
+        k = 8, w = 16, minShared = WinnowMinShared, maxDocFreq = WinnowMaxDf)
+      .select(col("d1"), col("d2"), col("n_shared"),
+        round(col("overlap"), 6).as("overlap"))
+      .orderBy(col("d1"), col("d2"))
+
+  val q111Sql: String = {
+    val k = 8; val w = 16
+    val ph = PolyHash
+    s"""WITH kh AS (
+       |  SELECT doc_id,
+       |    [list_reduce(list_prepend(0::BIGINT, [unicode(c)::BIGINT for c in string_split(substring(text, i, $k), '')]), (acc, c) -> (acc * ${ph.Base} + c) % ${ph.Mod}) for i in range(1, length(text) - ${k - 2})] AS kh
+       |  FROM documents WHERE length(text) >= ${k + w - 1}),
+       |sel AS (
+       |  SELECT doc_id,
+       |    list_distinct([list_min(kh[i:i+${w - 1}]) for i in range(1, len(kh) - ${w - 2})]) AS sel
+       |  FROM kh),
+       |ex AS (SELECT doc_id, len(sel) AS n_sel, unnest(sel) AS fp FROM sel),
+       |keep AS (SELECT fp FROM ex GROUP BY fp HAVING COUNT(*) <= $WinnowMaxDf),
+       |fx AS (SELECT e.doc_id, e.n_sel, e.fp FROM ex e JOIN keep USING (fp)),
+       |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |        MIN(a.n_sel) AS n1, MIN(b.n_sel) AS n2,
+       |        CAST(COUNT(*) AS BIGINT) AS n_shared
+       |      FROM fx a JOIN fx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2)
+       |SELECT d1, d2, n_shared,
+       |  ROUND(n_shared / CAST(LEAST(n1, n2) AS DOUBLE), 6) AS overlap
+       |FROM p WHERE n_shared >= $WinnowMinShared ORDER BY d1, d2""".stripMargin
+  }
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q27_exact_dedup", q27 _, Some(q27Sql)),
     ("q28_ngram_jaccard_neardup", q28 _, Some(q28Sql)),
@@ -364,6 +473,8 @@ object Dedup {
     ("q60_containment_neardup", q60 _, Some(q60Sql)),
     ("q73_decontamination", q73 _, Some(q73Sql)),
     ("q104_snm_neardup", q104 _, Some(q104Sql)),
-    ("q106_editdist_neighbors", q106 _, Some(q106Sql))
+    ("q106_editdist_neighbors", q106 _, Some(q106Sql)),
+    ("q109_dedup_against_history", q109 _, Some(q109Sql)),
+    ("q111_winnow_overlap", q111 _, Some(q111Sql))
   )
 }

@@ -470,7 +470,7 @@ object Events {
       |c AS (SELECT event_type, next_type, COUNT(*) AS cnt FROM seq
       |      WHERE next_type IS NOT NULL GROUP BY 1, 2)
       |SELECT event_type, next_type, cnt,
-      |  SUM(cnt) OVER (PARTITION BY event_type) AS ctx_cnt,
+      |  CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS ctx_cnt,
       |  ROUND(cnt / CAST(SUM(cnt) OVER (PARTITION BY event_type) AS DOUBLE), 6) AS p
       |FROM c ORDER BY event_type, next_type""".stripMargin
 

@@ -571,7 +571,7 @@ object Text {
        |  row_number() OVER (PARTITION BY source, lang ORDER BY h, doc_id) AS rn FROM d)
        |SELECT source, lang, COUNT(*) AS n_total,
        |  COUNT(CASE WHEN rn <= 50 THEN 1 END) AS n_kept,
-       |  SUM(CASE WHEN rn <= 50 THEN doc_id END) AS sum_kept_ids
+       |  CAST(SUM(CASE WHEN rn <= 50 THEN doc_id END) AS BIGINT) AS sum_kept_ids
        |FROM r GROUP BY source, lang ORDER BY source, lang""".stripMargin
 
   // ---------------------------------------------------------------- q97
@@ -671,7 +671,8 @@ object Text {
        |    100 - SUM((100 * n_total) // nn) OVER () AS n_extra
        |  FROM strata CROSS JOIN tot),
        |q AS (SELECT lang, n_total,
-       |  base + CASE WHEN extra_rank <= n_extra THEN 1 ELSE 0 END AS quota FROM alloc),
+       |  CAST(base + CASE WHEN extra_rank <= n_extra THEN 1 ELSE 0 END
+       |    AS BIGINT) AS quota FROM alloc),
        |ranked AS (
        |  SELECT lang, doc_id,
        |    ROW_NUMBER() OVER (PARTITION BY lang
@@ -679,7 +680,7 @@ object Text {
        |  FROM documents)
        |SELECT r.lang, q.n_total, q.quota,
        |  COUNT(CASE WHEN r.rn <= q.quota THEN 1 END) AS n_kept,
-       |  SUM(CASE WHEN r.rn <= q.quota THEN r.doc_id END) AS sum_kept_ids
+       |  CAST(SUM(CASE WHEN r.rn <= q.quota THEN r.doc_id END) AS BIGINT) AS sum_kept_ids
        |FROM ranked r JOIN q ON r.lang = q.lang
        |GROUP BY r.lang, q.n_total, q.quota ORDER BY r.lang""".stripMargin
 

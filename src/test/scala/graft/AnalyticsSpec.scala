@@ -45,6 +45,27 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got(1L) > got(2L) && got(2L) == got(3L))
   }
 
+  test("PageRank eagerCleanup returns identical ranks and drops the intermediate caches") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L), (1L, 3L))
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    val got = graft.operators.PageRank
+      .run(edges.toDF("src", "dst"), iters = 4, scale = 1000000L,
+        eagerCleanup = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refPageRank(edges, 4, 1000000L))
+    // the three MEMORY_AND_DISK intermediates must be unpersisted; only
+    // the localCheckpoint of the returned fixpoint may remain (it is
+    // ContextCleaner-reclaimed once the reference drops)
+    val leaked = s.sparkContext.getPersistentRDDs
+      .filterNot { case (id, _) => before.contains(id) }
+      .values.filterNot(_.name == null)
+      .filterNot(_.toString.contains("Checkpoint"))
+    assert(s.sparkContext.getPersistentRDDs.size - before.size <= 1,
+      s"expected at most the checkpoint RDD to remain, got extra: $leaked")
+  }
+
   test("PageRank conserves mass on a cycle (every node keeps seed rank)") {
     val s = spark
     import s.implicits._

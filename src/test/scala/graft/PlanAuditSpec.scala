@@ -28,7 +28,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q97_chisq_independence", // 1-row grand-total broadcast into the grid
     "q99_sliding_mau_sketch", // 1-row max-day broadcast bounding the spine
     "q100_weighted_allocation", // 1-row budget-total broadcast into apportionment
-    "q103_join_skew_stats") // 1-row histogram-total broadcast into the shares
+    "q103_join_skew_stats", // 1-row histogram-total broadcast into the shares
+    "q110_column_profile_approx") // 1-row exact-distinct frames broadcast into the envelope checks
 
   test("no declared query plans a cartesian product; BNLJ only where intended") {
     // streaming queries execute on materialization, not plan-inspectable

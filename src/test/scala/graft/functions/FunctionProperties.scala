@@ -86,6 +86,25 @@ object FunctionProperties extends Properties("functions") {
       h >= 0L && h < PolyHash.Mod && h == PolyHash.hash(new String(s))
     }
 
+  property("winnow_set selects exactly winnow_stats' fingerprints") =
+    forAll(Gen.listOfN(60, Gen.oneOf(Gen.alphaNumChar, Gen.const('界'),
+        Gen.const(' '))).map(_.mkString),
+      Gen.choose(2, 6), Gen.choose(2, 8)) { (s, k, w) =>
+      val lit = Literal.create(UTF8String.fromString(s), StringType)
+      val stats = WinnowStats(lit, k, w).eval(null)
+      val set = WinnowSet(lit, k, w).eval(null)
+      if (stats == null) set == null
+      else {
+        val row = stats.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+        val arr = set.asInstanceOf[ArrayData].toLongArray().toSeq
+        // same cardinality, same extremes, same modular checksum, sorted
+        arr.length == row.getInt(1) &&
+          arr.sorted == arr &&
+          (arr.isEmpty || (arr.head == row.getLong(3) && arr.last == row.getLong(4))) &&
+          arr.foldLeft(0L)((a, v) => (a + v) % PolyHash.Mod) == row.getLong(2)
+      }
+    }
+
   property("bloom filter: no false negatives under any geometry or merge split") =
     forAll(Gen.listOf(Gen.choose(Long.MinValue, Long.MaxValue)),
       Gen.oneOf(64, 128, 1024), Gen.choose(1, 8)) { (keys, numBits, numHashes) =>

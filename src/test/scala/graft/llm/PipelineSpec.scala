@@ -47,6 +47,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(leftoverPairs == 0, s"$leftoverPairs near-dup pairs survived dedup")
   }
 
+  test("dedup-against-history reads the store, not history text, and matches the self-join") {
+    val s = spark
+    import s.implicits._
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_sigstore_spec").toString
+    // history ids 1..6 (< 10), batch ids 11..13; doc 11 duplicates doc 1,
+    // doc 12 is a near-dup of doc 2, doc 13 matches nothing
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val hist = Seq(
+      (1L, base), (2L, base + " extra tail words here"),
+      (3L, "completely different text about spark catalyst plans and shuffles"),
+      (4L, "yet another unrelated document body with enough words to shingle"),
+      (5L, "five six seven eight nine ten eleven twelve thirteen fourteen"),
+      (6L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, base), (12L, base + " extra tail words"),
+      (13L, "nothing in common with any history document at all frankly"))
+      .toDF("doc_id", "text")
+    TextDedup.writeSignatureStore(hist, "doc_id", "text", store)
+    // the store carries no text — signatures suffice for the next run
+    val storeDf = s.read.parquet(store)
+    assert(storeDf.columns.toSet == Set("doc_id", "sz", "hs", "sig"))
+    assert(storeDf.count() == 6)
+    val inc = TextDedup.dedupAgainstStore(batch, "doc_id", "text", store)
+    // plan-level incrementality: the history side is a parquet scan of
+    // the store path; history TEXT is nowhere in the plan
+    val plan = inc.queryExecution.executedPlan.toString
+    assert(plan.contains(new java.io.File(store).getName),
+      "history side must scan the signature store")
+    val got = inc.collect().map(r =>
+      (r.getAs[Long]("d_hist"), r.getAs[Long]("d_new"),
+        r.getAs[Double]("est_sim"), r.getAs[Double]("jac"))).sortBy(p => (p._1, p._2))
+    assert(got.map(p => (p._1, p._2)).contains((1L, 11L)))
+    val exact = got.find(p => p._1 == 1L && p._2 == 11L).get
+    assert(exact._3 == 1.0 && exact._4 == 1.0) // identical docs
+    assert(got.forall(_._2 != 13L), "unrelated batch doc must not pair")
+    // equivalence with the one-shot self-join restricted to the
+    // history→batch boundary (hist ids < batch ids by construction)
+    val all = TextDedup.minHashLshPairs(hist.union(batch), "doc_id", "text")
+      .where(col("d1") < 10 && col("d2") >= 10)
+      .collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")))
+      .sorted.toSeq
+    assert(got.map(p => (p._1, p._2)).toSeq == all)
+  }
+
   test("the full pipeline is deterministic run-to-run") {
     val a = runPipeline()._4.select("doc_id", "ws.checksum")
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq

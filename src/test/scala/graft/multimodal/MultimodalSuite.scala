@@ -64,6 +64,45 @@ class MultimodalSuite extends AnyFunSuite {
     assert(dense.n_frames == 4 && strided.n_frames == 4)
   }
 
+  test("ImageIoCodec: decodes real PNG bytes back to exact pixel sums") {
+    // hand-built 3×2 image: row 0 = (10,20,30),(40,50,60),(70,80,90),
+    // row 1 = (1,2,3),(4,5,6),(7,8,9) — encode with ImageIO, decode
+    // with the codec, expect exact channel sums and geometry
+    val img = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = Seq(
+      (0, 0, 10, 20, 30), (1, 0, 40, 50, 60), (2, 0, 70, 80, 90),
+      (0, 1, 1, 2, 3), (1, 1, 4, 5, 6), (2, 1, 7, 8, 9))
+    px.foreach { case (x, y, r, g, b) => img.setRGB(x, y, (r << 16) | (g << 8) | b) }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    // PNG magic header survives the blob round-trip
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val f = new ImageIoCodec().decode(MediaBlob(42L, "image/png", png))
+    assert(f.feature.toSeq.take(5) ==
+      Seq(3.0f, 2.0f, (10 + 40 + 70 + 1 + 4 + 7).toFloat,
+        (20 + 50 + 80 + 2 + 5 + 8).toFloat, (30 + 60 + 90 + 3 + 6 + 9).toFloat))
+    assert(f.n_frames == 1 && f.n_bytes == png.length.toLong)
+    assert(f.header.toSeq == png.take(4).toSeq)
+  }
+
+  test("q108: distributed PNG encode/decode matches the checkerboard arithmetic") {
+    val rows = Multimodal.imageDecode(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val w = 1 + (id % 16).toInt
+      val h = 1 + (id % 8).toInt
+      val n0 = (w * h + (w % 2) * (h % 2)) / 2
+      val n1 = w * h - n0
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
+      assert(r.getAs[Long]("sum_r") == n0 * (id % 256) + n1 * ((id * 3 + 1) % 256))
+      assert(r.getAs[Long]("sum_g") == n0 * ((id * 7) % 256) + n1 * ((id * 5 + 2) % 256))
+      assert(r.getAs[Long]("sum_b") == n0 * ((id * 13) % 256) + n1 * ((id * 11 + 3) % 256))
+    }
+  }
+
   test("extracted features are first-class vectors for similarity search") {
     // the multimodal → ANN hand-off: decode features, then run the
     // exact cosine top-k operator over them with no glue beyond a toDF

@@ -40,6 +40,27 @@ for name, sql in sorted(oracles.items()):
         print(f"FAIL {name}: columns differ spark={gcols} oracle={wcols}")
         n_fail += 1
         continue
+    # Type-drift gate: Python compares int128 == int64 as True, so a
+    # value compare can pass while the driver's hash compare (which
+    # renders types) fails. DuckDB promotes uncast SUM(BIGINT) to
+    # HUGEINT — flag any oracle column whose DuckDB type the Spark
+    # parquet side can't have (HUGEINT always; DECIMAL only when the
+    # Spark column isn't DECIMAL too).
+    gtypes = {c.lower(): str(t) for c, t in zip(got.columns, got.types)}
+    wtypes = {c.lower(): str(t) for c, t in zip(want.columns, want.types)}
+    drift = []
+    for c in (c.lower() for c in wcols):
+        ot, gt = wtypes[c], gtypes[c]
+        if "HUGEINT" in ot:
+            drift.append((c, ot, gt))
+        elif ot.startswith("DECIMAL") and not gt.startswith("DECIMAL"):
+            drift.append((c, ot, gt))
+    if drift:
+        c, ot, gt = drift[0]
+        print(f"FAIL {name}: oracle type drift col {c}: oracle={ot} "
+              f"spark={gt} (cast the oracle output, e.g. CAST(SUM(..) AS BIGINT))")
+        n_fail += 1
+        continue
     grows = got.select(", ".join(f'"{c}"' for c in gcols)).fetchall()
     wrows = want.select(", ".join(f'"{c}"' for c in wcols)).fetchall()
     if len(grows) != len(wrows):
