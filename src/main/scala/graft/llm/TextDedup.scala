@@ -232,6 +232,43 @@ object TextDedup {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Content-hash store for EXACT incremental dedup: one row per
+    * distinct content hash with the minimum id that owns it — the
+    * exact-dedup counterpart of [[writeSignatureStore]]. Text never
+    * enters the store; at 100 TB it is a (32-byte hash, id) table, a
+    * vanishing fraction of corpus bytes.
+    */
+  def writeHashStore(df: DataFrame, idCol: String, textCol: String,
+                     path: String): Unit =
+    df.select(sha2(col(textCol), 256).as("text_sha"), col(idCol))
+      .groupBy(col("text_sha")).agg(min(col(idCol)).as("keep_id"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Exact dedup of a NEW batch against the persisted hash store:
+    * classifies every batch document as `dup_of_history` (hash already
+    * in the store), `dup_in_batch` (first seen in this batch, but not
+    * by this row), or `unique`, with the canonical surviving id. The
+    * history side is the read-back store — (hash, keep_id) rows, no
+    * text, never recomputed.
+    *
+    * Scale shape: one hash pass over the batch, one shuffle on the
+    * 256-bit hash shared by the store join and the in-batch min — raw
+    * text bytes never shuffle.
+    */
+  def exactDedupAgainstStore(newBatch: DataFrame, idCol: String,
+                             textCol: String, storePath: String): DataFrame = {
+    val store = newBatch.sparkSession.read.parquet(storePath)
+    val h = newBatch.select(col(idCol), sha2(col(textCol), 256).as("text_sha"))
+    val batchMin = h.groupBy(col("text_sha")).agg(min(col(idCol)).as("batch_keep"))
+    h.join(store, Seq("text_sha"), "left")
+      .join(batchMin, "text_sha")
+      .select(col(idCol), col("text_sha"),
+        when(col("keep_id").isNotNull, "dup_of_history")
+          .when(col(idCol) =!= col("batch_keep"), "dup_in_batch")
+          .otherwise("unique").as("status"),
+        coalesce(col("keep_id"), col("batch_keep")).as("canonical_id"))
+  }
+
   /** LSH band explosion over a signature table: one row per (id, band)
     * with the band's row-concatenated key. Shared by the self-join and
     * the against-history paths so both sides band identically.

@@ -418,6 +418,42 @@ object Dedup {
        |FROM est JOIN hsh x ON x.doc_id = d_hist JOIN hsh y ON y.doc_id = d_new
        |ORDER BY d_hist, d_new""".stripMargin
 
+  // ---------------------------------------------------------------- q113
+  /** Exact incremental dedup against the persisted content-hash store
+    * ([[graft.llm.TextDedup.writeHashStore]] /
+    * [[graft.llm.TextDedup.exactDedupAgainstStore]]): same 80/20
+    * history/batch split as q109, every batch doc classified as
+    * dup-of-history / dup-in-batch / unique with its canonical id.
+    * The oracle recomputes both sides from text; the engine reads
+    * history back as (hash, keep_id) rows only.
+    */
+  def q113(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val store = s"${System.getProperty("java.io.tmpdir")}/graft_hashstore_" +
+      Integer.toHexString(sfDir.hashCode)
+    graft.llm.TextDedup.writeHashStore(
+      d.where(col("doc_id") % 10 < 8), "doc_id", "text", store)
+    graft.llm.TextDedup.exactDedupAgainstStore(
+        d.where(col("doc_id") % 10 >= 8), "doc_id", "text", store)
+      .orderBy(col("doc_id"))
+  }
+
+  val q113Sql: String =
+    """WITH hist AS (
+      |  SELECT sha256(text) AS text_sha, MIN(doc_id) AS keep_id
+      |  FROM documents WHERE doc_id % 10 < 8 GROUP BY 1),
+      |b AS (SELECT doc_id, sha256(text) AS text_sha FROM documents
+      |      WHERE doc_id % 10 >= 8),
+      |bm AS (SELECT text_sha, MIN(doc_id) AS batch_keep FROM b GROUP BY 1)
+      |SELECT b.doc_id, b.text_sha,
+      |  CASE WHEN h.keep_id IS NOT NULL THEN 'dup_of_history'
+      |       WHEN b.doc_id <> bm.batch_keep THEN 'dup_in_batch'
+      |       ELSE 'unique' END AS status,
+      |  COALESCE(h.keep_id, bm.batch_keep) AS canonical_id
+      |FROM b LEFT JOIN hist h ON b.text_sha = h.text_sha
+      |JOIN bm ON b.text_sha = bm.text_sha
+      |ORDER BY b.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q111
   /** Winnow-fingerprint overlap pairs — partial-duplication / quoted-
     * passage detection ([[graft.llm.TextDedup.winnowOverlapPairs]]):
@@ -475,6 +511,7 @@ object Dedup {
     ("q104_snm_neardup", q104 _, Some(q104Sql)),
     ("q106_editdist_neighbors", q106 _, Some(q106Sql)),
     ("q109_dedup_against_history", q109 _, Some(q109Sql)),
-    ("q111_winnow_overlap", q111 _, Some(q111Sql))
+    ("q111_winnow_overlap", q111 _, Some(q111Sql)),
+    ("q113_exact_dedup_incremental", q113 _, Some(q113Sql))
   )
 }

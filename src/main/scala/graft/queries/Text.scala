@@ -684,6 +684,50 @@ object Text {
        |FROM ranked r JOIN q ON r.lang = q.lang
        |GROUP BY r.lang, q.n_total, q.quota ORDER BY r.lang""".stripMargin
 
+  // ---------------------------------------------------------------- q112
+  /** BPE merge learning ([[graft.llm.Vocab.bpeMerges]]): the first
+    * three byte-pair merges over the corpus vocabulary, each round an
+    * exact frequency-weighted pair count with lexicographic
+    * tie-break. The oracle unrolls the identical three rounds as CTEs
+    * (q82's fixed-iteration pattern): list-comprehension pair
+    * explosion, argmax by (cnt DESC, l, r), greedy leftmost `replace`
+    * over the padded symbol string — so pair counts, tie-breaks AND
+    * merge application are all hash-checked.
+    */
+  def q112(spark: SparkSession, sfDir: String): DataFrame =
+    graft.llm.Vocab.bpeMerges(docs(spark, sfDir), "text", numMerges = 3)
+      .orderBy(col("rank"))
+
+  val q112Sql: String = {
+    // argmax pair of round i, counted over vocab table `w`
+    def best(w: String, b: String): String =
+      s"""$b AS (
+         |  SELECT p.l AS l, p.r AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest([{'l': s[i], 'r': s[i+1]} for i in range(1, len(s))]) AS p, freq
+         |        FROM (SELECT string_split(sym, ' ') AS s, freq FROM $w))
+         |  GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin
+    // greedy leftmost merge application of `b` onto `w` → `w2`
+    def merge(w: String, b: String, w2: String): String =
+      s"""$w2 AS (
+         |  SELECT trim(replace(' ' || sym || ' ', ' ' || b.l || ' ' || b.r || ' ',
+         |    ' ' || b.l || b.r || ' ')) AS sym, freq
+         |  FROM $w CROSS JOIN $b b)""".stripMargin
+    s"""WITH w0 AS (
+       |  SELECT array_to_string(string_split(word, ''), ' ') AS sym,
+       |    CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE length(word) > 0 GROUP BY 1),
+       |${best("w0", "b1")},
+       |${merge("w0", "b1", "w1")},
+       |${best("w1", "b2")},
+       |${merge("w1", "b2", "w2")},
+       |${best("w2", "b3")}
+       |SELECT CAST(1 AS INT) AS rank, l AS "left", r AS "right", cnt AS pair_cnt FROM b1
+       |UNION ALL SELECT 2, l, r, cnt FROM b2
+       |UNION ALL SELECT 3, l, r, cnt FROM b3
+       |ORDER BY rank""".stripMargin
+  }
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_token_stats", q34 _, Some(q34Sql)),
     ("q35_lang_id_confusion", q35 _, Some(q35Sql)),
@@ -702,6 +746,7 @@ object Text {
     ("q90_bm25_search", q90 _, Some(q90Sql)),
     ("q91_domain_quota", q91 _, Some(q91Sql)),
     ("q97_chisq_independence", q97 _, Some(q97Sql)),
-    ("q100_weighted_allocation", q100 _, Some(q100Sql))
+    ("q100_weighted_allocation", q100 _, Some(q100Sql)),
+    ("q112_bpe_merges", q112 _, Some(q112Sql))
   )
 }

@@ -40,6 +40,37 @@ class MergeVocabSpec extends AnyFunSuite {
       "c" -> ((2L, 3)), "d" -> ((1L, 4))))
   }
 
+  test("BPE merges: weighted pair argmax, greedy application, lexicographic ties") {
+    val s = spark
+    import s.implicits._
+    // corpus: "low" ×3, "lower" ×1, "newest" ×2 (word freq weighting)
+    val df = Seq("low low lower", "low newest", "newest").toDF("text")
+    // round 1: pairs weighted by word freq —
+    //   l-o: 3(low)+1(lower)=4, o-w: 4, w-e: 1+2=3, e-r: 1, n-e: 2,
+    //   e-w: 2, e-s: 2, s-t: 2 → tie l-o / o-w at 4 → (l,o) wins lex
+    // round 2: "lo w", "lo w e r" → lo-w: 4 wins
+    // round 3: "low", "low e r", "n e w e s t" → e-w/e-s/n-e/s-t at 2,
+    //   w-e 2... lex smallest of the 2-count pairs: (e,s) < (e,w) < (n,e)
+    val got = graft.llm.Vocab.bpeMerges(df, "text", numMerges = 3)
+      .orderBy("rank")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toList
+    assert(got == List((1, "l", "o", 4L), (2, "lo", "w", 4L), (3, "e", "s", 2L)))
+  }
+
+  test("BPE merge application is greedy left-to-right on repeats") {
+    val s = spark
+    import s.implicits._
+    // "aaa": round 1 merges (a,a) with count 2 (two adjacent pairs in
+    // one word) → greedy gives [aa, a], so round 2 sees pair (aa, a)
+    val df = Seq("aaa").toDF("text")
+    val got = graft.llm.Vocab.bpeMerges(df, "text", numMerges = 2)
+      .orderBy("rank")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toList
+    assert(got == List((1, "a", "a", 2L), (2, "aa", "a", 1L)))
+  }
+
   test("encode preserves every token occurrence with 0-based positions") {
     val s = spark
     import s.implicits._
