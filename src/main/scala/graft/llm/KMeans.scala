@@ -53,12 +53,14 @@ object KMeans {
       best.as("d2"))
   }
 
-  /** Runs `passes` assignment passes (centroids update between passes,
-    * not after the last). Returns one row per input row:
-    * (idCol, cid int, d2 long) against the final centroids. A cluster
-    * that loses all members simply drops out of the codebook. */
-  def assign(df: DataFrame, idCol: String, vecCol: String,
-             k: Int = 8, passes: Int = 2): DataFrame = {
+  /** Trains the codebook: `passes - 1` Lloyd updates from the
+    * deterministic seed (the k smallest ids' quantized vectors),
+    * returned as driver-side (cid, centroid) pairs — k×dim longs, the
+    * same shape MLlib keeps on the driver. Exposed so consumers that
+    * need the centroids themselves (PQ distance tables, IVF codebook
+    * literals) share one training path with [[assign]]. */
+  def train(df: DataFrame, idCol: String, vecCol: String,
+            k: Int = 8, passes: Int = 2): Seq[(Int, Array[Long])] = {
     require(k >= 1 && passes >= 1, "k and passes must be >= 1")
     val sv = df.select(col(idCol), quantize(col(vecCol)).as("sv"))
 
@@ -83,10 +85,24 @@ object KMeans {
         (cid, m)
       }.toIndexedSeq
     }
-
-    sv.select(col(idCol), assignExpr(col("sv"), cents).as("a"))
-      .select(col(idCol), col("a.cid").as("cid"), col("a.d2").as("d2"))
+    cents
   }
+
+  /** In-row assignment of every row to its nearest centroid in a
+    * caller-provided codebook: (idCol, cid int, d2 long). */
+  def assignWith(df: DataFrame, idCol: String, vecCol: String,
+                 cents: Seq[(Int, Array[Long])]): DataFrame =
+    df.select(col(idCol), quantize(col(vecCol)).as("sv"))
+      .select(col(idCol), assignExpr(col("sv"), cents).as("a"))
+      .select(col(idCol), col("a.cid").as("cid"), col("a.d2").as("d2"))
+
+  /** Runs `passes` assignment passes (centroids update between passes,
+    * not after the last). Returns one row per input row:
+    * (idCol, cid int, d2 long) against the final centroids. A cluster
+    * that loses all members simply drops out of the codebook. */
+  def assign(df: DataFrame, idCol: String, vecCol: String,
+             k: Int = 8, passes: Int = 2): DataFrame =
+    assignWith(df, idCol, vecCol, train(df, idCol, vecCol, k, passes))
 
   /** Per-cluster summary of a final assignment: size, representative
     * (min id — the semantic-dedup survivor), exact within-cluster

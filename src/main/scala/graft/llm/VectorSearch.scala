@@ -68,6 +68,76 @@ object VectorSearch {
     * this matches the oracle fragment in
     * [[graft.queries.Similarity]] exactly.
     */
+  /** Product-quantization encode + asymmetric-distance (ADC) search
+    * (Jégou, Douze, Schmid, "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011): the vector is split into `m`
+    * subspaces, each quantized against its own small codebook
+    * (trained by the shared quantized-Lloyd path,
+    * [[KMeans.train]] per slice), so a 64-dim float vector compresses
+    * to `m` small code ids; a query's distance to any corpus vector
+    * is then approximated as the sum of its exact subspace distances
+    * to the CENTROIDS the codes name — computed in-row against
+    * codebook literals, never touching the original corpus vectors.
+    *
+    * Output: one row per query — (query_id, nn_id, adc_d2): the
+    * ADC-nearest corpus vector (self excluded), ties broken by id.
+    *
+    * Scale shape: training = m tiny codebook collects (k×subdim longs
+    * each); encode = ONE in-row pass over the corpus (m argmins
+    * against literals, no join/shuffle); search = broadcast of the
+    * (small) query set against the (m×small-int) code table — the
+    * whole corpus participates as codes, which is the point: at 100 TB
+    * the codes fit where the raw vectors never could, and the only
+    * per-query work is an integer table lookup + sum. All arithmetic
+    * on the exact 1e-6 lattice → deterministic, oracle-checkable.
+    */
+  def pqSearch(df: DataFrame, idCol: String, vecCol: String,
+               queries: DataFrame, m: Int = 4, k: Int = 4,
+               passes: Int = 2): DataFrame = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    // per-subspace codebooks via the shared Lloyd trainer (slice is
+    // 1-based); the corpus is scanned once per training pass per
+    // subspace — m×passes cheap scans at codebook-train time
+    val books: Seq[Seq[(Int, Array[Long])]] = (0 until m).map { s =>
+      KMeans.train(
+        df.select(col(idCol), slice(col(vecCol), s * sub + 1, sub).as("subv")),
+        idCol, "subv", k, passes)
+    }
+    // encode: one in-row pass, m argmins against codebook literals
+    val codeCols = (0 until m).map { s =>
+      val cents = books(s)
+      val centArr = array(cents.map { case (_, c) =>
+        array(c.map(lit).toIndexedSeq: _*) }: _*)
+      val sv = KMeans.quantize(slice(col(vecCol), s * sub + 1, sub))
+      val d2s = transform(centArr, c =>
+        aggregate(zip_with(sv, c, (a, b) => (a - b) * (a - b)), lit(0L), _ + _))
+      array_position(d2s, array_min(d2s)).cast("int").as(s"code_$s")
+    }
+    val codes = df.select((col(idCol) +: codeCols): _*)
+    // ADC: per (query, corpus-code) row, distance = Σ_s ||q_s − C_s[code_s]||²
+    // — the codebook lookup is element_at into the same literals
+    val q = queries.select(col(idCol).as("query_id"),
+      KMeans.quantize(col(vecCol)).as("qv"))
+    val adc = (0 until m).map { s =>
+      val cents = books(s)
+      val centArr = array(cents.map { case (_, c) =>
+        array(c.map(lit).toIndexedSeq: _*) }: _*)
+      val qSub = slice(col("qv"), s * sub + 1, sub)
+      aggregate(
+        zip_with(qSub, element_at(centArr, col(s"code_$s")),
+          (a, b) => (a - b) * (a - b)),
+        lit(0L), _ + _)
+    }.reduce(_ + _)
+    codes.join(broadcast(q), col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol), adc.as("adc_d2"))
+      .groupBy(col("query_id"))
+      .agg(min(struct(col("adc_d2"), col(idCol))).as("best"))
+      .select(col("query_id"), col(s"best.$idCol").as("nn_id"),
+        col("best.adc_d2").as("adc_d2"))
+  }
+
   private def planeVal(dim: Int): String =
     s"(((CAST(1103515245 AS BIGINT) * (j * $dim + i) + 12345) % 2147483648) / 1073741824.0 - 1.0)"
 

@@ -347,6 +347,97 @@ object Similarity {
       |  CAST(SUM(d2) AS BIGINT) AS wss
       |FROM a2 GROUP BY cid ORDER BY cluster_id""".stripMargin
 
+  // ---------------------------------------------------------------- q115
+  /** Product-quantization ADC search
+    * ([[graft.llm.VectorSearch.pqSearch]]): 64-dim embeddings split
+    * into 4×16-dim subspaces, each with a 4-entry codebook trained by
+    * the shared quantized-Lloyd path (2 passes, q61 arithmetic);
+    * every vector compresses to 4 code ids, and each of the 20 query
+    * vectors finds its ADC-nearest corpus vector through codebook
+    * lookups alone. The oracle re-derives all four codebooks (the
+    * q61 CTE chain per subspace), re-encodes the corpus, and rebuilds
+    * the ADC tables — training, encoding, and search are all
+    * hash-checked.
+    */
+  def q115(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    graft.llm.VectorSearch
+      .pqSearch(e, "vec_id", "embedding",
+        queries = e.where(col("vec_id") < 20), m = 4, k = 4, passes = 2)
+      .orderBy(col("query_id"))
+  }
+
+  val q115Sql: String = {
+    val m = 4; val sub = 16
+    // per-subspace codebook training: q61's CTE chain on the slice,
+    // then positional (rank-by-cid) indexing to mirror the engine's
+    // array_position encoding
+    def bookCtes(s: Int): String = {
+      val lo = s * sub + 1; val hi = (s + 1) * sub
+      s"""sv$s AS (SELECT vec_id, sv[$lo:$hi] AS sv FROM svq),
+         |c0$s AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid, sv AS m
+         |  FROM (SELECT * FROM sv$s ORDER BY vec_id LIMIT 4)),
+         |d1$s AS (
+         |  SELECT v.vec_id, c.cid,
+         |    CAST(SUM((v.sv[i+1] - c.m[i+1]) * (v.sv[i+1] - c.m[i+1])) AS BIGINT) AS d2
+         |  FROM sv$s v CROSS JOIN c0$s c CROSS JOIN range(0, $sub) r(i)
+         |  GROUP BY v.vec_id, c.cid),
+         |a1$s AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM d1$s) WHERE rn = 1),
+         |cb$s AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY cid) AS INT) AS pos, m FROM (
+         |    SELECT cid, list(mm ORDER BY d) AS m FROM (
+         |      SELECT a.cid, r.i AS d,
+         |        CAST(SUM(v.sv[r.i+1]) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mm
+         |      FROM a1$s a JOIN sv$s v USING (vec_id) CROSS JOIN range(0, $sub) r(i)
+         |      GROUP BY a.cid, r.i)
+         |    GROUP BY cid)),
+         |dc$s AS (
+         |  SELECT v.vec_id, c.pos,
+         |    CAST(SUM((v.sv[i+1] - c.m[i+1]) * (v.sv[i+1] - c.m[i+1])) AS BIGINT) AS d2
+         |  FROM sv$s v CROSS JOIN cb$s c CROSS JOIN range(0, $sub) r(i)
+         |  GROUP BY v.vec_id, c.pos),
+         |code$s AS (
+         |  SELECT vec_id, pos AS code FROM (
+         |    SELECT vec_id, pos,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, pos) AS rn
+         |    FROM dc$s) WHERE rn = 1),
+         |dt$s AS (
+         |  SELECT q.query_id, b.pos,
+         |    CAST(SUM((q.qv[$lo + i] - b.m[i+1]) * (q.qv[$lo + i] - b.m[i+1])) AS BIGINT) AS d
+         |  FROM q CROSS JOIN cb$s b CROSS JOIN range(0, $sub) r(i)
+         |  GROUP BY q.query_id, b.pos)""".stripMargin
+    }
+    val codeCols = (0 until m).map(s => s"c$s.code AS k$s").mkString(", ")
+    val codeJoins = (1 until m)
+      .map(s => s"JOIN code$s c$s USING (vec_id)").mkString(" ")
+    val dtJoins = (0 until m)
+      .map(s => s"JOIN dt$s t$s ON t$s.query_id = q.query_id AND t$s.pos = codes.k$s")
+      .mkString("\n  ")
+    val adcSum = (0 until m).map(s => s"t$s.d").mkString(" + ")
+    s"""WITH svq AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS sv
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, sv AS qv FROM svq WHERE vec_id < 20),
+       |${(0 until m).map(bookCtes).mkString(",\n")},
+       |codes AS (SELECT c0.vec_id, $codeCols FROM code0 c0 $codeJoins),
+       |pairs AS (
+       |  SELECT q.query_id, codes.vec_id, $adcSum AS adc_d2
+       |  FROM codes CROSS JOIN q
+       |  $dtJoins
+       |  WHERE codes.vec_id <> q.query_id)
+       |SELECT query_id, vec_id AS nn_id, adc_d2 FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY adc_d2, vec_id) AS rn FROM pairs) WHERE rn = 1
+       |ORDER BY query_id""".stripMargin
+  }
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q31_cosine_knn", q31 _, Some(q31Sql)),
     ("q32_ann_lsh_buckets", q32 _, Some(q32Sql)),
@@ -354,6 +445,7 @@ object Similarity {
     ("q47_embedding_cosine_neardup", q47 _, Some(q47Sql)),
     ("q55_ann_multiprobe", q55 _, Some(q55Sql)),
     ("q57_ivf_search", q57 _, Some(q57Sql)),
-    ("q61_kmeans_semantic", q61 _, Some(q61Sql))
+    ("q61_kmeans_semantic", q61 _, Some(q61Sql)),
+    ("q115_pq_search", q115 _, Some(q115Sql))
   )
 }

@@ -728,6 +728,49 @@ object Text {
        |ORDER BY rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q114
+  /** Line-format roundtrip ([[graft.sources.TextFormats]]): documents
+    * written to gzip JSONL and fully-quoted CSV, read back with
+    * explicit schemas, and aggregated per lang with a content-hash sum
+    * — so row counts, numeric columns AND every text byte must survive
+    * both encodings (a lossy quote/escape/charset bug becomes a hash
+    * mismatch). The oracle computes the same aggregate straight from
+    * parquet: the interchange formats must be invisible to results.
+    */
+  def q114(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.TextFormats
+    val d = docs(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_fmt_" +
+      Integer.toHexString(sfDir.hashCode)
+    TextFormats.writeJsonl(d, s"$base/jsonl")
+    TextFormats.writeCsv(d, s"$base/csv")
+    def agg(df: DataFrame, fmt: String): DataFrame =
+      df.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(GraftFunctions.polyHash("text")).as("sum_hash"))
+        .select(lit(fmt).as("fmt"), col("lang"), col("n_docs"),
+          col("sum_chars"), col("sum_hash"))
+    agg(TextFormats.readCsv(spark, s"$base/csv", TextFormats.documentsSchema), "csv")
+      .unionByName(agg(
+        TextFormats.readJsonl(spark, s"$base/jsonl", TextFormats.documentsSchema),
+        "jsonl"))
+      .orderBy(col("fmt"), col("lang"))
+  }
+
+  val q114Sql: String =
+    s"""WITH h AS (
+       |  SELECT lang, n_chars,
+       |    ${graft.functions.PolyHash.duckdbSql("text")} AS ph FROM documents),
+       |a AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(SUM(ph) AS BIGINT) AS sum_hash FROM h GROUP BY 1)
+       |SELECT 'csv' AS fmt, lang, n_docs, sum_chars, sum_hash FROM a
+       |UNION ALL
+       |SELECT 'jsonl', lang, n_docs, sum_chars, sum_hash FROM a
+       |ORDER BY fmt, lang""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_token_stats", q34 _, Some(q34Sql)),
     ("q35_lang_id_confusion", q35 _, Some(q35Sql)),
@@ -747,6 +790,7 @@ object Text {
     ("q91_domain_quota", q91 _, Some(q91Sql)),
     ("q97_chisq_independence", q97 _, Some(q97Sql)),
     ("q100_weighted_allocation", q100 _, Some(q100Sql)),
-    ("q112_bpe_merges", q112 _, Some(q112Sql))
+    ("q112_bpe_merges", q112 _, Some(q112Sql)),
+    ("q114_lineformat_roundtrip", q114 _, Some(q114Sql))
   )
 }

@@ -1,0 +1,46 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Line-oriented text source/sink support — the interchange formats a
+  * pipeline meets at its edges (JSONL exports, CSV drops), distinct
+  * from the parquet it should live on internally.
+  *
+  * Both readers take an EXPLICIT schema: schema inference is a full
+  * extra pass over the data at 100 TB (and type-unstable across
+  * samples), so the engine treats "schema known" as part of the source
+  * contract, exactly as parquet's footer makes it. Writes are
+  * compressed (gzip) splittable-per-file: many files × moderate size,
+  * the layout that keeps a 1000-executor read parallel even though
+  * gzip itself is not splittable within a file.
+  */
+object TextFormats {
+
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("lang", StringType, nullable = false),
+    StructField("source", StringType, nullable = false),
+    StructField("n_chars", LongType, nullable = false)))
+
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "gzip").json(path)
+
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** CSV with full quoting so arbitrary text (commas, quotes — not
+    * newlines; use JSONL for those) survives the roundtrip. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("header", "true").option("compression", "gzip")
+      .option("quote", "\"").option("escape", "\"")
+      .csv(path)
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("header", "true")
+      .option("quote", "\"").option("escape", "\"")
+      .csv(path)
+}

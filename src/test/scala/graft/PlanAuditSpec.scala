@@ -29,7 +29,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q99_sliding_mau_sketch", // 1-row max-day broadcast bounding the spine
     "q100_weighted_allocation", // 1-row budget-total broadcast into apportionment
     "q103_join_skew_stats", // 1-row histogram-total broadcast into the shares
-    "q110_column_profile_approx") // 1-row exact-distinct frames broadcast into the envelope checks
+    "q110_column_profile_approx", // 1-row exact-distinct frames broadcast into the envelope checks
+    "q115_pq_search") // PQ ADC scans every corpus CODE per query by design (codes, not vectors)
 
   test("no declared query plans a cartesian product; BNLJ only where intended") {
     // streaming queries execute on materialization, not plan-inspectable
