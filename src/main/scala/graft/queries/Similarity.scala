@@ -307,8 +307,11 @@ object Similarity {
       .select(col("cluster_id"), col("n"), col("rep_id"), col("wss"))
       .orderBy(col("cluster_id"))
 
-  val q61Sql: String =
-    """WITH sv AS (
+  /** Shared k-means CTE chain (k=8, 2 passes, 64 dims): `a2` is the
+    * final (vec_id, cid, d2) assignment — q61 summarizes it, q116
+    * ranks it for outliers. */
+  private val kmeansCtes: String =
+    """sv AS (
       |  SELECT vec_id,
       |    list_transform(embedding,
       |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS sv
@@ -342,10 +345,40 @@ object Similarity {
       |  SELECT vec_id, cid, d2 FROM (
       |    SELECT vec_id, cid, d2,
       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-      |    FROM d2p) WHERE rn = 1)
-      |SELECT cid AS cluster_id, COUNT(*) AS n, MIN(vec_id) AS rep_id,
-      |  CAST(SUM(d2) AS BIGINT) AS wss
-      |FROM a2 GROUP BY cid ORDER BY cluster_id""".stripMargin
+      |    FROM d2p) WHERE rn = 1)""".stripMargin
+
+  val q61Sql: String =
+    s"""WITH $kmeansCtes
+       |SELECT cid AS cluster_id, COUNT(*) AS n, MIN(vec_id) AS rep_id,
+       |  CAST(SUM(d2) AS BIGINT) AS wss
+       |FROM a2 GROUP BY cid ORDER BY cluster_id""".stripMargin
+
+  // ---------------------------------------------------------------- q116
+  /** Embedding-space outliers: the three vectors FARTHEST from their
+    * cluster centroid, per cluster — the far-tail prune of semantic
+    * data cleaning (mislabeled / off-distribution points sit far from
+    * every centroid). Pure composition: the q61 assignment
+    * ([[graft.llm.KMeans.assign]], exact lattice d2) ranked by a
+    * per-cluster window — the window partitions on cid (bounded k),
+    * never globally. Shares the oracle's entire CTE chain with q61.
+    */
+  def q116(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.llm.KMeans
+      .assign(emb(spark, sfDir), "vec_id", "embedding", k = 8, passes = 2)
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("cid")).orderBy(col("d2").desc, col("vec_id"))))
+      .where(col("r") <= 3)
+      .select(col("cid").as("cluster_id"), col("r"), col("vec_id"), col("d2"))
+      .orderBy(col("cluster_id"), col("r"))
+  }
+
+  val q116Sql: String =
+    s"""WITH $kmeansCtes
+       |SELECT cid AS cluster_id, CAST(r AS INT) AS r, vec_id, d2 FROM (
+       |  SELECT vec_id, cid, d2,
+       |    ROW_NUMBER() OVER (PARTITION BY cid ORDER BY d2 DESC, vec_id) AS r
+       |  FROM a2) WHERE r <= 3 ORDER BY cluster_id, r""".stripMargin
 
   // ---------------------------------------------------------------- q115
   /** Product-quantization ADC search
@@ -446,6 +479,7 @@ object Similarity {
     ("q55_ann_multiprobe", q55 _, Some(q55Sql)),
     ("q57_ivf_search", q57 _, Some(q57Sql)),
     ("q61_kmeans_semantic", q61 _, Some(q61Sql)),
-    ("q115_pq_search", q115 _, Some(q115Sql))
+    ("q115_pq_search", q115 _, Some(q115Sql)),
+    ("q116_embedding_outliers", q116 _, Some(q116Sql))
   )
 }

@@ -31,16 +31,22 @@ object TextFormats {
     spark.read.schema(schema).json(path)
 
   /** CSV with full quoting so arbitrary text (commas, quotes — not
-    * newlines; use JSONL for those) survives the roundtrip. */
+    * newlines; use JSONL for those) survives the roundtrip. The
+    * whitespace options matter: Spark's CSV WRITER trims leading and
+    * trailing whitespace by default, silently corrupting payloads. */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite")
       .option("header", "true").option("compression", "gzip")
       .option("quote", "\"").option("escape", "\"")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .csv(path)
 
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema)
       .option("header", "true")
       .option("quote", "\"").option("escape", "\"")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .csv(path)
 }

@@ -93,6 +93,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.map(p => (p._1, p._2)).toSeq == all)
   }
 
+  test("incremental refresh cycle: dedup batch, append its signatures, store covers both") {
+    val s = spark
+    import s.implicits._
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_sigstore_cycle").toString
+    val hist = Seq((1L, "one two three four five six seven eight"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val batch = Seq((11L, "one two three four five six seven eight"),
+      (12L, "totally new content with no historical match at all"))
+      .toDF("doc_id", "text")
+    TextDedup.writeSignatureStore(hist, "doc_id", "text", store)
+    val pairs = TextDedup.dedupAgainstStore(batch, "doc_id", "text", store)
+      .collect().map(r => (r.getAs[Long]("d_hist"), r.getAs[Long]("d_new")))
+    assert(pairs.toSeq == Seq((1L, 11L)))
+    // the refresh: survivors (non-dup batch docs) append their own
+    // signatures so the NEXT batch dedups against history ∪ this batch
+    val survivors = batch.join(
+      s.createDataFrame(pairs.map(p => Tuple1(p._2)).toSeq.distinct).toDF("doc_id"),
+      Seq("doc_id"), "left_anti")
+    val sh = TextDedup.hashedShingles(survivors, "doc_id", "text", 3)
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    sh.select(col("doc_id"), col("sz"), col("hs"),
+        org.apache.spark.sql.functions.expr("minhash_sig(hs, 12)").as("sig"))
+      .write.mode("append").parquet(store)
+    val storeIds = s.read.parquet(store).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(storeIds == Seq(1L, 2L, 12L), "store must now cover history + new uniques")
+    // a re-run of doc 12's content must now hit the appended signature
+    val next = Seq((21L, "totally new content with no historical match at all"))
+      .toDF("doc_id", "text")
+    val hits = TextDedup.dedupAgainstStore(next, "doc_id", "text", store)
+      .collect().map(r => (r.getAs[Long]("d_hist"), r.getAs[Long]("d_new")))
+    assert(hits.toSeq == Seq((12L, 21L)))
+  }
+
   test("the full pipeline is deterministic run-to-run") {
     val a = runPipeline()._4.select("doc_id", "ws.checksum")
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
