@@ -631,6 +631,40 @@ object Events {
       |FROM f LEFT JOIN m USING (k, event_id)
       |GROUP BY f.k ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q117
+  /** Hive-style partitioned layout + partition pruning — the on-disk
+    * contract that makes a selective 100 TB read touch only its
+    * directories: events are written `partitionBy("event_type")`, the
+    * read filters one type, and Catalyst prunes at PLANNING time
+    * (`PartitionFilters` on the scan — asserted in `PlanAuditSpec`),
+    * so the other partitions' files are never listed into the scan,
+    * let alone read. The oracle computes the same aggregate from the
+    * unpartitioned source: layout must be invisible to results.
+    */
+  def q117(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_part_" +
+      Integer.toHexString(sfDir.hashCode)
+    ev(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("event_type"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(base)
+    spark.read.parquet(base)
+      .where(col("event_type") === "purchase")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        Num.dsum(col("value")).as("sum_value"))
+      .orderBy(col("day"))
+  }
+
+  val q117Sql: String =
+    s"""SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+       |  COUNT(*) AS n,
+       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       |  ${Num.dsumSql("value")} AS sum_value
+       |FROM events WHERE event_type = 'purchase'
+       |GROUP BY 1 ORDER BY day""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_events_json_stats", q23 _, Some(q23Sql)),
     ("q24_events_daily_window", q24 _, Some(q24Sql)),
@@ -647,6 +681,7 @@ object Events {
     ("q93_event_transitions", q93 _, Some(q93Sql)),
     ("q98_retention_cohorts", q98 _, Some(q98Sql)),
     ("q99_sliding_mau_sketch", q99 _, Some(q99Sql)),
-    ("q107_pit_join", q107 _, Some(q107Sql))
+    ("q107_pit_join", q107 _, Some(q107Sql)),
+    ("q117_partition_pruning", q117 _, Some(q117Sql))
   )
 }

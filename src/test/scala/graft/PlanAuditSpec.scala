@@ -81,6 +81,18 @@ class PlanAuditSpec extends AnyFunSuite {
       "expected the codebook (centroid) join to broadcast")
   }
 
+  test("q117: the partition filter prunes at the scan, not post-read") {
+    // the partitioned layout's whole point: the event_type predicate
+    // must land in PartitionFilters (directory-level pruning at
+    // planning time), NOT in the row-level data filters
+    val plan = SparkEntry.queries("q117_partition_pruning")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(pf.contains("event_type"),
+      s"expected event_type in PartitionFilters, plan had: [$pf]")
+  }
+
   test("column pruning reaches the scan (spot checks)") {
     def readSchema(name: String): String = {
       val plan = SparkEntry.queries(name)(spark, sfDir)
