@@ -369,6 +369,51 @@ object TextDedup {
           .as("overlap"))
   }
 
+  /** `foreachBatch` body for STREAMING incremental dedup — the
+    * continuous form of the [[writeSignatureStore]] /
+    * [[dedupAgainstStore]] refresh cycle: dedup the micro-batch
+    * against the store (empty store ⇒ no pairs), then append the
+    * SURVIVORS' signatures so later batches dedup against history ∪
+    * everything kept so far. Returns the duplicate pairs found, ALREADY
+    * MATERIALIZED (locally checkpointed): the result must be pinned
+    * before the append mutates the store the lazy plan would re-read.
+    *
+    * Exactly-once caveat (documented, standard foreachBatch shape): a
+    * retried micro-batch re-appends its survivors; a production
+    * deployment makes the append idempotent by writing per-`batchId`
+    * subdirectories and skipping ones that exist. State stays on disk,
+    * not in the state store — the store IS the stream's state, shared
+    * with batch jobs.
+    */
+  def dedupBatchAndMaintain(batch: DataFrame, idCol: String, textCol: String,
+                            storePath: String, n: Int = 3, k: Int = 12,
+                            bands: Int = 4): DataFrame = {
+    val spark = batch.sparkSession
+    val path = new org.apache.hadoop.fs.Path(storePath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasStore = fs.exists(path) && fs.listStatus(path)
+      .exists(_.getPath.getName.endsWith(".parquet"))
+    val pairs =
+      if (hasStore)
+        dedupAgainstStore(batch, idCol, textCol, storePath, n, k, bands)
+          .localCheckpoint(true)
+      else {
+        import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+        val idType = batch.schema(idCol).dataType
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("d_hist", idType), StructField("d_new", idType),
+            StructField("est_sim", DoubleType), StructField("jac", DoubleType))))
+      }
+    val dupIds = pairs.select(col("d_new")).distinct()
+      .withColumnRenamed("d_new", idCol)
+    val survivors = batch.join(dupIds, Seq(idCol), "left_anti")
+    val sh = hashedShingles(survivors, idCol, textCol, n)
+    sh.select(col(idCol), col("sz"), col("hs"),
+        expr(s"minhash_sig(hs, $k)").as("sig"))
+      .write.mode("append").parquet(storePath)
+    pairs
+  }
+
   /** Connected components over a near-dup pair list: every document in
     * a component gets the component's minimum id as `cluster_id` — the
     * step that turns pairwise matches into dedup groups (keep one doc

@@ -179,6 +179,52 @@ class StreamingSuite extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup maintains the signature store across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_sigstore_stream").toString + "/store"
+    val found = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF.toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val pairs = graft.llm.TextDedup
+          .dedupBatchAndMaintain(batch, "doc_id", "text", store)
+        found.synchronized {
+          found ++= pairs.collect()
+            .map(r => (r.getAs[Long]("d_hist"), r.getAs[Long]("d_new")))
+        }
+        ()
+      }
+      .option("checkpointLocation", ckpt()).start()
+    try {
+      val a = "the quick brown fox jumps over the lazy dog again and again"
+      // batch 1: empty store → both docs survive and seed the store
+      input.addData((1L, a),
+        (2L, "completely unrelated first-batch document with many words"))
+      q.processAllAvailable()
+      assert(found.isEmpty, "first batch has no history to collide with")
+      // batch 2: doc 11 duplicates doc 1 → pair; doc 12 is novel → appended
+      input.addData((11L, a),
+        (12L, "novel second-batch content that matches nothing prior"))
+      q.processAllAvailable()
+      assert(found.toSet == Set((1L, 11L)))
+      // batch 3: doc 21 duplicates batch-2's SURVIVOR (12) — proof the
+      // store was extended by the stream, not just the initial seed;
+      // doc 11's duplicate content must still match hist=1, not 11
+      // (dups were not appended)
+      input.addData((21L, "novel second-batch content that matches nothing prior"))
+      q.processAllAvailable()
+      assert(found.toSet == Set((1L, 11L), (12L, 21L)))
+      val storeIds = s.read.parquet(store)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(storeIds == Seq(1L, 2L, 12L),
+        "store = survivors only — duplicates (11, 21) must not be appended")
+    } finally q.stop()
+  }
+
   test("stream-static enrich join is stateless and inner on the dim key") {
     val s = spark
     import s.implicits._
