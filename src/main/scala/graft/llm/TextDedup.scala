@@ -225,12 +225,12 @@ object TextDedup {
     * bytes (ids + hashes, no text).
     */
   def writeSignatureStore(df: DataFrame, idCol: String, textCol: String,
-                          path: String, n: Int = 3, k: Int = 12): Unit = {
-    val sh = hashedShingles(df, idCol, textCol, n)
-    sh.select(col(idCol), col("sz"), col("hs"),
+                          path: String, n: Int = 3, k: Int = 12,
+                          append: Boolean = false): Unit =
+    hashedShingles(df, idCol, textCol, n)
+      .select(col(idCol), col("sz"), col("hs"),
         expr(s"minhash_sig(hs, $k)").as("sig"))
-      .write.mode("overwrite").parquet(path)
-  }
+      .write.mode(if (append) "append" else "overwrite").parquet(path)
 
   /** Content-hash store for EXACT incremental dedup: one row per
     * distinct content hash with the minimum id that owns it — the
@@ -407,10 +407,7 @@ object TextDedup {
     val dupIds = pairs.select(col("d_new")).distinct()
       .withColumnRenamed("d_new", idCol)
     val survivors = batch.join(dupIds, Seq(idCol), "left_anti")
-    val sh = hashedShingles(survivors, idCol, textCol, n)
-    sh.select(col(idCol), col("sz"), col("hs"),
-        expr(s"minhash_sig(hs, $k)").as("sig"))
-      .write.mode("append").parquet(storePath)
+    writeSignatureStore(survivors, idCol, textCol, storePath, n, k, append = true)
     pairs
   }
 

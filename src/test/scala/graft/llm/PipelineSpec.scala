@@ -113,11 +113,7 @@ class PipelineSpec extends AnyFunSuite {
     val survivors = batch.join(
       s.createDataFrame(pairs.map(p => Tuple1(p._2)).toSeq.distinct).toDF("doc_id"),
       Seq("doc_id"), "left_anti")
-    val sh = TextDedup.hashedShingles(survivors, "doc_id", "text", 3)
-    graft.functions.GraftFunctions.ensureRegistered(s)
-    sh.select(col("doc_id"), col("sz"), col("hs"),
-        org.apache.spark.sql.functions.expr("minhash_sig(hs, 12)").as("sig"))
-      .write.mode("append").parquet(store)
+    TextDedup.writeSignatureStore(survivors, "doc_id", "text", store, append = true)
     val storeIds = s.read.parquet(store).select("doc_id")
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(storeIds == Seq(1L, 2L, 12L), "store must now cover history + new uniques")
