@@ -49,4 +49,13 @@ object TextFormats {
       .option("ignoreLeadingWhiteSpace", "false")
       .option("ignoreTrailingWhiteSpace", "false")
       .csv(path)
+
+  /** ORC — the other self-describing columnar format a warehouse hands
+    * over; schema travels in the file like parquet's footer, so the
+    * explicit-schema contract is satisfied by the format itself. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

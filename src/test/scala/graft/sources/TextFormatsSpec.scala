@@ -51,6 +51,16 @@ class TextFormatsSpec extends AnyFunSuite {
   test("JSONL roundtrip is byte-exact on adversarial strings") { roundtrip("jsonl") }
   test("CSV roundtrip is byte-exact on adversarial strings") { roundtrip("csv") }
 
+  test("ORC roundtrip is byte-exact on adversarial strings") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmt_orc").toString
+    TextFormats.writeOrc(nasty.toDF("id", "text"), dir)
+    val got = TextFormats.readOrc(s, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got == nasty.sortBy(_._1))
+  }
+
   test("explicit schema is honored: longs stay longs, no inference pass") {
     val s = spark
     import s.implicits._
