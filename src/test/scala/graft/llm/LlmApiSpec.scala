@@ -220,6 +220,31 @@ class LlmApiSpec extends AnyFunSuite {
     assert(rounds <= 15, s"expected O(log n) rounds, got $rounds")
   }
 
+  test("JL projection is linear, deterministic, and matches a pure reference") {
+    val s = spark
+    import s.implicits._
+    // exactly-representable floats so quantize(a)+quantize(b) ==
+    // quantize(a+b) and linearity holds on the lattice exactly
+    val va = Array.tabulate(8)(i => (i - 3) * 0.25f)
+    val vb = Array.tabulate(8)(i => (7 - i) * 0.125f)
+    val vsum = va.zip(vb).map { case (a, b) => a + b }
+    val df = Seq((1L, va.toSeq), (2L, vb.toSeq), (3L, vsum.toSeq))
+      .toDF("vec_id", "embedding")
+    val got = VectorSearch.jlProject(df, "vec_id", "embedding", outDims = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // pure reference: sign(i, j) from the same index hash
+    def ref(v: Array[Float], j: Int): Long =
+      v.zipWithIndex.map { case (x, i) =>
+        math.round(x.toDouble * 1000000) *
+          (((i * 7919 + j * 104729) % 2) * 2 - 1)
+      }.sum
+    (0 until 4).foreach { j =>
+      assert(got((1L, j)) == ref(va, j))
+      assert(got((2L, j)) == ref(vb, j))
+      assert(got((3L, j)) == got((1L, j)) + got((2L, j)), s"linearity at dim $j")
+    }
+  }
+
   test("k-means assignment matches a pure-Scala quantized-Lloyd reference") {
     // same quantization, init, tie-break, and truncating centroid
     // division, computed with plain Scala collections — the operator's
