@@ -500,6 +500,75 @@ object Dedup {
        |FROM p WHERE n_shared >= $WinnowMinShared ORDER BY d1, d2""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q119
+  /** Leakage-safe train/val/test split: assignment happens per
+    * NEAR-DUP CLUSTER, never per document, so two near-duplicate
+    * documents can never land in different splits — the dedup-aware
+    * split discipline that keeps eval sets honest (a doc-level random
+    * split leaks every duplicated document across the boundary).
+    * Clusters come from the q54 machinery (PPJoin pairs → connected
+    * components, singletons label themselves); the cluster label is
+    * hashed multiplicatively to an 80/10/10 bucket. Output: per-split
+    * doc and cluster counts plus an id checksum — membership itself is
+    * hash-pinned.
+    */
+  def q119(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val pairs = graft.llm.TextDedup
+      .jaccardNearDupPairs(d, "doc_id", "text", n = 3, tNum = 3, tDen = 5)
+    val labels = graft.llm.TextDedup.connectedComponents(pairs, "d1", "d2")
+    d.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("h", pmod(col("cluster_id") * 2654435761L, lit(1000L)))
+      .withColumn("split",
+        when(col("h") < 800, "train").when(col("h") < 900, "val")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"),
+        sum(col("doc_id")).as("sum_doc_ids"))
+      .orderBy(col("split"))
+  }
+
+  val q119Sql: String = {
+    val pairCte =
+      s"""${shinglesSql(3)},
+         |hsh AS (SELECT doc_id,
+         |          list_distinct(list_transform(shingles, s -> ${PolyHash.duckdbSql("s")})) AS hs
+         |        FROM sh),
+         |ex AS (SELECT doc_id, unnest(hs) AS h FROM hsh),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |         FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT d1, d2 FROM (
+         |  SELECT d1, d2,
+         |    len(list_intersect(x.hs, y.hs)) /
+         |    CAST(len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)) AS DOUBLE) AS jac
+         |  FROM cand JOIN hsh x ON x.doc_id = d1 JOIN hsh y ON y.doc_id = d2)
+         |  WHERE jac >= 0.6)""".stripMargin
+    s"""WITH RECURSIVE $pairCte,
+       |edges AS (SELECT d1 AS u, d2 AS v FROM pairs
+       |          UNION SELECT d2, d1 FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |lbl AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
+       |alldocs AS (
+       |  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id),
+       |s AS (SELECT doc_id, cluster_id,
+       |  CASE WHEN (cluster_id * 2654435761) % 1000 < 800 THEN 'train'
+       |       WHEN (cluster_id * 2654435761) % 1000 < 900 THEN 'val'
+       |       ELSE 'test' END AS split
+       |  FROM alldocs)
+       |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       |  CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids
+       |FROM s GROUP BY split ORDER BY split""".stripMargin
+  }
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q27_exact_dedup", q27 _, Some(q27Sql)),
     ("q28_ngram_jaccard_neardup", q28 _, Some(q28Sql)),
@@ -512,6 +581,7 @@ object Dedup {
     ("q106_editdist_neighbors", q106 _, Some(q106Sql)),
     ("q109_dedup_against_history", q109 _, Some(q109Sql)),
     ("q111_winnow_overlap", q111 _, Some(q111Sql)),
-    ("q113_exact_dedup_incremental", q113 _, Some(q113Sql))
+    ("q113_exact_dedup_incremental", q113 _, Some(q113Sql)),
+    ("q119_leakage_safe_split", q119 _, Some(q119Sql))
   )
 }
