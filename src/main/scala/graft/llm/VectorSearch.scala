@@ -71,9 +71,17 @@ object VectorSearch {
   /** Johnson–Lindenstrauss random-sign projection (Achlioptas,
     * "Database-friendly random projections", PODS'01): reduces `dim`
     * to `outDims` by multiplying with a ±1 sign matrix derived
-    * deterministically from the (i, j) index hash — no stored matrix,
-    * no randomness, so any engine reproduces it bit-for-bit over the
-    * 1e-6 quantized lattice. The standard pre-ANN shrink: at 100 TB,
+    * deterministically from a quadratic congruential hash of the flat
+    * k = j·dim + i index (bit 30 of a·k² + c·k mod 2³¹) — no stored
+    * matrix, no randomness, so any engine reproduces it bit-for-bit
+    * over the 1e-6 quantized lattice. The hash must be NONLINEAR in
+    * k: a separable hash (i·a + j·b mod 2) collapses to a rank-1
+    * checkerboard, and even an affine LCG's top bit nearly alternates
+    * over consecutive k, which for even `dim` makes every row the
+    * same checkerboard again — the k² term is what scatters the
+    * signs. Validated element-wise: all rows distinct (incl.
+    * negations), row sums and pairwise row dot products at the
+    * ±O(√dim) scale a random sign matrix gives. The standard pre-ANN shrink: at 100 TB,
     * projecting 64→16 dims cuts every downstream shuffle, bucket key
     * and distance computation by 4× while JL preserves pairwise
     * distances within (1±ε).
@@ -91,7 +99,9 @@ object VectorSearch {
       s"""transform(sequence(0, ${outDims - 1}), j ->
          |  aggregate(sequence(0, ${dim - 1}), 0L,
          |    (acc, i) -> acc + element_at(sv, i + 1)
-         |      * (((i * 7919 + j * 104729) % 2) * 2 - 1)))""".stripMargin)
+         |      * (case when (cast(1103515245 as bigint) * (j * $dim + i) * (j * $dim + i)
+         |               + 12345 * (j * $dim + i))
+         |               % 2147483648 >= 1073741824 then 1 else -1 end)))""".stripMargin)
     df.select(col(idCol), sv.as("sv"))
       .select(col(idCol), posexplode(proj).as(Seq("dim", "val")))
       .select(col(idCol), col("dim").cast("int").as("dim"), col("val"))

@@ -51,11 +51,16 @@ object Vocab {
     * Per round: one pair-count aggregate + a 1-row argmax collect —
     * the same k-row driver-collect shape as the k-means centroids.
     * Determinism: ties broken by (left, right) lexicographically;
-    * merge application is greedy left-to-right, which both Spark's
-    * and the oracle's `replace` (leftmost, non-overlapping) implement
-    * identically over the space-joined symbol string. Symbols split
-    * at UTF-16 code units (ASCII-safe; a byte-level variant would
-    * pre-encode to byte tokens).
+    * merge application is exact token-level greedy leftmost — the
+    * lookaround regex (Sennrich's `(?<!\\S)l r(?!\\S)`) matches every
+    * non-overlapping occurrence scanning left to right WITHOUT
+    * consuming the shared delimiter, so a run like `a a a a` merges
+    * pairwise to `aa aa` (a delimiter-consuming replace would merge
+    * only alternate occurrences and feed wrong counts to later
+    * rounds). The oracle reproduces the same semantics with a greedy
+    * left fold over the symbol list. Symbols split at UTF-16 code
+    * units (ASCII-safe; a byte-level variant would pre-encode to
+    * byte tokens).
     */
   def bpeMerges(df: DataFrame, textCol: String, numMerges: Int,
                 sep: String = " "): DataFrame = {
@@ -86,14 +91,12 @@ object Vocab {
           val (l, r, cnt) = (best(0).getString(0), best(0).getString(1),
             best(0).getLong(2))
           merges += ((rank, l, r, cnt))
-          // greedy leftmost application over the padded symbol string;
+          // token-level greedy leftmost application (see scaladoc);
           // each round's vocab is re-persisted so round j never replays
           // rounds 1..j-1 (or the corpus scan)
           val next = vocab.withColumn("sym",
-              trim(regexp_replace(
-                concat(lit(" "), col("sym"), lit(" ")),
-                lit(java.util.regex.Pattern.quote(s" $l $r ")),
-                lit(java.util.regex.Matcher.quoteReplacement(s" $l$r ")))))
+              regexp_replace(col("sym"), lit(mergePattern(l, r)),
+                lit(java.util.regex.Matcher.quoteReplacement(s"$l$r"))))
             .persist()
           next.count()
           vocab.unpersist(blocking = false)
@@ -102,5 +105,65 @@ object Vocab {
       }
     } finally vocab.unpersist(blocking = false)
     merges.toSeq.toDF("rank", "left", "right", "pair_cnt")
+  }
+
+  /** Lookaround pattern matching `l r` only at token boundaries of the
+    * space-joined symbol string, consuming neither boundary space —
+    * leftmost non-overlapping regex replacement is then exactly the
+    * token-level greedy merge scan. */
+  private def mergePattern(l: String, r: String): String =
+    "(?<=^| )" + java.util.regex.Pattern.quote(s"$l $r") + "(?= |$)"
+
+  /** Apply a learned merge table ([[bpeMerges]] output) to tokenize
+    * the corpus into subwords — the encode half of the tokenizer,
+    * without which the trained merges are unusable. Output: one row
+    * per subword occurrence — (idCol, pos int, subword, subword_id
+    * int), pos 0-based within the document across word boundaries,
+    * subword_id ranking distinct subwords by (corpus frequency desc,
+    * subword asc) — the same deterministic id contract as [[build]].
+    *
+    * Scale design — the same vocabulary trick as training: merges are
+    * applied once per DISTINCT word (Heaps'-law-small table), in rank
+    * order, each an in-row regex pass; the corpus-sized token stream
+    * then broadcast-joins the word→subwords map. Subword ids come from
+    * the word-level frequency table (weighted explode of the small
+    * map), NOT a second corpus scan. The merge table itself is
+    * driver-collected — numMerges rows by construction, the k-row
+    * shape of the k-means centroids. The only data-sized window is the
+    * per-document position, bounded by document length.
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+                merges: DataFrame, sep: String = " "): DataFrame = {
+    val ms = merges.orderBy(col("rank"))
+      .select(col("left"), col("right"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val words = df.select(explode(split(col(textCol), sep)).as("word"))
+      .where(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val symFinal = ms.foldLeft(concat_ws(" ", split(col("word"), ""))) {
+      case (c, (l, r)) =>
+        regexp_replace(c, lit(mergePattern(l, r)),
+          lit(java.util.regex.Matcher.quoteReplacement(s"$l$r")))
+    }
+    val wordSubs = words
+      .select(col("word"), col("freq"), split(symFinal, " ").as("subs"))
+    val ids = wordSubs
+      .select(col("freq"), explode(col("subs")).as("subword"))
+      .groupBy(col("subword")).agg(sum(col("freq")).as("sfreq"))
+      .withColumn("subword_id",
+        row_number().over(Window.orderBy(col("sfreq").desc, col("subword"))))
+      .select(col("subword"), col("subword_id"))
+    val stream = df
+      .select(col(idCol),
+        posexplode(split(col(textCol), sep)).as(Seq("wpos", "word")))
+      .where(col("word") =!= "")
+      .join(broadcast(wordSubs.select(col("word"), col("subs"))), "word")
+      .select(col(idCol), col("wpos"),
+        posexplode(col("subs")).as(Seq("spos", "subword")))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("wpos"), col("spos"))
+    stream
+      .withColumn("pos", (row_number().over(byDoc) - 1).cast("int"))
+      .join(broadcast(ids), "subword")
+      .select(col(idCol), col("pos"), col("subword"), col("subword_id"))
   }
 }

@@ -492,7 +492,8 @@ object Similarity {
       |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS sv
       |  FROM embeddings WHERE vec_id < 100)
       |SELECT vec_id, CAST(j AS INT) AS dim,
-      |  CAST(SUM(sv[i + 1] * (((i * 7919 + j * 104729) % 2) * 2 - 1)) AS BIGINT) AS val
+      |  CAST(SUM(sv[i + 1] * (CASE WHEN (CAST(1103515245 AS BIGINT) * (j * 64 + i) * (j * 64 + i)
+      |    + 12345 * (j * 64 + i)) % 2147483648 >= 1073741824 THEN 1 ELSE -1 END)) AS BIGINT) AS val
       |FROM sv CROSS JOIN range(0, 16) t(j) CROSS JOIN range(0, 64) r(i)
       |GROUP BY vec_id, j ORDER BY vec_id, dim""".stripMargin
 

@@ -685,48 +685,67 @@ object Text {
        |GROUP BY r.lang, q.n_total, q.quota ORDER BY r.lang""".stripMargin
 
   // ---------------------------------------------------------------- q112
+  // Shared CTE builders for the BPE oracles (q112 learn, q120 encode),
+  // unrolling merge rounds in q82's fixed-iteration pattern.
+  /** Argmax pair of one round, counted over vocab table `w`. */
+  private def bpeBestCte(w: String, b: String): String =
+    s"""$b AS (
+       |  SELECT p.l AS l, p.r AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest([{'l': s[i], 'r': s[i+1]} for i in range(1, len(s))]) AS p, freq
+       |        FROM (SELECT string_split(sym, ' ') AS s, freq FROM $w))
+       |  GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin
+
+  /** Token-level greedy leftmost application of `b` onto `w` → `w2`:
+    * a left fold over the symbol list that merges (l, r) whenever the
+    * accumulated tail token is exactly l and the next symbol is r —
+    * identical semantics to the engine's lookaround regex (a merged
+    * token l||r can never re-match as l within the round, so no flag
+    * is needed). A delimiter-consuming `replace` would merge only
+    * alternate occurrences of a run.
+    */
+  private def bpeMergeCte(w: String, b: String, w2: String): String =
+    s"""$w2 AS (
+       |  SELECT list_reduce(string_split(sym, ' '),
+       |    (acc, x) -> CASE WHEN (acc = b.l OR ends_with(acc, ' ' || b.l)) AND x = b.r
+       |      THEN acc || b.r ELSE acc || ' ' || x END) AS sym, freq
+       |  FROM $w CROSS JOIN $b b)""".stripMargin
+
+  private val bpeCorpusCte: String =
+    s"""w0 AS (
+       |  SELECT array_to_string(string_split(word, ''), ' ') AS sym,
+       |    CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE length(word) > 0 GROUP BY 1)""".stripMargin
+
+  /** The b1..bN round chain after `w0`; `applyLast` also materializes
+    * wN (the fully-merged vocabulary the encode oracle reads). */
+  private def bpeRoundsCtes(n: Int, applyLast: Boolean = false): String =
+    (1 to n).map { i =>
+      if (i < n || applyLast)
+        s"${bpeBestCte(s"w${i - 1}", s"b$i")},\n${bpeMergeCte(s"w${i - 1}", s"b$i", s"w$i")}"
+      else bpeBestCte(s"w${i - 1}", s"b$i")
+    }.mkString(",\n")
+
   /** BPE merge learning ([[graft.llm.Vocab.bpeMerges]]): the first
     * three byte-pair merges over the corpus vocabulary, each round an
     * exact frequency-weighted pair count with lexicographic
     * tie-break. The oracle unrolls the identical three rounds as CTEs
     * (q82's fixed-iteration pattern): list-comprehension pair
-    * explosion, argmax by (cnt DESC, l, r), greedy leftmost `replace`
-    * over the padded symbol string — so pair counts, tie-breaks AND
-    * merge application are all hash-checked.
+    * explosion, argmax by (cnt DESC, l, r), token-level greedy
+    * leftmost merge application via a list fold — so pair counts,
+    * tie-breaks AND merge application are all hash-checked.
     */
   def q112(spark: SparkSession, sfDir: String): DataFrame =
     graft.llm.Vocab.bpeMerges(docs(spark, sfDir), "text", numMerges = 3)
       .orderBy(col("rank"))
 
-  val q112Sql: String = {
-    // argmax pair of round i, counted over vocab table `w`
-    def best(w: String, b: String): String =
-      s"""$b AS (
-         |  SELECT p.l AS l, p.r AS r, CAST(SUM(freq) AS BIGINT) AS cnt
-         |  FROM (SELECT unnest([{'l': s[i], 'r': s[i+1]} for i in range(1, len(s))]) AS p, freq
-         |        FROM (SELECT string_split(sym, ' ') AS s, freq FROM $w))
-         |  GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin
-    // greedy leftmost merge application of `b` onto `w` → `w2`
-    def merge(w: String, b: String, w2: String): String =
-      s"""$w2 AS (
-         |  SELECT trim(replace(' ' || sym || ' ', ' ' || b.l || ' ' || b.r || ' ',
-         |    ' ' || b.l || b.r || ' ')) AS sym, freq
-         |  FROM $w CROSS JOIN $b b)""".stripMargin
-    s"""WITH w0 AS (
-       |  SELECT array_to_string(string_split(word, ''), ' ') AS sym,
-       |    CAST(COUNT(*) AS BIGINT) AS freq
-       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-       |  WHERE length(word) > 0 GROUP BY 1),
-       |${best("w0", "b1")},
-       |${merge("w0", "b1", "w1")},
-       |${best("w1", "b2")},
-       |${merge("w1", "b2", "w2")},
-       |${best("w2", "b3")}
+  val q112Sql: String =
+    s"""WITH $bpeCorpusCte,
+       |${bpeRoundsCtes(3)}
        |SELECT CAST(1 AS INT) AS rank, l AS "left", r AS "right", cnt AS pair_cnt FROM b1
        |UNION ALL SELECT 2, l, r, cnt FROM b2
        |UNION ALL SELECT 3, l, r, cnt FROM b3
        |ORDER BY rank""".stripMargin
-  }
 
   // ---------------------------------------------------------------- q114
   /** Line-format roundtrip ([[graft.sources.TextFormats]]): documents
@@ -771,6 +790,52 @@ object Text {
        |SELECT 'jsonl', lang, n_docs, sum_chars, sum_hash FROM a
        |ORDER BY fmt, lang""".stripMargin
 
+  // ---------------------------------------------------------------- q120
+  /** BPE encode ([[graft.llm.Vocab.bpeEncode]]): tokenize the corpus
+    * into subwords with the merges q112 learns (four rounds here) —
+    * the encode half of the tokenizer, emitting the (doc_id, pos,
+    * subword, subword_id) stream a training pipeline ships. The
+    * oracle re-learns the same four merges (unrolled round CTEs),
+    * re-applies them to every distinct word with the same greedy
+    * fold, and re-derives positions and frequency-ranked ids — so
+    * merge application, the word→subword map, cross-word positions
+    * AND id assignment are all hash-checked.
+    */
+  def q120(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val merges = graft.llm.Vocab.bpeMerges(d, "text", numMerges = 4)
+    graft.llm.Vocab.bpeEncode(d, "doc_id", "text", merges)
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  val q120Sql: String =
+    s"""WITH $bpeCorpusCte,
+       |${bpeRoundsCtes(4, applyLast = true)},
+       |wordsubs AS (
+       |  SELECT replace(sym, ' ', '') AS word, string_split(sym, ' ') AS subs FROM w4),
+       |toks AS (
+       |  SELECT doc_id, t.wpos AS wpos, t.word AS word FROM (
+       |    SELECT doc_id, unnest([{'wpos': i, 'word': s[i]} for i in range(1, len(s) + 1)]) AS t
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents))
+       |  WHERE length(t.word) > 0),
+       |subs AS (
+       |  SELECT doc_id, wpos, u.spos AS spos, u.subword AS subword FROM (
+       |    SELECT doc_id, wpos,
+       |      unnest([{'spos': i, 'subword': subs[i]} for i in range(1, len(subs) + 1)]) AS u
+       |    FROM toks JOIN wordsubs USING (word))),
+       |stream AS (
+       |  SELECT doc_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY wpos, spos) - 1 AS INT) AS pos,
+       |    subword
+       |  FROM subs),
+       |ids AS (
+       |  SELECT subword,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, subword) AS INT) AS subword_id
+       |  FROM stream GROUP BY subword)
+       |SELECT doc_id, pos, subword, subword_id
+       |FROM stream JOIN ids USING (subword)
+       |ORDER BY doc_id, pos""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_token_stats", q34 _, Some(q34Sql)),
     ("q35_lang_id_confusion", q35 _, Some(q35Sql)),
@@ -791,6 +856,7 @@ object Text {
     ("q97_chisq_independence", q97 _, Some(q97Sql)),
     ("q100_weighted_allocation", q100 _, Some(q100Sql)),
     ("q112_bpe_merges", q112 _, Some(q112Sql)),
-    ("q114_lineformat_roundtrip", q114 _, Some(q114Sql))
+    ("q114_lineformat_roundtrip", q114 _, Some(q114Sql)),
+    ("q120_bpe_encode", q120 _, Some(q120Sql))
   )
 }

@@ -71,6 +71,54 @@ class MergeVocabSpec extends AnyFunSuite {
     assert(got == List((1, "a", "a", 2L), (2, "aa", "a", 1L)))
   }
 
+  test("BPE merge application merges runs pairwise (token-level greedy)") {
+    val s = spark
+    import s.implicits._
+    // "aaaaaa": the delimiter-consuming replace bug merged alternate
+    // occurrences only ("aa a aa a"); token-level greedy must give
+    // "aa aa aa" → round 2 sees (aa,aa)×2, round 3 (aaaa,aa)×1
+    val df = Seq("aaaaaa").toDF("text")
+    val got = graft.llm.Vocab.bpeMerges(df, "text", numMerges = 3)
+      .orderBy("rank")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toList
+    assert(got == List((1, "a", "a", 5L), (2, "aa", "aa", 2L), (3, "aaaa", "aa", 1L)))
+  }
+
+  test("bpeEncode applies ranked merges per word with cross-word positions and freq-ranked ids") {
+    val s = spark
+    import s.implicits._
+    // merges learned on "low low lower": r1 (l,o)×3, r2 (lo,w)×3 →
+    // "low"→[low], "lower"→[low, e, r]
+    val df = Seq((1L, "low low lower"), (2L, "lower low")).toDF("id", "text")
+    val merges = graft.llm.Vocab.bpeMerges(df.where($"id" === 1L), "text", numMerges = 2)
+    val got = graft.llm.Vocab.bpeEncode(df, "id", "text", merges)
+      .orderBy("id", "pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .toList
+    // subword freqs over BOTH docs: low×5, e×2, r×2 → ids low=1, e=2, r=3
+    assert(got == List(
+      (1L, 0, "low", 1), (1L, 1, "low", 1), (1L, 2, "low", 1), (1L, 3, "e", 2), (1L, 4, "r", 3),
+      (2L, 0, "low", 1), (2L, 1, "e", 2), (2L, 2, "r", 3), (2L, 3, "low", 1)))
+  }
+
+  test("bpeEncode round-trips: subwords concatenated in pos order rebuild the text") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "the quick brown fox"), (2L, "aaaaaa aaa the thee"),
+      (3L, "x"), (4L, "queueing sequences seen")).toDF("id", "text")
+    val merges = graft.llm.Vocab.bpeMerges(df, "text", numMerges = 5)
+    val enc = graft.llm.Vocab.bpeEncode(df, "id", "text", merges)
+    val rebuilt = enc.groupBy($"id")
+      .agg(concat_ws("", sort_array(collect_list(struct($"pos", $"subword")))
+        .getField("subword")).as("rb"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    df.collect().foreach { r =>
+      val (id, text) = (r.getLong(0), r.getString(1))
+      assert(rebuilt(id) == text.replace(" ", ""), s"roundtrip failed for doc $id")
+    }
+  }
+
   test("encode preserves every token occurrence with 0-based positions") {
     val s = spark
     import s.implicits._

@@ -232,17 +232,24 @@ class LlmApiSpec extends AnyFunSuite {
       .toDF("vec_id", "embedding")
     val got = VectorSearch.jlProject(df, "vec_id", "embedding", outDims = 4)
       .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
-    // pure reference: sign(i, j) from the same index hash
-    def ref(v: Array[Float], j: Int): Long =
+    // pure reference: sign = bit 30 of the quadratic hash of the flat index
+    def ref(v: Array[Float], j: Int): Long = {
+      val dim = v.length
       v.zipWithIndex.map { case (x, i) =>
-        math.round(x.toDouble * 1000000) *
-          (((i * 7919 + j * 104729) % 2) * 2 - 1)
+        val k = (j * dim + i).toLong
+        val h = (1103515245L * k * k + 12345L * k) % 2147483648L
+        math.round(x.toDouble * 1000000) * (if (h >= 1073741824L) 1 else -1)
       }.sum
+    }
     (0 until 4).foreach { j =>
       assert(got((1L, j)) == ref(va, j))
       assert(got((2L, j)) == ref(vb, j))
       assert(got((3L, j)) == got((1L, j)) + got((2L, j)), s"linearity at dim $j")
     }
+    // rank guard: a separable sign hash (the fixed bug) makes every
+    // output coordinate ±the same scalar — magnitudes must differ
+    val mags = (0 until 4).map(j => math.abs(got((1L, j)))).toSet
+    assert(mags.size > 1, s"sign matrix looks rank-1: all |coords| = $mags")
   }
 
   test("k-means assignment matches a pure-Scala quantized-Lloyd reference") {
