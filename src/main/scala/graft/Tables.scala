@@ -18,6 +18,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Session-scoped scratch directory for queries that exercise a
+    * side-effect store (q109/q113/q114/q117): keyed by the Spark
+    * `applicationId` so concurrent sessions on the same machine never
+    * race on one path, and by the FULL canonical dataset path (not its
+    * 32-bit hashCode, which can collide across datasets) so two sfDirs
+    * never cross-contaminate results within a session.
+    */
+  def scratchDir(spark: SparkSession, kind: String, sfDir: String): String = {
+    val ds = new java.io.File(sfDir).getAbsolutePath
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_" +
+      s"${spark.sparkContext.applicationId}_$ds"
+  }
+
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =

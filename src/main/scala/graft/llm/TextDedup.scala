@@ -1,7 +1,7 @@
 package graft.llm
 
 import graft.functions.GraftFunctions
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -257,7 +257,7 @@ object TextDedup {
     */
   def exactDedupAgainstStore(newBatch: DataFrame, idCol: String,
                              textCol: String, storePath: String): DataFrame = {
-    val store = newBatch.sparkSession.read.parquet(storePath)
+    val store = readStore(newBatch.sparkSession, storePath)
     val h = newBatch.select(col(idCol), sha2(col(textCol), 256).as("text_sha"))
     val batchMin = h.groupBy(col("text_sha")).agg(min(col(idCol)).as("batch_keep"))
     h.join(store, Seq("text_sha"), "left")
@@ -306,7 +306,7 @@ object TextDedup {
     require(k % bands == 0, "k must be divisible by bands")
     val spark = newBatch.sparkSession
     GraftFunctions.ensureRegistered(spark)
-    val hist = bandify(spark.read.parquet(storePath), idCol, k, bands)
+    val hist = bandify(readStore(spark, storePath), idCol, k, bands)
     val sh = hashedShingles(newBatch, idCol, textCol, n)
     val fresh = bandify(
       sh.select(col(idCol), col("sz"), col("hs"),
@@ -369,34 +369,110 @@ object TextDedup {
           .as("overlap"))
   }
 
+  /** Read a signature/hash store laid out as root-level parquet files,
+    * per-`batchId` subdirectories, or a mix — `recursiveFileLookup`
+    * reads them uniformly without partition inference, so batch jobs
+    * and the streaming maintenance cycle share one store. */
+  private def readStore(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(path)
+
+  /** True iff the store already holds at least one parquet data file
+    * (at the root or inside a per-batch subdirectory). */
+  private def storeNonEmpty(spark: SparkSession, storePath: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(storePath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(path) && {
+      val it = fs.listFiles(path, true)
+      var found = false
+      while (!found && it.hasNext)
+        found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+  }
+
+  /** Compact a dedup store in place: the per-batch append cycle
+    * accumulates one subdirectory of small files per micro-batch, and
+    * the against-history band join pays for every one of them in file
+    * listing and scan tasks. Compaction rewrites the store as
+    * `outFiles` parquet files at the root, dropping any duplicate id
+    * rows a legacy non-idempotent append double-wrote (first row wins
+    * — signatures for one id are identical by determinism). The
+    * compacted copy is fully written to a sibling path first, then
+    * swapped in, so a crash mid-compaction leaves the original store
+    * intact. Not safe under concurrent readers of the same path — run
+    * it between refresh cycles (at 100 TB the swap would be a
+    * catalog/view flip instead).
+    *
+    * A further scale lever documented here deliberately NOT applied:
+    * re-bucketing the store by band key would make the
+    * against-history join shuffle-free on the history side; it
+    * multiplies store size by `bands` (one row per (id, band)), a
+    * trade the caller should opt into at a known batch:history ratio.
+    */
+  def compactSignatureStore(spark: SparkSession, storePath: String,
+                            outFiles: Int = 1): Unit = {
+    val store = readStore(spark, storePath)
+    compactSwap(spark, storePath,
+      store.dropDuplicates(store.columns.head), outFiles)
+  }
+
+  /** [[compactSignatureStore]]'s exact-dedup counterpart: merges
+    * appended (text_sha, keep_id) fragments, re-resolving the
+    * canonical id as the minimum across fragments. */
+  def compactHashStore(spark: SparkSession, storePath: String,
+                       outFiles: Int = 1): Unit =
+    compactSwap(spark, storePath,
+      readStore(spark, storePath)
+        .groupBy(col("text_sha")).agg(min(col("keep_id")).as("keep_id")),
+      outFiles)
+
+  private def compactSwap(spark: SparkSession, storePath: String,
+                          compacted: DataFrame, outFiles: Int): Unit = {
+    val tmp = storePath + ".compacting"
+    compacted.repartition(outFiles).write.mode("overwrite").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(storePath), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(storePath))
+  }
+
   /** `foreachBatch` body for STREAMING incremental dedup — the
     * continuous form of the [[writeSignatureStore]] /
     * [[dedupAgainstStore]] refresh cycle: dedup the micro-batch
-    * against the store (empty store ⇒ no pairs), then append the
-    * SURVIVORS' signatures so later batches dedup against history ∪
-    * everything kept so far. Returns the duplicate pairs found, ALREADY
-    * MATERIALIZED (locally checkpointed): the result must be pinned
-    * before the append mutates the store the lazy plan would re-read.
+    * against the store (empty store ⇒ no history pairs) AND against
+    * itself (two duplicates arriving in one micro-batch are reported
+    * with the smaller id on the `d_hist` side — without the self pass
+    * they would never pair and both would enter the store), then
+    * append only the SURVIVORS' signatures so later batches dedup
+    * against history ∪ everything kept so far. Returns the duplicate
+    * pairs found, ALREADY MATERIALIZED (locally checkpointed): the
+    * result must be pinned before the append mutates the store the
+    * lazy plan would re-read.
     *
-    * Exactly-once caveat (documented, standard foreachBatch shape): a
-    * retried micro-batch re-appends its survivors; a production
-    * deployment makes the append idempotent by writing per-`batchId`
-    * subdirectories and skipping ones that exist. State stays on disk,
-    * not in the state store — the store IS the stream's state, shared
-    * with batch jobs.
+    * Exactly-once: pass the `foreachBatch` `batchId` and the append
+    * becomes idempotent — survivors land in a per-batch subdirectory
+    * (`batch_<id>`), and a replayed micro-batch whose subdirectory
+    * already committed (its `_SUCCESS` marker exists) skips the write;
+    * a partial directory from a mid-write crash lacks the marker and
+    * is safely overwritten. State stays on disk, not in the state
+    * store — the store IS the stream's state, shared with batch jobs
+    * (readers traverse subdirectories transparently). With
+    * `batchId = None` the append degrades to the non-idempotent
+    * root-level form for ad-hoc batch use.
     */
   def dedupBatchAndMaintain(batch: DataFrame, idCol: String, textCol: String,
                             storePath: String, n: Int = 3, k: Int = 12,
-                            bands: Int = 4): DataFrame = {
+                            bands: Int = 4,
+                            batchId: Option[Long] = None): DataFrame = {
     val spark = batch.sparkSession
-    val path = new org.apache.hadoop.fs.Path(storePath)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasStore = fs.exists(path) && fs.listStatus(path)
-      .exists(_.getPath.getName.endsWith(".parquet"))
-    val pairs =
-      if (hasStore)
+    val histPairs =
+      if (storeNonEmpty(spark, storePath))
+        // d_hist ≠ d_new: on a replayed micro-batch the docs are
+        // already in the store, and matching a doc against its own
+        // stored signature is a replay artifact, not a duplicate
         dedupAgainstStore(batch, idCol, textCol, storePath, n, k, bands)
-          .localCheckpoint(true)
+          .where(col("d_hist") =!= col("d_new"))
       else {
         import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
         val idType = batch.schema(idCol).dataType
@@ -404,10 +480,24 @@ object TextDedup {
           StructType(Seq(StructField("d_hist", idType), StructField("d_new", idType),
             StructField("est_sim", DoubleType), StructField("jac", DoubleType))))
       }
+    val selfPairs = minHashLshPairs(batch, idCol, textCol, n, k, bands)
+      .select(col("d1").as("d_hist"), col("d2").as("d_new"),
+        col("est_sim"), col("jac"))
+    val pairs = histPairs.unionByName(selfPairs).localCheckpoint(true)
     val dupIds = pairs.select(col("d_new")).distinct()
       .withColumnRenamed("d_new", idCol)
     val survivors = batch.join(dupIds, Seq(idCol), "left_anti")
-    writeSignatureStore(survivors, idCol, textCol, storePath, n, k, append = true)
+    batchId match {
+      case Some(id) =>
+        val sub = s"$storePath/batch_$id"
+        val success = new org.apache.hadoop.fs.Path(s"$sub/_SUCCESS")
+        val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(success))
+          writeSignatureStore(survivors, idCol, textCol, sub, n, k)
+      case None =>
+        writeSignatureStore(survivors, idCol, textCol, storePath, n, k,
+          append = true)
+    }
     pairs
   }
 

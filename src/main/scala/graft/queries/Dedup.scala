@@ -377,8 +377,7 @@ object Dedup {
     */
   def q109(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
-    val store = s"${System.getProperty("java.io.tmpdir")}/graft_sigstore_" +
-      Integer.toHexString(sfDir.hashCode)
+    val store = graft.Tables.scratchDir(spark, "sigstore", sfDir)
     graft.llm.TextDedup.writeSignatureStore(
       d.where(col("doc_id") % 10 < 8), "doc_id", "text", store)
     graft.llm.TextDedup.dedupAgainstStore(
@@ -429,8 +428,7 @@ object Dedup {
     */
   def q113(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
-    val store = s"${System.getProperty("java.io.tmpdir")}/graft_hashstore_" +
-      Integer.toHexString(sfDir.hashCode)
+    val store = graft.Tables.scratchDir(spark, "hashstore", sfDir)
     graft.llm.TextDedup.writeHashStore(
       d.where(col("doc_id") % 10 < 8), "doc_id", "text", store)
     graft.llm.TextDedup.exactDedupAgainstStore(

@@ -642,8 +642,7 @@ object Events {
     * unpartitioned source: layout must be invisible to results.
     */
   def q117(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_part_" +
-      Integer.toHexString(sfDir.hashCode)
+    val base = graft.Tables.scratchDir(spark, "part", sfDir)
     ev(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("ts"), col("value"),
         col("event_type"))

@@ -760,8 +760,7 @@ object Text {
     import graft.sources.TextFormats
     val d = docs(spark, sfDir)
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_fmt_" +
-      Integer.toHexString(sfDir.hashCode)
+    val base = graft.Tables.scratchDir(spark, "fmt", sfDir)
     TextFormats.writeJsonl(d, s"$base/jsonl")
     TextFormats.writeCsv(d, s"$base/csv")
     def agg(df: DataFrame, fmt: String): DataFrame =

@@ -125,6 +125,94 @@ class PipelineSpec extends AnyFunSuite {
     assert(hits.toSeq == Seq((12L, 21L)))
   }
 
+  test("store compaction merges per-batch files and leaves results unchanged") {
+    val s = spark
+    import s.implicits._
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_sigstore_compact").toString + "/store"
+    // three maintenance cycles → three batch_N subdirectories
+    Seq(
+      Seq((1L, "one two three four five six seven eight"),
+        (2L, "alpha beta gamma delta epsilon zeta eta theta")),
+      Seq((11L, "mu nu xi omicron pi rho sigma tau upsilon")),
+      Seq((21L, "totally new third-batch content with no match at all")))
+      .zipWithIndex.foreach { case (docs, i) =>
+        TextDedup.dedupBatchAndMaintain(docs.toDF("doc_id", "text"),
+          "doc_id", "text", store, batchId = Some(i.toLong))
+      }
+    def parquetFiles() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(store)).filter(_.getName.endsWith(".parquet"))
+    }
+    val batch = Seq((31L, "one two three four five six seven eight"),
+      (32L, "mu nu xi omicron pi rho sigma tau upsilon"),
+      (33L, "unmatched probe document for the compaction check"))
+      .toDF("doc_id", "text")
+    def probe() = TextDedup.dedupAgainstStore(batch, "doc_id", "text", store)
+      .collect().map(r => (r.getAs[Long]("d_hist"), r.getAs[Long]("d_new"),
+        r.getAs[Double]("jac"))).sorted.toSeq
+    val filesBefore = parquetFiles()
+    val before = probe()
+    assert(before.map(p => (p._1, p._2)) == Seq((1L, 31L), (11L, 32L)))
+    TextDedup.compactSignatureStore(s, store)
+    val filesAfter = parquetFiles()
+    assert(filesAfter.size == 1 && filesAfter.size < filesBefore.size,
+      s"expected 1 file after compaction, was ${filesBefore.size} → ${filesAfter.size}")
+    assert(new java.io.File(store).listFiles.forall(!_.getName.startsWith("batch_")),
+      "per-batch subdirectories must be folded into the root")
+    assert(probe() == before, "compaction must not change dedup results")
+  }
+
+  test("exact-hash and signature store tiers agree on exact duplicates") {
+    val s = spark
+    import s.implicits._
+    // seeded random corpora: whatever the corpus, a batch doc whose
+    // text equals a history doc's must be (a) classified
+    // dup_of_history by the hash tier and (b) reported with jac = 1.0
+    // by the signature tier — the cross-pin between the two
+    // incremental stores
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      def doc(): String =
+        Seq.fill(5 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val histDocs = (1L to 8L).map(i => (i, doc()))
+      // batch: two exact copies of random history docs + two fresh
+      val copies = rnd.shuffle(histDocs).take(2)
+      val batchDocs = Seq((11L, copies(0)._2), (12L, copies(1)._2),
+        (13L, doc()), (14L, doc()))
+      val hist = histDocs.toDF("doc_id", "text")
+      val batch = batchDocs.toDF("doc_id", "text")
+      val sigStore = java.nio.file.Files
+        .createTempDirectory(s"graft_xpin_sig$seed").toString + "/s"
+      val hashStore = java.nio.file.Files
+        .createTempDirectory(s"graft_xpin_hash$seed").toString + "/h"
+      TextDedup.writeSignatureStore(hist, "doc_id", "text", sigStore)
+      TextDedup.writeHashStore(hist, "doc_id", "text", hashStore)
+      val sigPairs = TextDedup.dedupAgainstStore(batch, "doc_id", "text", sigStore)
+        .collect().map(r => (r.getAs[Long]("d_hist"), r.getAs[Long]("d_new"),
+          r.getAs[Double]("jac")))
+      val exact = TextDedup.exactDedupAgainstStore(batch, "doc_id", "text", hashStore)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("status"),
+          r.getAs[Long]("canonical_id")))
+      val histByText = histDocs.groupBy(_._2).map { case (t, ds) => t -> ds.map(_._1).min }
+      batchDocs.foreach { case (bid, text) =>
+        histByText.get(text).foreach { _ =>
+          val ex = exact.find(_._1 == bid).get
+          assert(ex._2 == "dup_of_history",
+            s"seed $seed: hash tier missed exact dup $bid")
+          assert(sigPairs.exists(p => p._2 == bid && p._3 == 1.0),
+            s"seed $seed: signature tier missed exact dup $bid (jac=1 pair)")
+          // and both tiers name a history doc holding identical content
+          assert(histDocs.exists(h => h._1 == ex._3 && h._2 == text),
+            s"seed $seed: hash tier canonical ${ex._3} has different text")
+        }
+      }
+    }
+  }
+
   test("the full pipeline is deterministic run-to-run") {
     val a = runPipeline()._4.select("doc_id", "ws.checksum")
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq

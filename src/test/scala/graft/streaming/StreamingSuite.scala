@@ -189,9 +189,10 @@ class StreamingSuite extends AnyFunSuite {
     val input = MemoryStream[(Long, String)]
     val q = input.toDF.toDF("doc_id", "text")
       .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
         val pairs = graft.llm.TextDedup
-          .dedupBatchAndMaintain(batch, "doc_id", "text", store)
+          .dedupBatchAndMaintain(batch, "doc_id", "text", store,
+            batchId = Some(bid))
         found.synchronized {
           found ++= pairs.collect()
             .map(r => (r.getAs[Long]("d_hist"), r.getAs[Long]("d_new")))
@@ -218,11 +219,54 @@ class StreamingSuite extends AnyFunSuite {
       input.addData((21L, "novel second-batch content that matches nothing prior"))
       q.processAllAvailable()
       assert(found.toSet == Set((1L, 11L), (12L, 21L)))
-      val storeIds = s.read.parquet(store)
+      val storeIds = s.read.option("recursiveFileLookup", "true").parquet(store)
         .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
       assert(storeIds == Seq(1L, 2L, 12L),
         "store = survivors only — duplicates (11, 21) must not be appended")
     } finally q.stop()
+  }
+
+  test("dedup store append is idempotent on micro-batch replay") {
+    val s = spark
+    import s.implicits._
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_sigstore_replay").toString + "/store"
+    def run(bid: Long, docs: (Long, String)*) = graft.llm.TextDedup
+      .dedupBatchAndMaintain(docs.toDF("doc_id", "text"), "doc_id", "text",
+        store, batchId = Some(bid))
+      .collect().map(r => (r.getAs[Long]("d_hist"), r.getAs[Long]("d_new"))).toSet
+    def storeRows() = s.read.option("recursiveFileLookup", "true").parquet(store)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    assert(run(0L, (1L, a)) == Set.empty)
+    assert(run(1L, (2L, "totally different second-batch text here")) == Set.empty)
+    val before = storeRows()
+    assert(before == Seq(1L, 2L))
+    // replay batch 1 (crash-recovery shape): pairs are re-derived
+    // identically, but the committed batch_1 directory must NOT be
+    // re-appended — store contents unchanged
+    assert(run(1L, (2L, "totally different second-batch text here")) == Set.empty)
+    assert(storeRows() == before, "replayed batch must not double-append")
+    // and the replay still reports pairs against history correctly
+    assert(run(2L, (3L, a)) == Set((1L, 3L)))
+  }
+
+  test("in-batch duplicates pair up and only the first survives") {
+    val s = spark
+    import s.implicits._
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_sigstore_inbatch").toString + "/store"
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val pairs = graft.llm.TextDedup
+      .dedupBatchAndMaintain(
+        Seq((5L, a), (7L, a), (9L, "unrelated content in the same batch"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", store, batchId = Some(0L))
+      .collect().map(r => (r.getAs[Long]("d_hist"), r.getAs[Long]("d_new"))).toSet
+    assert(pairs == Set((5L, 7L)), "same-batch duplicates must be reported")
+    val storeIds = s.read.option("recursiveFileLookup", "true").parquet(store)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(storeIds == Seq(5L, 9L), "only the min-id twin enters the store")
   }
 
   test("stream-static enrich join is stateless and inner on the dim key") {
