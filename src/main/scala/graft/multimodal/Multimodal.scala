@@ -10,12 +10,14 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing is real — schema, typed Dataset, batched
   * `mapPartitions` (the JVM analogue of a Pandas-UDF `mapInPandas`
   * pass: fixed-size batches per partition, one codec instance per
-  * partition, columnar-friendly output). Two codecs sit behind
+  * partition, columnar-friendly output). Three codecs sit behind
   * [[MediaCodec]]: [[ImageIoCodec]] is a REAL PNG/JPEG decoder on the
   * JDK's built-in `javax.imageio` (q108 round-trips actual PNG bytes
-  * through it under an oracle); [[FakeFrameCodec]] remains the
-  * deterministic stand-in for codecs this environment lacks
-  * (video/audio — an ffmpeg binding would plug in the same way).
+  * through it under an oracle); [[WavCodec]] is a REAL WAV/PCM
+  * decoder on the JDK's `javax.sound.sampled` (q121, same trick for
+  * audio); [[FakeFrameCodec]] remains the deterministic stand-in for
+  * the one modality the JDK lacks a codec for (video — an ffmpeg
+  * binding would plug in the same way).
   */
 final case class MediaBlob(doc_id: Long, media_type: String, data: Array[Byte])
 
@@ -97,6 +99,53 @@ final class ImageIoCodec(val featureDim: Int = 8) extends MediaCodec {
     feature(3) = sg.toFloat
     feature(4) = sb.toFloat
     MediaFeatures(blob.doc_id, mediaType, blob.data.length.toLong, 1,
+      blob.data.take(4), feature)
+  }
+}
+
+/** REAL audio codec over the JDK's built-in `javax.sound.sampled`
+  * WAV support (no external libraries) — the audio analogue of
+  * [[ImageIoCodec]]: parses the RIFF/WAVE container, streams the PCM
+  * payload, and emits `[sampleRate, nSamples, sum, sumAbs, maxAbs]`
+  * as the feature vector, every value computed from decoded 16-bit
+  * samples. Sums stay exact in Float well past this data's
+  * |sample| ≤ 1024 × nSamples ≤ 192 range (< 2²⁴), so the declared
+  * query casts them back to BIGINT losslessly. Video remains behind
+  * [[FakeFrameCodec]] — the JDK ships no video codec; ffmpeg would
+  * plug in the same way.
+  */
+final class WavCodec(val featureDim: Int = 8) extends MediaCodec {
+  require(featureDim >= 5,
+    "featureDim must fit [rate, n, sum, sumAbs, maxAbs]")
+  override val mediaType: String = "audio/wav"
+
+  override def decode(blob: MediaBlob): MediaFeatures = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(blob.data))
+    val fmt = ais.getFormat
+    require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        && fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1
+        && !fmt.isBigEndian,
+      s"doc ${blob.doc_id}: expected mono 16-bit little-endian PCM, got $fmt")
+    val pcm = ais.readAllBytes()
+    val n = pcm.length / 2
+    var sum = 0L; var sumAbs = 0L; var maxAbs = 0L
+    var i = 0
+    while (i < n) {
+      val s = ((pcm(2 * i + 1).toInt << 8) | (pcm(2 * i) & 0xff))
+      sum += s
+      val a = math.abs(s)
+      sumAbs += a
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    val feature = new Array[Float](featureDim)
+    feature(0) = fmt.getSampleRate
+    feature(1) = n.toFloat
+    feature(2) = sum.toFloat
+    feature(3) = sumAbs.toFloat
+    feature(4) = maxAbs.toFloat
+    MediaFeatures(blob.doc_id, mediaType, blob.data.length.toLong, n,
       blob.data.take(4), feature)
   }
 }
@@ -214,6 +263,72 @@ object Multimodal {
       |  CAST(n0 * b0 + n1 * b1 AS BIGINT) AS sum_b
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** Synthetic WAV blobs, one per document: a mono 16-bit PCM signal
+    * whose length and sample values derive arithmetically from
+    * `doc_id` (sample i = (i·k mod 2048) − 1024, k = 1 + doc_id mod
+    * 7 — a sawtooth that exercises every sample position), packaged
+    * into a real RIFF/WAVE container by `javax.sound.sampled` inside
+    * the partition pass. Deterministic by construction, so the
+    * decoded sample statistics are SQL-recomputable — q108's
+    * real-codec-under-an-oracle trick, for audio.
+    */
+  def syntheticWavBlobs(spark: SparkSession, sfDir: String): Dataset[MediaBlob] = {
+    import spark.implicits._
+    graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = 64 + (id % 128).toInt
+          val k = 1 + (id % 7).toInt
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val s = ((i * k) % 2048) - 1024
+            pcm(2 * i) = (s & 0xff).toByte
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          MediaBlob(id, "audio/wav", bos.toByteArray)
+        }
+      }
+  }
+
+  /** q121: WAV-encode → batched `WavCodec` decode → exact sample
+    * statistics. Every output value passed through a real RIFF/WAVE
+    * byte stream; the oracle recomputes the sawtooth arithmetic the
+    * signal was built from. Embarrassingly parallel — one partition
+    * pass, no shuffle until the final order.
+    */
+  def audioDecode(spark: SparkSession, sfDir: String): DataFrame =
+    extractFeatures(syntheticWavBlobs(spark, sfDir), new WavCodec)
+      .toDF()
+      .select(col("doc_id"),
+        element_at(col("feature"), 1).cast("int").as("sample_rate"),
+        element_at(col("feature"), 2).cast("int").as("n_samples"),
+        element_at(col("feature"), 3).cast("bigint").as("sum_s"),
+        element_at(col("feature"), 4).cast("bigint").as("sum_abs"),
+        element_at(col("feature"), 5).cast("bigint").as("max_abs"))
+      .orderBy(col("doc_id"))
+
+  val q121Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id, 64 + doc_id % 128 AS n, 1 + doc_id % 7 AS k
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, n, ((i * k) % 2048) - 1024 AS v
+      |  FROM p CROSS JOIN range(0, 192) t(i) WHERE i < n)
+      |SELECT doc_id, CAST(8000 AS INT) AS sample_rate, CAST(n AS INT) AS n_samples,
+      |  CAST(SUM(v) AS BIGINT) AS sum_s,
+      |  CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+      |  CAST(MAX(ABS(v)) AS BIGINT) AS max_abs
+      |FROM s GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
+
   val q44Sql: String =
     """SELECT doc_id, 'text/utf-8' AS media_type,
       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -222,5 +337,6 @@ object Multimodal {
 
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q44_multimodal_features", featureTable _, Some(q44Sql)),
-    ("q108_imageio_decode", imageDecode _, Some(q108Sql)))
+    ("q108_imageio_decode", imageDecode _, Some(q108Sql)),
+    ("q121_wav_decode", audioDecode _, Some(q121Sql)))
 }

@@ -103,6 +103,48 @@ class MultimodalSuite extends AnyFunSuite {
     }
   }
 
+  test("WavCodec: decodes real WAV bytes back to exact sample statistics") {
+    // hand-built 5-sample mono 16-bit PCM clip with negative, zero and
+    // positive values — encode into a RIFF/WAVE container with
+    // javax.sound.sampled, decode with the codec
+    val samples = Seq(-1024, -1, 0, 7, 1023)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    // RIFF magic survives the blob round-trip
+    assert(wav.take(4).map(_.toChar).mkString == "RIFF")
+    val f = new WavCodec().decode(MediaBlob(42L, "audio/wav", wav))
+    assert(f.feature.toSeq.take(5) == Seq(8000f, 5f,
+      samples.sum.toFloat, samples.map(math.abs).sum.toFloat, 1024f))
+    assert(f.n_frames == 5 && f.n_bytes == wav.length.toLong)
+    assert(f.header.toSeq == wav.take(4).toSeq)
+  }
+
+  test("q121: distributed WAV encode/decode matches the sawtooth arithmetic") {
+    val rows = Multimodal.audioDecode(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val n = 64 + (id % 128).toInt
+      val k = 1 + (id % 7).toInt
+      val vs = (0 until n).map(i => ((i * k) % 2048) - 1024)
+      assert(r.getAs[Int]("sample_rate") == 8000)
+      assert(r.getAs[Int]("n_samples") == n)
+      assert(r.getAs[Long]("sum_s") == vs.sum.toLong)
+      assert(r.getAs[Long]("sum_abs") == vs.map(math.abs).sum.toLong)
+      assert(r.getAs[Long]("max_abs") == vs.map(math.abs).max.toLong)
+    }
+  }
+
   test("extracted features are first-class vectors for similarity search") {
     // the multimodal → ANN hand-off: decode features, then run the
     // exact cosine top-k operator over them with no glue beyond a toDF
