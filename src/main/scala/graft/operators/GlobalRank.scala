@@ -29,8 +29,11 @@ import org.apache.spark.sql.functions._
   */
 object GlobalRank {
 
-  /** Adds `rankCol` (bigint, contiguous from 1) ranking by `sortCols`. */
-  def withGlobalRank(df: DataFrame, sortCols: Seq[Column], rankCol: String): DataFrame = {
+  /** Shared frame: every row carries its contiguous global rank
+    * (`__grank`) and the total row count (`__total`, same value on
+    * every row — it rides along in the broadcast offsets table, so no
+    * separate count job rescans the data). */
+  private def rankedWithTotal(df: DataFrame, sortCols: Seq[Column]): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val ranged = df.repartitionByRange(parts, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
@@ -42,9 +45,45 @@ object GlobalRank {
         coalesce(sum(col("__cnt")).over(
           Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
-      .select(col("__pid"), col("__offset"))
+      .withColumn("__total",
+        sum(col("__cnt")).over(
+          Window.orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("__pid"), col("__offset"), col("__total"))
     local.join(broadcast(offsets), "__pid")
-      .withColumn(rankCol, (col("__offset") + col("__rn")).cast("long"))
+      .withColumn("__grank", (col("__offset") + col("__rn")).cast("long"))
       .drop("__pid", "__rn", "__offset")
+  }
+
+  /** Adds `rankCol` (bigint, contiguous from 1) ranking by `sortCols`. */
+  def withGlobalRank(df: DataFrame, sortCols: Seq[Column], rankCol: String): DataFrame =
+    rankedWithTotal(df, sortCols)
+      .withColumn(rankCol, col("__grank"))
+      .drop("__grank", "__total")
+
+  /** Adds `tileCol` (int, 1..tiles) with EXACT `NTILE(tiles)`
+    * semantics — the first `n mod tiles` tiles get the extra
+    * remainder row — but fully partition-parallel: the tile is pure
+    * arithmetic on the contiguous global rank and the total count,
+    * both produced by [[rankedWithTotal]] without a single-partition
+    * window. (`NTILE(k) OVER (ORDER BY …)` funnels the whole dataset
+    * through one partition — the same scale cliff as naked
+    * `row_number`.)
+    */
+  def withNtile(df: DataFrame, sortCols: Seq[Column], tiles: Int,
+                tileCol: String): DataFrame = {
+    require(tiles >= 1, "tiles must be >= 1")
+    rankedWithTotal(df, sortCols)
+      .withColumn("__base", expr(s"__total div $tiles"))
+      .withColumn("__rem", expr(s"__total % $tiles"))
+      .withColumn("__bulge", col("__rem") * (col("__base") + 1))
+      .withColumn(tileCol,
+        when(col("__grank") <= col("__bulge"),
+          expr("(__grank - 1) div (__base + 1) + 1"))
+          // __base > 0 here: base == 0 forces total == rem < tiles,
+          // so every rank r <= rem = bulge takes the first branch
+          .otherwise(expr("__rem + (__grank - __bulge - 1) div __base + 1"))
+          .cast("int"))
+      .drop("__grank", "__total", "__base", "__rem", "__bulge")
   }
 }

@@ -84,24 +84,26 @@ object Analytics {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------- q79
-  /** Equi-depth binning: NTILE(10) over order value (unique tie-break
-    * on o_orderkey makes the frame deterministic), then per-decile
-    * stats. The single global sort is the operator's contract — at
-    * 100 TB the same binning comes from `approxQuantile`-derived range
-    * bounds + a repartitionByRange, but the declared query pins exact
-    * NTILE semantics (remainder rows land in the leading deciles).
+  /** Equi-depth binning with EXACT NTILE(10) semantics (unique
+    * tie-break on o_orderkey; remainder rows land in the leading
+    * deciles), then per-decile stats — computed WITHOUT the
+    * single-partition window `NTILE OVER (ORDER BY …)` implies: the
+    * decile is arithmetic on [[graft.operators.GlobalRank]]'s
+    * contiguous partition-parallel rank and total, so the plan scales
+    * like a range-partitioned sort, not a one-executor funnel.
+    * Output is bit-identical to the window form, which is what the
+    * oracle still runs.
     */
-  def q79(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-    t(spark, sfDir, "orders")
-      .select(col("o_totalprice"), ntile(10).over(w).as("decile"))
+  def q79(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.GlobalRank
+      .withNtile(t(spark, sfDir, "orders").select(col("o_totalprice"), col("o_orderkey")),
+        Seq(col("o_totalprice"), col("o_orderkey")), 10, "decile")
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_orders"),
         min(col("o_totalprice")).as("min_price"),
         max(col("o_totalprice")).as("max_price"),
         Num.dsum(col("o_totalprice")).as("sum_price"))
       .orderBy(col("decile"))
-  }
 
   val q79Sql: String =
     s"""WITH d AS (

@@ -93,6 +93,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected event_type in PartitionFilters, plan had: [$pf]")
   }
 
+  test("q79: the decile is rank arithmetic, not a single-partition NTILE window") {
+    // NTILE OVER (ORDER BY ...) funnels all of orders through one
+    // partition; q79 must instead derive the tile from GlobalRank's
+    // partition-parallel rank. Assert the window function is gone and
+    // the only data-sized window is the per-range-partition row_number
+    val plan = SparkEntry.queries("q79_ntile_deciles")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ntile("),
+      "q79 regressed to the NTILE window function")
+    assert(plan.contains("windowspecdefinition(__pid"),
+      "expected the data-sized window to be partitioned by __pid")
+  }
+
   test("column pruning reaches the scan (spot checks)") {
     def readSchema(name: String): String = {
       val plan = SparkEntry.queries(name)(spark, sfDir)
