@@ -44,11 +44,13 @@ object Bench {
       System.gc()
     }
 
-    // two trials per query, report the min: a single run is hostage to
-    // transient machine load (a round-2 "regression" was exactly such
-    // an artifact), while the min of two is a stable point estimate
+    // three trials per query, report the min: a single run is hostage
+    // to transient machine load (a round-2 "regression" was exactly
+    // such an artifact, and the r5/r6 artifacts both shipped with a
+    // uniform whole-run load drift) — min-of-3 is the cheapest defense
+    // that holds when the artifact run can't be guaranteed idle
     val trials = math.max(1,
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "2").toInt)
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt)
     // optional comma-separated name filter for single-query iteration;
     // unset (the driver's mode) = run everything
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

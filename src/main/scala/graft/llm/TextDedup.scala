@@ -256,17 +256,70 @@ object TextDedup {
     * text bytes never shuffle.
     */
   def exactDedupAgainstStore(newBatch: DataFrame, idCol: String,
-                             textCol: String, storePath: String): DataFrame = {
-    val store = readStore(newBatch.sparkSession, storePath)
+                             textCol: String, storePath: String): DataFrame =
+    exactClassify(newBatch, idCol, textCol,
+      readStore(newBatch.sparkSession, storePath))
+
+  /** The classification join behind [[exactDedupAgainstStore]] and
+    * [[exactDedupBatchAndMaintain]]. A store row whose `keep_id` is
+    * the batch doc's own id is the doc meeting its OWN persisted hash
+    * (a replayed micro-batch, or a re-ingest) — not a duplicate: it
+    * falls through to the in-batch classification. */
+  private def exactClassify(newBatch: DataFrame, idCol: String,
+                            textCol: String, store: DataFrame): DataFrame = {
     val h = newBatch.select(col(idCol), sha2(col(textCol), 256).as("text_sha"))
     val batchMin = h.groupBy(col("text_sha")).agg(min(col(idCol)).as("batch_keep"))
     h.join(store, Seq("text_sha"), "left")
       .join(batchMin, "text_sha")
       .select(col(idCol), col("text_sha"),
-        when(col("keep_id").isNotNull, "dup_of_history")
-          .when(col(idCol) =!= col("batch_keep"), "dup_in_batch")
+        when(col("keep_id").isNotNull && col("keep_id") =!= col(idCol),
+          "dup_of_history")
+          .when(col("keep_id").isNull && col(idCol) =!= col("batch_keep"),
+            "dup_in_batch")
           .otherwise("unique").as("status"),
-        coalesce(col("keep_id"), col("batch_keep")).as("canonical_id"))
+        when(col("keep_id").isNotNull && col("keep_id") =!= col(idCol),
+          col("keep_id")).otherwise(col("batch_keep")).as("canonical_id"))
+  }
+
+  /** `foreachBatch` body for STREAMING exact dedup — the exact-hash
+    * counterpart of [[dedupBatchAndMaintain]], completing the
+    * maintenance story at both incremental tiers: classify the
+    * micro-batch against the persisted hash store (empty store ⇒
+    * in-batch classification only), then append the `unique` rows'
+    * (hash, keep_id) entries so later batches dedup against history ∪
+    * everything kept so far. Idempotent per `batchId` exactly like
+    * the signature cycle (committed `batch_<id>` subdirectory ⇒ the
+    * replay skips the append; its docs meet their own stored hashes
+    * and classify `unique`/`dup_in_batch` again, not as duplicates of
+    * themselves). Returns the materialized classification.
+    */
+  def exactDedupBatchAndMaintain(batch: DataFrame, idCol: String,
+                                 textCol: String, storePath: String,
+                                 batchId: Option[Long] = None): DataFrame = {
+    val spark = batch.sparkSession
+    val store =
+      if (storeNonEmpty(spark, storePath)) readStore(spark, storePath)
+      else {
+        import org.apache.spark.sql.types.{StringType, StructField, StructType}
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("text_sha", StringType),
+            StructField("keep_id", batch.schema(idCol).dataType))))
+      }
+    val classified = exactClassify(batch, idCol, textCol, store)
+      .localCheckpoint(true)
+    val additions = classified.where(col("status") === "unique")
+      .select(col("text_sha"), col(idCol).as("keep_id"))
+    batchId match {
+      case Some(id) =>
+        val sub = s"$storePath/batch_$id"
+        val success = new org.apache.hadoop.fs.Path(s"$sub/_SUCCESS")
+        val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(success))
+          additions.write.mode("overwrite").parquet(sub)
+      case None =>
+        additions.write.mode("append").parquet(storePath)
+    }
+    classified
   }
 
   /** LSH band explosion over a signature table: one row per (id, band)
@@ -313,6 +366,72 @@ object TextDedup {
         expr(s"minhash_sig(hs, $k)").as("sig")), idCol, k, bands)
     val cand = hist.as("a").join(fresh.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+      .select(col(s"a.$idCol").as("d_hist"), col(s"b.$idCol").as("d_new"),
+        col("a.sig").as("sig1"), col("b.sig").as("sig2"),
+        col("a.hs").as("hs1"), col("b.hs").as("hs2"),
+        col("a.sz").as("sz1"), col("b.sz").as("sz2"))
+      .dropDuplicates("d_hist", "d_new")
+    cand
+      .withColumn("est_sim",
+        expr("size(filter(zip_with(sig1, sig2, (x, y) -> x = y), b -> b))") / k.toDouble)
+      .withColumn("inter", size(array_intersect(col("hs1"), col("hs2"))))
+      .withColumn("jac", col("inter") / (col("sz1") + col("sz2") - col("inter")))
+      .select(col("d_hist"), col("d_new"), col("est_sim"), col("jac"))
+  }
+
+  /** The band-folded join key for the BUCKETED store path: band index
+    * prepended to the band's row-concatenated signature key, so the
+    * whole LSH candidate condition is ONE equi-join column — which is
+    * what lets it be the bucket column. */
+  private def foldBandKey(banded: DataFrame): DataFrame =
+    banded.withColumn("bbkey",
+      concat_ws(":", col("band"), col("bkey"))).drop("band", "bkey")
+
+  /** [[writeSignatureStore]]'s bucketed form: the store is persisted
+    * PRE-BANDED — one row per (id, band) with the folded band key —
+    * and `bucketBy(buckets, bbkey)` into a catalog table. The point
+    * is the 100 TB refresh asymmetry: history is orders of magnitude
+    * larger than any batch, and the plain parquet store pays a full
+    * shuffle of history's band rows on EVERY refresh; the bucketed
+    * layout moves that shuffle to write time, ONCE, after which every
+    * [[dedupAgainstBandedStore]] run shuffles only the new batch into
+    * the store's bucketing (plan-asserted in `PipelineSpec`: the
+    * history side scans `Bucketed: true` with no Exchange above it).
+    * Storage trade: `bands`× row multiplication (sig/hs repeated per
+    * band row) — the explicit opt-in documented on
+    * [[compactSignatureStore]].
+    */
+  def writeBandedSignatureStore(df: DataFrame, idCol: String, textCol: String,
+                                table: String, n: Int = 3, k: Int = 12,
+                                bands: Int = 4, buckets: Int = 8): Unit = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val sig = hashedShingles(df, idCol, textCol, n)
+      .select(col(idCol), col("sz"), col("hs"),
+        expr(s"minhash_sig(hs, $k)").as("sig"))
+    foldBandKey(bandify(sig, idCol, k, bands))
+      .write.format("parquet")
+      .bucketBy(buckets, "bbkey").sortBy("bbkey")
+      .mode("overwrite").saveAsTable(table)
+  }
+
+  /** [[dedupAgainstStore]] against a [[writeBandedSignatureStore]]
+    * table: identical pairs, different physical plan — history's band
+    * rows are read in bucket order and joined in place; only the
+    * batch's (tiny) band rows shuffle. Output: d_hist, d_new,
+    * est_sim, jac.
+    */
+  def dedupAgainstBandedStore(newBatch: DataFrame, idCol: String,
+                              textCol: String, table: String, n: Int = 3,
+                              k: Int = 12, bands: Int = 4): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val spark = newBatch.sparkSession
+    GraftFunctions.ensureRegistered(spark)
+    val hist = spark.table(table)
+    val sh = hashedShingles(newBatch, idCol, textCol, n)
+    val fresh = foldBandKey(bandify(
+      sh.select(col(idCol), col("sz"), col("hs"),
+        expr(s"minhash_sig(hs, $k)").as("sig")), idCol, k, bands))
+    val cand = hist.as("a").join(fresh.as("b"), col("a.bbkey") === col("b.bbkey"))
       .select(col(s"a.$idCol").as("d_hist"), col(s"b.$idCol").as("d_new"),
         col("a.sig").as("sig1"), col("b.sig").as("sig2"),
         col("a.hs").as("hs1"), col("b.hs").as("hs2"),

@@ -567,6 +567,31 @@ object Dedup {
        |FROM s GROUP BY split ORDER BY split""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q122
+  /** q109's refresh, against the BUCKETED pre-banded signature store
+    * ([[graft.llm.TextDedup.writeBandedSignatureStore]] /
+    * [[dedupAgainstBandedStore]]): identical pairs — the oracle IS
+    * q109's — but the history side is a catalog table bucketed on the
+    * folded band key, so the refresh join reads history in bucket
+    * order with NO exchange above its scan and shuffles only the new
+    * batch (plan-asserted in `PipelineSpec`). This is the 100 TB
+    * refresh asymmetry made physical: history's one-off bucketed
+    * write amortizes across every subsequent batch.
+    */
+  def q122(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val table = ("graft_banded_sig_" +
+      s"${spark.sparkContext.applicationId}_$sfDir")
+      .replaceAll("[^A-Za-z0-9_]", "_")
+    graft.llm.TextDedup.writeBandedSignatureStore(
+      d.where(col("doc_id") % 10 < 8), "doc_id", "text", table)
+    graft.llm.TextDedup.dedupAgainstBandedStore(
+        d.where(col("doc_id") % 10 >= 8), "doc_id", "text", table)
+      .select(col("d_hist"), col("d_new"),
+        round(col("est_sim"), 6).as("est_sim"), round(col("jac"), 6).as("jac"))
+      .orderBy(col("d_hist"), col("d_new"))
+  }
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q27_exact_dedup", q27 _, Some(q27Sql)),
     ("q28_ngram_jaccard_neardup", q28 _, Some(q28Sql)),
@@ -580,6 +605,7 @@ object Dedup {
     ("q109_dedup_against_history", q109 _, Some(q109Sql)),
     ("q111_winnow_overlap", q111 _, Some(q111Sql)),
     ("q113_exact_dedup_incremental", q113 _, Some(q113Sql)),
-    ("q119_leakage_safe_split", q119 _, Some(q119Sql))
+    ("q119_leakage_safe_split", q119 _, Some(q119Sql)),
+    ("q122_banded_store_dedup", q122 _, Some(q109Sql))
   )
 }

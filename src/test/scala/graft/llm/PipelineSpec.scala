@@ -125,6 +125,85 @@ class PipelineSpec extends AnyFunSuite {
     assert(hits.toSeq == Seq((12L, 21L)))
   }
 
+  test("banded bucketed store: same pairs as the plain store, history side unshuffled") {
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val hist = Seq(
+      (1L, base), (2L, base + " extra tail words here"),
+      (3L, "completely different text about spark catalyst plans and shuffles"),
+      (4L, "yet another unrelated document body with enough words to shingle"),
+      (5L, "five six seven eight nine ten eleven twelve thirteen fourteen"),
+      (6L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, base), (12L, base + " extra tail words"),
+      (13L, "nothing in common with any history document at all frankly"))
+      .toDF("doc_id", "text")
+    val plain = java.nio.file.Files
+      .createTempDirectory("graft_sigstore_plainref").toString
+    TextDedup.writeSignatureStore(hist, "doc_id", "text", plain)
+    val want = TextDedup.dedupAgainstStore(batch, "doc_id", "text", plain)
+      .collect().map(r => (r.getAs[Long]("d_hist"), r.getAs[Long]("d_new"),
+        r.getAs[Double]("est_sim"), r.getAs[Double]("jac"))).sorted.toSeq
+    TextDedup.writeBandedSignatureStore(hist, "doc_id", "text", "graft_banded_spec")
+    // pin the join shape: at test scale the batch side would broadcast
+    // (also shuffle-free, but then the plan proves nothing about the
+    // history side), so force the SMJ path the 100 TB refresh takes
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val inc = TextDedup.dedupAgainstBandedStore(batch, "doc_id", "text", "graft_banded_spec")
+      val got = inc.collect().map(r => (r.getAs[Long]("d_hist"), r.getAs[Long]("d_new"),
+        r.getAs[Double]("est_sim"), r.getAs[Double]("jac"))).sorted.toSeq
+      assert(got == want, "banded store must reproduce the plain store's pairs")
+      // the physical point: exactly ONE exchange on the band key — the
+      // batch side shuffling into the store's bucketing; the history
+      // scan is bucket-aligned with no exchange above it
+      // AQE's toString prints the final AND the initial plan — count
+      // exchanges in the final section only
+      val plan = inc.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("Bucketed: true"),
+        "history side must be read as a bucketed scan")
+      val bbkeyExchanges = "Exchange hashpartitioning\\([^)]*bbkey"
+        .r.findAllIn(plan).size
+      assert(bbkeyExchanges == 1,
+        s"expected 1 band-key exchange (batch side only), found $bbkeyExchanges")
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("exact-hash maintenance cycle: in-batch classify, idempotent replay, store growth") {
+    val s = spark
+    import s.implicits._
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_hashstore_cycle").toString + "/store"
+    def run(bid: Long, docs: (Long, String)*) = TextDedup
+      .exactDedupBatchAndMaintain(docs.toDF("doc_id", "text"), "doc_id", "text",
+        store, batchId = Some(bid))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("status"),
+        r.getAs[Long]("canonical_id"))).sortBy(_._1).toSeq
+    def storeRows() = s.read.option("recursiveFileLookup", "true").parquet(store)
+      .collect().map(r => r.getAs[Long]("keep_id")).sorted.toSeq
+    // batch 0: empty store — a twin pair inside the batch + one unique
+    assert(run(0L, (5L, "aaa"), (7L, "aaa"), (9L, "bbb")) == Seq(
+      (5L, "unique", 5L), (7L, "dup_in_batch", 5L), (9L, "unique", 9L)))
+    assert(storeRows() == Seq(5L, 9L), "only canonical owners enter the store")
+    // batch 1: history dup + novel
+    assert(run(1L, (11L, "aaa"), (12L, "ccc")) == Seq(
+      (11L, "dup_of_history", 5L), (12L, "unique", 12L)))
+    assert(storeRows() == Seq(5L, 9L, 12L))
+    // replay batch 1: classification re-derived without self-dup
+    // artifacts, store unchanged (committed batch_1 dir is skipped)
+    assert(run(1L, (11L, "aaa"), (12L, "ccc")) == Seq(
+      (11L, "dup_of_history", 5L), (12L, "unique", 12L)))
+    assert(storeRows() == Seq(5L, 9L, 12L), "replay must not double-append")
+    // compaction folds the three batch dirs and preserves the store
+    TextDedup.compactHashStore(s, store)
+    assert(storeRows() == Seq(5L, 9L, 12L))
+    assert(run(2L, (21L, "ccc")) == Seq((21L, "dup_of_history", 12L)))
+  }
+
   test("store compaction merges per-batch files and leaves results unchanged") {
     val s = spark
     import s.implicits._
