@@ -488,6 +488,106 @@ object TextDedup {
           .as("overlap"))
   }
 
+  /** Exact repeated-substring spans — the token-span tier of exact
+    * dedup ("Deduplicating Training Data Makes Language Models
+    * Better", Lee et al., ACL 2022, arXiv:2107.06499: remove every
+    * substring of ≥ `minTokens` tokens that occurs more than once in
+    * the corpus). Spark-first restatement of their suffix-array scan:
+    * every length-`minTokens` token window is materialized in-row and
+    * counted corpus-wide; a window whose token sequence occurs more
+    * than once anywhere (other documents OR elsewhere in the same
+    * document) is duplicated; per document, overlapping/adjacent
+    * duplicated windows merge into maximal spans (gaps-and-islands
+    * over start positions). Any repeated substring of length
+    * ≥ `minTokens` is exactly a union of duplicated windows, so the
+    * merged spans reproduce the suffix-array answer's span boundaries
+    * at this granularity.
+    *
+    * Output: (idCol, span_start, span_end, span_tokens) — 1-based
+    * token positions, one row per maximal duplicated span.
+    *
+    * Scale shape: windows build in-row (no join, no explode-join
+    * back); the corpus-wide count is one partially-aggregated shuffle
+    * keyed on the window's token string (exact — no hash-collision
+    * false positives; at 100 TB prepend `xxhash64(gram)` to the key
+    * to shuffle 8-byte prefixes ahead of the string compare, same
+    * plan shape); the duplicated-window semi-join is the second and
+    * last shuffle; the island merge windows only within
+    * (document, start) — never a global window.
+    */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                    minTokens: Int = 15): DataFrame = {
+    require(minTokens >= 2, "minTokens must be >= 2")
+    val grams = spread(df)
+      .select(col(idCol), split(col(textCol), " ").as("toks"))
+      .where(size(col("toks")) >= minTokens)
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(1), size(col("toks")) - minTokens + 1),
+          s => array_join(slice(col("toks"), s, lit(minTokens)), " ")))
+          .as(Seq("off", "g")))
+      .select(col(idCol), (col("off") + 1).cast("long").as("s"), col("g"))
+    val dup = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("n")).where(col("n") > 1).select(col("g"))
+    val hits = grams.join(dup, "g")
+      .select(col(idCol), col("s"), (col("s") + minTokens - 1).as("e"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("s"))
+    hits
+      .withColumn("brk",
+        when(col("s") > coalesce(
+          max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(-1L)) + 1, 1).otherwise(0))
+      .withColumn("isl", sum(col("brk")).over(w))
+      .groupBy(col(idCol), col("isl"))
+      .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  /** Applies [[repeatedSpans]] to the corpus: every token covered by
+    * a duplicated span is removed and the document re-assembled from
+    * its surviving tokens — the conservative (remove-ALL-occurrences)
+    * variant of Lee et al.'s scrub. The keep-one-occurrence variant
+    * needs a canonical-survivor election per duplicated substring
+    * cluster, which merged islands don't preserve; removing every
+    * occurrence is deterministic, strictly stronger dedup, and the
+    * policy C4 applies to its repeated three-sentence spans.
+    *
+    * Output: (idCol, n_tokens, n_removed, clean_text). Documents with
+    * no duplicated span pass through with n_removed = 0; a fully
+    * duplicated document yields clean_text = ''.
+    *
+    * Scale shape: [[repeatedSpans]]'s two shuffles, plus one equi
+    * join of the corpus to its per-document span list (spans per doc
+    * are bounded by tokens per doc, so the collected list is
+    * row-sized); the scrub itself is an in-row higher-order filter —
+    * no range join, no explode of the corpus.
+    */
+  def scrubSpans(df: DataFrame, idCol: String, textCol: String,
+                 minTokens: Int = 15): DataFrame = {
+    val spans = repeatedSpans(df, idCol, textCol, minTokens)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    df.join(spans, Seq(idCol), "left")
+      .select(col(idCol), split(col(textCol), " ").as("toks"),
+        coalesce(col("spans"),
+          array().cast("array<struct<span_start:bigint,span_end:bigint>>"))
+          .as("spans"))
+      .select(col(idCol), size(col("toks")).cast("long").as("n_tokens"),
+        filter(
+          zip_with(col("toks"),
+            sequence(lit(1L), size(col("toks")).cast("long")),
+            (t, p) => struct(t.as("t"), p.as("p"))),
+          tp => !exists(col("spans"),
+            sp => tp.getField("p").between(
+              sp.getField("span_start"), sp.getField("span_end"))))
+          .as("kept"))
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).as("n_removed"),
+        array_join(transform(col("kept"), _.getField("t")), " ")
+          .as("clean_text"))
+  }
+
   /** Read a signature/hash store laid out as root-level parquet files,
     * per-`batchId` subdirectories, or a mix — `recursiveFileLookup`
     * reads them uniformly without partition inference, so batch jobs

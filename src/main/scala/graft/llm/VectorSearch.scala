@@ -304,6 +304,47 @@ object VectorSearch {
       .dropDuplicates("va", "vb")
   }
 
+  /** SemDeDup — semantic deduplication ("SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication", Abbas et
+    * al., arXiv:2303.09540). The paper's scaling trick is the whole
+    * design: k-means clusters ([[KMeans.assign]], exact lattice
+    * arithmetic) bound the pairwise cosine search, so the join is
+    * per-cluster quadratic, never corpus². Within each cluster, every
+    * pair with cosine ≥ `minCos` is a semantic-duplicate pair, and
+    * the member FARTHER from its centroid survives — the paper's
+    * keep-low-centroid-similarity rule (retain the less-typical
+    * example); exact-tie d2 breaks toward the smaller id.
+    *
+    * Output: one verdict row per vector — (idCol, cid, d2, kept).
+    *
+    * Scale shape: assignment is the k-means scan (broadcast centroid
+    * literals, no join); the pair join shuffles once on cid and its
+    * cost is Σ|cluster|² — k is the knob that caps it (the paper runs
+    * k=50k on web scale); the removal set joins back by id (a
+    * broadcast in practice: |removed| ≤ pairs ≪ corpus).
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               k: Int = 8, passes: Int = 2,
+               minCos: Double = 0.4): DataFrame = {
+    val a = KMeans.assign(df, idCol, vecCol, k, passes)
+    val e = withNorm(spread(df).select(col(idCol), col(vecCol)), vecCol)
+      .join(a, idCol)
+    val ea = e.select(col(idCol).as("ida"), col(vecCol).as("va"),
+      col("nrm").as("na"), col("cid"), col("d2").as("da"))
+    val eb = e.select(col(idCol).as("idb"), col(vecCol).as("vb"),
+      col("nrm").as("nb"), col("cid"), col("d2").as("db"))
+    val removed = ea.join(eb, Seq("cid"))
+      .where(col("ida") < col("idb"))
+      .withColumn("cos", expr(dot("va", "vb")) / (col("na") * col("nb")))
+      .where(col("cos") >= minCos)
+      .select(when(col("db") > col("da") ||
+          (col("db") === col("da") && col("idb") < col("ida")),
+        col("ida")).otherwise(col("idb")).as("rid"))
+      .distinct()
+    a.join(removed, col(idCol) === col("rid"), "left")
+      .select(col(idCol), col("cid"), col("d2"), col("rid").isNull.as("kept"))
+  }
+
   /** Per-dimension centroid table — the IVF coarse quantizer's
     * codebook: (labelCol, i, c). Exact decimal sums make the centroid
     * doubles order-independent and engine-portable; one shuffle keyed

@@ -592,6 +592,90 @@ object Dedup {
       .orderBy(col("d_hist"), col("d_new"))
   }
 
+  // ---------------------------------------------------------------- q123
+  /** Exact repeated-substring spans
+    * ([[graft.llm.TextDedup.repeatedSpans]], Lee et al. ACL 2022):
+    * every maximal token span of ≥ 15 tokens whose every 15-token
+    * window recurs somewhere in the corpus — the removal list the
+    * suffix-array dedup pass would emit at this granularity. The
+    * oracle rebuilds the identical windows with DuckDB list slicing,
+    * recounts them corpus-wide, and re-merges the islands with the
+    * same running-max break rule — window construction, duplicate
+    * detection, and span merging are all hash-checked.
+    */
+  def q123(spark: SparkSession, sfDir: String): DataFrame =
+    graft.llm.TextDedup.repeatedSpans(docs(spark, sfDir), "doc_id", "text",
+        minTokens = 15)
+      .orderBy(col("doc_id"), col("span_start"))
+
+  /** Shared repeated-span CTE chain (15-token windows): `isl` carries
+    * every duplicated window tagged with its merge island — q123
+    * reports the merged spans, q125 scrubs them from the corpus. */
+  private val spanCtes: String =
+    """toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+      |grams AS (
+      |  SELECT doc_id, CAST(s AS BIGINT) AS s,
+      |    array_to_string(parts[s:s+14], ' ') AS g
+      |  FROM toks, UNNEST(range(1, len(parts) - 15 + 2)) r(s)),
+      |dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) > 1),
+      |hits AS (
+      |  SELECT doc_id, s, s + 14 AS e FROM grams JOIN dup USING (g)),
+      |brk AS (
+      |  SELECT doc_id, s, e,
+      |    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM hits),
+      |isl AS (
+      |  SELECT doc_id, s, e,
+      |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY s) AS isl
+      |  FROM brk)""".stripMargin
+
+  val q123Sql: String =
+    s"""WITH $spanCtes
+       |SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end,
+       |  MAX(e) - MIN(s) + 1 AS span_tokens
+       |FROM isl GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin
+
+  // ---------------------------------------------------------------- q125
+  /** Span scrub ([[graft.llm.TextDedup.scrubSpans]]): q123's
+    * duplicated spans applied to the corpus — every covered token
+    * removed, documents re-assembled from the survivors (the
+    * conservative remove-all-occurrences policy; see the operator
+    * scaladoc for why keep-one needs a different island shape). The
+    * oracle re-derives the spans and rebuilds every document
+    * token-by-token, so the scrub itself — not just the span list —
+    * is hash-checked, clean text included.
+    */
+  def q125(spark: SparkSession, sfDir: String): DataFrame =
+    graft.llm.TextDedup.scrubSpans(docs(spark, sfDir), "doc_id", "text",
+        minTokens = 15)
+      .orderBy(col("doc_id"))
+
+  val q125Sql: String =
+    s"""WITH $spanCtes,
+       |spans AS (
+       |  SELECT doc_id, MIN(s) AS ss, MAX(e) AS ee
+       |  FROM isl GROUP BY doc_id, isl),
+       |tok AS (
+       |  SELECT doc_id, CAST(p AS BIGINT) AS p, parts[p] AS tokn
+       |  FROM toks, UNNEST(range(1, len(parts) + 1)) r(p)),
+       |kept AS (
+       |  SELECT t.doc_id, t.p, t.tokn
+       |  FROM tok t LEFT JOIN spans sp
+       |    ON sp.doc_id = t.doc_id AND t.p BETWEEN sp.ss AND sp.ee
+       |  WHERE sp.doc_id IS NULL),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_kept,
+       |    COALESCE(string_agg(tokn, ' ' ORDER BY p), '') AS clean_text
+       |  FROM kept GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(t.parts) AS BIGINT) AS n_tokens,
+       |  CAST(len(t.parts) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+       |  COALESCE(a.clean_text, '') AS clean_text
+       |FROM toks t LEFT JOIN agg a USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q27_exact_dedup", q27 _, Some(q27Sql)),
     ("q28_ngram_jaccard_neardup", q28 _, Some(q28Sql)),
@@ -606,6 +690,8 @@ object Dedup {
     ("q111_winnow_overlap", q111 _, Some(q111Sql)),
     ("q113_exact_dedup_incremental", q113 _, Some(q113Sql)),
     ("q119_leakage_safe_split", q119 _, Some(q119Sql)),
-    ("q122_banded_store_dedup", q122 _, Some(q109Sql))
+    ("q122_banded_store_dedup", q122 _, Some(q109Sql)),
+    ("q123_repeated_spans", q123 _, Some(q123Sql)),
+    ("q125_span_scrub", q125 _, Some(q125Sql))
   )
 }

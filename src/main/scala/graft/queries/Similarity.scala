@@ -497,6 +497,48 @@ object Similarity {
       |FROM sv CROSS JOIN range(0, 16) t(j) CROSS JOIN range(0, 64) r(i)
       |GROUP BY vec_id, j ORDER BY vec_id, dim""".stripMargin
 
+  // ---------------------------------------------------------------- q124
+  /** SemDeDup ([[graft.llm.VectorSearch.semDedup]], Abbas et al.
+    * 2023): the q61 k-means assignment bounds the pairwise cosine
+    * search to within-cluster pairs; pairs at cosine ≥ 0.4 (q47's
+    * proven-exact threshold and dot arithmetic) are semantic
+    * duplicates and the member farther from its centroid survives.
+    * The oracle re-derives the clustering (q61's CTE chain), the
+    * exact pairwise cosines, and the keep rule — one verdict row per
+    * vector, all hash-checked.
+    */
+  def q124(spark: SparkSession, sfDir: String): DataFrame =
+    graft.llm.VectorSearch
+      .semDedup(emb(spark, sfDir), "vec_id", "embedding",
+        k = 8, passes = 2, minCos = 0.4)
+      .orderBy(col("vec_id"))
+
+  val q124Sql: String =
+    s"""WITH $kmeansCtes,
+       |nrm AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSqlDuck("embedding", "embedding")}) AS nrm
+       |  FROM embeddings CROSS JOIN range(0, 64) t(i)
+       |  GROUP BY vec_id, embedding),
+       |pairs AS (
+       |  SELECT x.vec_id AS va, y.vec_id AS vb,
+       |    ANY_VALUE(x.d2) AS da, ANY_VALUE(y.d2) AS db,
+       |    (${dotSqlDuck("a.embedding", "b.embedding")}) /
+       |      (ANY_VALUE(a.nrm) * ANY_VALUE(b.nrm)) AS cos
+       |  FROM a2 x JOIN a2 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+       |  JOIN nrm a ON a.vec_id = x.vec_id
+       |  JOIN nrm b ON b.vec_id = y.vec_id
+       |  CROSS JOIN range(0, 64) t(i)
+       |  GROUP BY x.vec_id, y.vec_id),
+       |rem AS (
+       |  SELECT DISTINCT CASE
+       |    WHEN db > da OR (db = da AND vb < va) THEN va ELSE vb
+       |    END AS rid
+       |  FROM pairs WHERE cos >= 0.4)
+       |SELECT a2.vec_id, a2.cid, a2.d2, rem.rid IS NULL AS kept
+       |FROM a2 LEFT JOIN rem ON rem.rid = a2.vec_id
+       |ORDER BY vec_id""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q31_cosine_knn", q31 _, Some(q31Sql)),
     ("q32_ann_lsh_buckets", q32 _, Some(q32Sql)),
@@ -507,6 +549,7 @@ object Similarity {
     ("q61_kmeans_semantic", q61 _, Some(q61Sql)),
     ("q115_pq_search", q115 _, Some(q115Sql)),
     ("q116_embedding_outliers", q116 _, Some(q116Sql)),
-    ("q118_jl_projection", q118 _, Some(q118Sql))
+    ("q118_jl_projection", q118 _, Some(q118Sql)),
+    ("q124_semantic_dedup", q124 _, Some(q124Sql))
   )
 }

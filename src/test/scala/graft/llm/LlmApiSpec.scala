@@ -389,4 +389,59 @@ class LlmApiSpec extends AnyFunSuite {
     assert(got == want)
     assert(got.nonEmpty) // the engineered near-dups must surface
   }
+
+  test("repeated spans: cross-doc, within-doc, and adjacent-window merging") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e f"),          // shares "a b c" with doc 2
+      (2L, "x a b c y z"),
+      (3L, "p q r s p q r s"),      // within-doc repeat; the two hit
+                                    // runs [1,4] and [5,8] are adjacent
+                                    // and must merge to one span
+      (4L, "u v"),                  // shorter than minTokens: no grams
+      (5L, "m n o"),                // doc-sized dup pair with doc 6
+      (6L, "m n o"))
+    val got = TextDedup.repeatedSpans(
+        corpus.toDF("doc_id", "text"), "doc_id", "text", minTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, 1L, 3L, 3L), (2L, 2L, 4L, 3L), (3L, 1L, 8L, 8L),
+      (5L, 1L, 3L, 3L), (6L, 1L, 3L, 3L)))
+    // raising minTokens past every repeat length empties the result
+    assert(TextDedup.repeatedSpans(
+      corpus.toDF("doc_id", "text"), "doc_id", "text", minTokens = 9).isEmpty)
+
+    // the scrub removes exactly the span tokens and keeps the rest in
+    // order; untouched and fully-duplicated docs hit both extremes
+    val clean = TextDedup.scrubSpans(
+        corpus.toDF("doc_id", "text"), "doc_id", "text", minTokens = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(clean == Map(
+      1L -> ((6L, 3L, "d e f")), 2L -> ((6L, 3L, "x y z")),
+      3L -> ((8L, 8L, "")), 4L -> ((2L, 0L, "u v")),
+      5L -> ((3L, 3L, "")), 6L -> ((3L, 3L, ""))))
+  }
+
+  test("semDedup keeps the farther-from-centroid member, smaller id on ties") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),     // identical pair 1/2: equal d2,
+      (2L, Array(1f, 0f, 0f, 0f)),     //   tie-break keeps id 1
+      (3L, Array(0f, 1f, 0f, 0f)),     // near-dup pair 3/4: exactly one
+      (4L, Array(0f, 0.9f, 0.1f, 0f)), //   survives
+      (5L, Array(0f, 0f, 0f, 1f)))     // orthogonal to all: kept
+    val df = vecs.toDF("vec_id", "embedding")
+    val verdict = VectorSearch
+      .semDedup(df, "vec_id", "embedding", k = 2, passes = 2, minCos = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(verdict.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(verdict(1L) && !verdict(2L))
+    assert(verdict(3L) ^ verdict(4L))
+    assert(verdict(5L))
+    // an unreachable threshold removes nothing
+    val all = VectorSearch
+      .semDedup(df, "vec_id", "embedding", k = 2, passes = 2, minCos = 1.5)
+      .where(col("kept")).count()
+    assert(all == 5L)
+  }
 }
