@@ -676,6 +676,110 @@ object Dedup {
        |FROM toks t LEFT JOIN agg a USING (doc_id)
        |ORDER BY t.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q126
+  /** Pretraining-pipeline capstone: the full cleaning chain a
+    * training-data user runs, composed from the library operators —
+    * exact dedup ([[graft.llm.TextDedup.exactDuplicates]], min-id
+    * survivors) → quality floor
+    * ([[graft.llm.TextStats.withQualityScore]] at an explicit
+    * non-default stopword list, score ≥ 0.5) → benchmark
+    * decontamination ([[graft.llm.TextDedup.contaminationOverlap]]
+    * against the raw doc_id%97 eval slice — eval sets arrive from
+    * outside the cleaning pipe) → near-dup prune
+    * ([[graft.llm.TextDedup.minHashLshPairs]], q29's parameters;
+    * a doc is dropped when it pairs at jac ≥ 0.6 with ANY smaller-id
+    * stage-3 survivor — the non-transitive pair rule; q54's
+    * components are the transitive variant) → per-(lang, source)
+    * survivor summary. The oracle replays every stage in one CTE
+    * chain, so the *composition* — filters feeding joins feeding
+    * filters — is hash-checked end to end, not just each operator in
+    * isolation.
+    *
+    * Scale shape: each stage keeps its own operator's plan (hash-only
+    * exact-dedup shuffle, in-row scoring, broadcast-sized bench set,
+    * banded LSH join); the stages glue with id equi-joins/anti-joins
+    * that AQE broadcasts as survivor sets shrink.
+    */
+  def q126(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val s1 = d.join(
+      graft.llm.TextDedup.exactDuplicates(d, "doc_id", "text")
+        .where(col("kept")).select("doc_id"),
+      "doc_id")
+    val s2 = graft.llm.TextStats
+      .withQualityScore(s1, "text", Seq("a", "the"))
+      .where(col("score") >= 0.5)
+    val bench = d.where(col("doc_id") % 97 === 0)
+    val corpus = s2.where(col("doc_id") % 97 =!= 0)
+    val contaminated = graft.llm.TextDedup
+      .contaminationOverlap(corpus, bench, "doc_id", "text", n = 3)
+      .select("doc_id").distinct()
+    val s3 = corpus.join(contaminated, Seq("doc_id"), "left_anti")
+    val removed = graft.llm.TextDedup
+      .minHashLshPairs(s3, "doc_id", "text", n = 3, k = 12, bands = 4)
+      .where(col("jac") >= 0.6)
+      .select(col("d2").as("doc_id")).distinct()
+    s3.join(removed, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_doc_ids"),
+        sum(size(split(col("text"), " ")).cast("long")).as("sum_tokens"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val q126Sql: String =
+    s"""WITH ex AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+       |s1 AS (SELECT d.doc_id, d.lang, d.source,
+       |         string_split(d.text, ' ') AS s
+       |       FROM documents d JOIN ex USING (doc_id)),
+       |s2 AS (SELECT doc_id, lang, source, s FROM s1
+       |       WHERE LEAST(1.0, len(s) / 100.0) * 0.5
+       |         + (len(list_filter(s, t -> list_contains(['a','the'], t)))
+       |            / CAST(len(s) AS DOUBLE)) * 0.25
+       |         + (1.0 - len(list_filter(s, t -> length(t) <= 2))
+       |            / CAST(len(s) AS DOUBLE)) * 0.25 >= 0.5),
+       |bhash AS (SELECT DISTINCT ${PolyHash.duckdbSql("g")} AS h FROM (
+       |    SELECT unnest([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+       |                   for i in range(1, len(s) - 1)]) AS g
+       |    FROM (SELECT string_split(text, ' ') AS s FROM documents
+       |          WHERE doc_id % 97 = 0)
+       |    WHERE len(s) >= 3)),
+       |hsh3 AS (SELECT doc_id, lang, source, s,
+       |    list_distinct(list_transform(
+       |      [s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+       |       for i in range(1, len(s) - 1)],
+       |      g -> ${PolyHash.duckdbSql("g")})) AS hs
+       |  FROM s2 WHERE doc_id % 97 <> 0),
+       |contam AS (SELECT DISTINCT doc_id
+       |  FROM (SELECT doc_id, unnest(hs) AS h FROM hsh3 WHERE len(s) >= 3) c
+       |  JOIN bhash b USING (h)),
+       |s3 AS (SELECT * FROM hsh3
+       |       WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+       |hx AS (SELECT doc_id, unnest(hs) AS x FROM s3 WHERE len(s) >= 3),
+       |params AS (SELECT i, (i*7919 + 1) % $P AS a, (i*104729 + 12345) % $P AS b
+       |           FROM range(0, 12) t(i)),
+       |sig AS (SELECT doc_id, i, MIN((a*x + b) % $P) AS mh
+       |        FROM hx CROSS JOIN params GROUP BY doc_id, i),
+       |bandkey AS (SELECT doc_id, i // 3 AS band,
+       |              string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bkey
+       |            FROM sig GROUP BY doc_id, i // 3),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |         FROM bandkey a JOIN bandkey b
+       |         ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |rem AS (SELECT DISTINCT d2 AS doc_id FROM (
+       |    SELECT d1, d2,
+       |      len(list_intersect(x.hs, y.hs)) /
+       |      CAST(len(x.hs) + len(y.hs)
+       |           - len(list_intersect(x.hs, y.hs)) AS DOUBLE) AS jac
+       |    FROM cand JOIN s3 x ON x.doc_id = d1 JOIN s3 y ON y.doc_id = d2)
+       |  WHERE jac >= 0.6),
+       |s4 AS (SELECT * FROM s3
+       |       WHERE doc_id NOT IN (SELECT doc_id FROM rem))
+       |SELECT lang, source, COUNT(*) AS n_docs,
+       |  CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids,
+       |  CAST(SUM(len(s)) AS BIGINT) AS sum_tokens
+       |FROM s4 GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q27_exact_dedup", q27 _, Some(q27Sql)),
     ("q28_ngram_jaccard_neardup", q28 _, Some(q28Sql)),
@@ -692,6 +796,7 @@ object Dedup {
     ("q119_leakage_safe_split", q119 _, Some(q119Sql)),
     ("q122_banded_store_dedup", q122 _, Some(q109Sql)),
     ("q123_repeated_spans", q123 _, Some(q123Sql)),
-    ("q125_span_scrub", q125 _, Some(q125Sql))
+    ("q125_span_scrub", q125 _, Some(q125Sql)),
+    ("q126_pipeline_capstone", q126 _, Some(q126Sql))
   )
 }
