@@ -27,12 +27,22 @@ object Packer {
     * capacity, which straddle cuts exactly like the training concat
     * does). */
   def pack(df: DataFrame, idCol: String, textCol: String,
-           capacity: Int = 2048, buckets: Int = 8): DataFrame = {
+           capacity: Int = 2048, buckets: Int = 8): DataFrame =
+    packCounts(
+      df.select(col(idCol), size(split(col(textCol), " ")).as("__nt")),
+      idCol, "__nt", capacity, buckets)
+
+  /** [[pack]] over a precomputed per-document token-count column —
+    * the form the tokenize→pack pipeline uses, where the count is the
+    * SUBWORD stream length the tokenizer emitted, not the whitespace
+    * token count. Same output contract and bucket/window shape. */
+  def packCounts(df: DataFrame, idCol: String, nTokensCol: String,
+                 capacity: Int = 2048, buckets: Int = 8): DataFrame = {
     require(capacity >= 1 && buckets >= 1, "need capacity, buckets >= 1")
     val w = Window.partitionBy(col("bucket")).orderBy(col(idCol))
     df.select(col(idCol),
         pmod(col(idCol), lit(buckets)).cast("int").as("bucket"),
-        size(split(col(textCol), " ")).as("n_tokens"))
+        col(nTokensCol).cast("int").as("n_tokens"))
       .withColumn("prev_cum",
         coalesce(sum(col("n_tokens"))
           .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

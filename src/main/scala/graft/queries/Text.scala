@@ -835,6 +835,149 @@ object Text {
        |FROM stream JOIN ids USING (subword)
        |ORDER BY doc_id, pos""".stripMargin
 
+  // ---------------------------------------------------------------- q127
+  /** Temperature-based domain mixture sampling — the
+    * mixture-flattening step of a multi-domain training mix (the
+    * τ-sampling of Conneau & Lample's XLM, arXiv:1901.07291 §3.1, and
+    * the up/down-weighting behind GPT-3-style data mixtures): each
+    * source's share of a global token budget is proportional to
+    * `tokens^τ` at τ = 1/2, so large domains are down-sampled and
+    * small ones up-sampled relative to natural proportions. All
+    * arithmetic is exact — the weight is the integer
+    * `floor(sqrt(tokens))` (IEEE sqrt of an exactly-representable
+    * long is correctly rounded in both engines), the budget is an
+    * integer floor division of the weight share, and the selection is
+    * the greedy content-hash-ordered prefix whose cumulative tokens
+    * fit the budget (stable across runs/engines/partitionings, as
+    * q52/q91/q100; the doc that crosses the line is excluded).
+    *
+    * Scale shape: the stratum table is grid-bounded and broadcast;
+    * per-document work is one window per stratum keyed on (hash, id)
+    * — q91's shape, with the same documented two-pass
+    * histogram-threshold alternative at 100 TB.
+    */
+  def q127(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budgetTokens = 8000
+    val toks = docs(spark, sfDir).select(col("source"), col("doc_id"),
+      GraftFunctions.polyHash("text").as("h"),
+      size(split(col("text"), " ")).cast("long").as("nt"))
+    val budg = toks.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"), sum(col("nt")).as("tokens_total"))
+      .withColumn("w",
+        floor(sqrt(col("tokens_total").cast("double"))).cast("long"))
+      .crossJoin(broadcast(
+        toks.groupBy(col("source")).agg(sum(col("nt")).as("t"))
+          .agg(sum(floor(sqrt(col("t").cast("double"))).cast("long")).as("sw"))))
+      .withColumn("token_budget", expr(s"($budgetTokens * w) div sw"))
+    val ranked = toks.withColumn("cum",
+      sum(col("nt")).over(
+        Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))))
+    ranked.join(broadcast(budg), "source")
+      .groupBy(col("source"))
+      .agg(first(col("n_total")).as("n_total"),
+        first(col("tokens_total")).as("tokens_total"),
+        first(col("w")).as("weight"),
+        first(col("token_budget")).as("token_budget"),
+        count(when(col("cum") <= col("token_budget"), 1)).as("n_kept"),
+        sum(when(col("cum") <= col("token_budget"), col("nt"))).as("tokens_kept"),
+        sum(when(col("cum") <= col("token_budget"), col("doc_id"))).as("sum_kept_ids"))
+      .orderBy(col("source"))
+  }
+
+  val q127Sql: String =
+    s"""WITH d AS (
+       |  SELECT source, doc_id,
+       |    ${graft.functions.PolyHash.duckdbSql("text")} AS h,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+       |  FROM documents),
+       |wts AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total,
+       |    CAST(SUM(nt) AS BIGINT) AS tokens_total,
+       |    CAST(floor(sqrt(CAST(CAST(SUM(nt) AS BIGINT) AS DOUBLE))) AS BIGINT) AS w
+       |  FROM d GROUP BY source),
+       |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS sw FROM wts),
+       |budg AS (
+       |  SELECT source, n_total, tokens_total, w,
+       |    (8000 * w) // sw AS token_budget
+       |  FROM wts CROSS JOIN tot),
+       |ranked AS (
+       |  SELECT source, doc_id, nt,
+       |    CAST(SUM(nt) OVER (PARTITION BY source ORDER BY h, doc_id)
+       |      AS BIGINT) AS cum
+       |  FROM d)
+       |SELECT r.source, b.n_total, b.tokens_total, b.w AS weight,
+       |  CAST(b.token_budget AS BIGINT) AS token_budget,
+       |  COUNT(CASE WHEN r.cum <= b.token_budget THEN 1 END) AS n_kept,
+       |  CAST(SUM(CASE WHEN r.cum <= b.token_budget THEN r.nt END)
+       |    AS BIGINT) AS tokens_kept,
+       |  CAST(SUM(CASE WHEN r.cum <= b.token_budget THEN r.doc_id END)
+       |    AS BIGINT) AS sum_kept_ids
+       |FROM ranked r JOIN budg b USING (source)
+       |GROUP BY r.source, b.n_total, b.tokens_total, b.w, b.token_budget
+       |ORDER BY r.source""".stripMargin
+
+  // ---------------------------------------------------------------- q128
+  /** Tokenize-and-pack: the training-batch producer — the learned BPE
+    * tokenizer (q112's merges applied by q120's encode) feeds the
+    * concat-and-cut packer (q70's [[graft.llm.Packer]], here
+    * [[graft.llm.Packer.packCounts]] over SUBWORD counts rather than
+    * whitespace tokens). Output is the per-(bucket, batch) fill
+    * summary with a subword-id checksum, so merge learning, encode,
+    * id assignment AND batch assembly are hash-checked as one chain —
+    * the last mile between a cleaned corpus and a training shard.
+    */
+  def q128(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val merges = graft.llm.Vocab.bpeMerges(d, "text", numMerges = 4)
+    val counts = graft.llm.Vocab.bpeEncode(d, "doc_id", "text", merges)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_subwords"),
+        sum(col("subword_id").cast("long")).as("id_sum"))
+    graft.llm.Packer
+      .packCounts(counts, "doc_id", "n_subwords", capacity = 256, buckets = 8)
+      .join(counts, "doc_id")
+      .groupBy(col("bucket"), col("batch"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("sum_subwords"),
+        sum(col("id_sum")).as("sum_subword_ids"))
+      .orderBy(col("bucket"), col("batch"))
+  }
+
+  val q128Sql: String =
+    s"""WITH $bpeCorpusCte,
+       |${bpeRoundsCtes(4, applyLast = true)},
+       |wordsubs AS (
+       |  SELECT replace(sym, ' ', '') AS word, string_split(sym, ' ') AS subs FROM w4),
+       |toks AS (
+       |  SELECT doc_id, t.wpos AS wpos, t.word AS word FROM (
+       |    SELECT doc_id, unnest([{'wpos': i, 'word': s[i]} for i in range(1, len(s) + 1)]) AS t
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents))
+       |  WHERE length(t.word) > 0),
+       |subs AS (
+       |  SELECT doc_id, wpos, u.spos AS spos, u.subword AS subword FROM (
+       |    SELECT doc_id, wpos,
+       |      unnest([{'spos': i, 'subword': subs[i]} for i in range(1, len(subs) + 1)]) AS u
+       |    FROM toks JOIN wordsubs USING (word))),
+       |stream AS (SELECT doc_id, subword FROM subs),
+       |ids AS (
+       |  SELECT subword,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, subword) AS INT) AS subword_id
+       |  FROM stream GROUP BY subword),
+       |dc AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_subwords,
+       |    CAST(SUM(subword_id) AS BIGINT) AS id_sum
+       |  FROM stream JOIN ids USING (subword) GROUP BY doc_id),
+       |c AS (
+       |  SELECT doc_id, CAST(doc_id % 8 AS INT) AS bucket, n_subwords, id_sum,
+       |    CAST(COALESCE(SUM(n_subwords) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev_cum
+       |  FROM dc)
+       |SELECT bucket, prev_cum // 256 AS batch, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_subwords) AS BIGINT) AS sum_subwords,
+       |  CAST(SUM(id_sum) AS BIGINT) AS sum_subword_ids
+       |FROM c GROUP BY bucket, batch ORDER BY bucket, batch""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_token_stats", q34 _, Some(q34Sql)),
     ("q35_lang_id_confusion", q35 _, Some(q35Sql)),
@@ -856,6 +999,8 @@ object Text {
     ("q100_weighted_allocation", q100 _, Some(q100Sql)),
     ("q112_bpe_merges", q112 _, Some(q112Sql)),
     ("q114_lineformat_roundtrip", q114 _, Some(q114Sql)),
-    ("q120_bpe_encode", q120 _, Some(q120Sql))
+    ("q120_bpe_encode", q120 _, Some(q120Sql)),
+    ("q127_temperature_mixture", q127 _, Some(q127Sql)),
+    ("q128_tokenize_pack", q128 _, Some(q128Sql))
   )
 }

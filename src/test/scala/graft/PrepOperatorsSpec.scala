@@ -81,6 +81,22 @@ class PrepOperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("packCounts on explicit counts equals pack on the text it came from") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13)
+    val docs = (0L until 80L).map(i =>
+      (i, Seq.fill(1 + rnd.nextInt(40))("w").mkString(" ")))
+    val viaText = graft.llm.Packer
+      .pack(docs.toDF("id", "text"), "id", "text", capacity = 50, buckets = 3)
+      .collect().map(_.toSeq).toSet
+    val viaCounts = graft.llm.Packer
+      .packCounts(docs.map { case (i, t) => (i, t.split(" ").length) }
+          .toDF("id", "n"), "id", "n", capacity = 50, buckets = 3)
+      .collect().map(_.toSeq).toSet
+    assert(viaText == viaCounts)
+  }
+
   test("z-value matches a reference interleave and preserves rectangle locality") {
     val s = spark
     import s.implicits._
