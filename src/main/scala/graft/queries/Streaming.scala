@@ -165,6 +165,43 @@ object Streaming {
       |SELECT user_id, ts_s, event_id, event_type, value, n_events
       |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q129
+  /** LEFT OUTER stream-stream interval join
+    * ([[EventStreams.clickViewLeftJoin]]): q69's condition with the
+    * semantics only watermarks can provide — clicks with NO view in
+    * their preceding 10 minutes emit null-padded once the watermark
+    * proves no match can arrive. The source ends with a flush
+    * sentinel ([[EventStreams.sourceWithFlush]]) so the drained
+    * stream equals the batch left join the oracle runs; the per-user
+    * summary counts matched rows and orphaned clicks.
+    */
+  def q129(spark: SparkSession, sfDir: String): DataFrame =
+    EventStreams.runToTable(spark,
+        EventStreams.clickViewLeftJoin(
+          EventStreams.sourceWithFlush(spark, sfDir)),
+        "stream_click_view_outer", outputMode = "append")
+      .filter(col("c_user") >= 0) // drop the flush sentinel (batch side —
+      // see clickViewLeftJoin's scaladoc for why it must not be upstream)
+      .groupBy(col("c_user").as("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("v_ts")).as("n_matched"),
+        sum(when(col("v_ts").isNull, 1L).otherwise(0L)).as("n_orphans"))
+      .orderBy(col("user_id"))
+
+  val q129Sql: String =
+    """WITH c AS (
+      |  SELECT user_id, CAST(epoch(DATE_TRUNC('second', ts)) AS BIGINT) AS c_s
+      |  FROM events WHERE event_type = 'click'),
+      |v AS (
+      |  SELECT user_id, CAST(epoch(DATE_TRUNC('second', ts)) AS BIGINT) AS v_s
+      |  FROM events WHERE event_type = 'view'),
+      |j AS (
+      |  SELECT c.user_id, v.v_s FROM c LEFT JOIN v
+      |  ON c.user_id = v.user_id AND v.v_s >= c.c_s - 600 AND v.v_s <= c.c_s)
+      |SELECT user_id, COUNT(*) AS n_rows, COUNT(v_s) AS n_matched,
+      |  CAST(SUM(CASE WHEN v_s IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+      |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q40_stream_daily_window", q40 _, Some(q40Sql)),
     ("q41_stream_sliding_window", q41 _, Some(q41Sql)),
@@ -172,6 +209,7 @@ object Streaming {
     ("q43_stream_dedup_daily", q43 _, Some(q43Sql)),
     ("q69_stream_stream_join", q69 _, Some(q69Sql)),
     ("q76_stream_static_join", q76 _, Some(q76Sql)),
-    ("q84_stream_upsert_snapshot", q84 _, Some(q84Sql))
+    ("q84_stream_upsert_snapshot", q84 _, Some(q84Sql)),
+    ("q129_stream_outer_join", q129 _, Some(q129Sql))
   )
 }

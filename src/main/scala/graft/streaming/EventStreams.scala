@@ -44,11 +44,12 @@ object EventStreams {
   private val stagedSources =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
 
+  private val rawEventSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
   def source(spark: SparkSession, sfDir: String): DataFrame = {
-    val raw = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
     val src = Tables.path(sfDir, "events")
     val dir = stagedSources.computeIfAbsent(src, { _ =>
       val d = java.nio.file.Files.createTempDirectory("graft-stream-src")
@@ -58,7 +59,69 @@ object EventStreams {
       d.toFile.deleteOnExit()
       d
     })
-    spark.readStream.schema(raw).parquet(dir.toString)
+    spark.readStream.schema(rawEventSchema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** [[source]] plus FLUSH SENTINEL files: far-future (-1)-user rows,
+    * one per join side's event type. An outer stream-stream join only
+    * emits its null-padded rows once the watermark passes the
+    * buffered row's eviction bound — results near the stream's tail
+    * would otherwise be withheld forever when the source drains. The
+    * sentinel is the standard production drain pattern (an end-of-day
+    * punctuation event): it advances BOTH sides' watermarks past
+    * every real event. TWO sentinel files are staged and the source
+    * reads one file per micro-batch, because the watermark computed
+    * from a batch only drives eviction in a LATER batch and
+    * `Trigger.AvailableNow` stops at the last data batch without a
+    * trailing no-data batch (measured here: a single sentinel file
+    * left exactly the post-pre-sentinel-watermark tail un-emitted).
+    * Batch N processes sentinel #1 (eviction still at the real-data
+    * watermark), batch N+1 processes sentinel #2 with the jumped
+    * watermark and drains everything. Consumers filter the sentinel
+    * key out (`user_id < 0`).
+    */
+  def sourceWithFlush(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Tables.path(sfDir, "events")
+    val dir = stagedSources.computeIfAbsent(src + "#flush", { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft-stream-src")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(src), d.resolve("events-000.parquet"))
+      // mtimes strictly ordered AND strictly in the past: the file
+      // source batches by modification time (a sentinel sorted before
+      // the data would late-drop the whole stream), and a file with an
+      // mtime at/after the stream's start can fall outside the
+      // AvailableNow listing snapshot
+      java.nio.file.Files.setLastModifiedTime(d.resolve("events-000.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 60000L))
+      // sentinel: 2100-01-01 (ns), far past any synthetic event time
+      val ns = 4102444800L * 1000000000L
+      import spark.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft-flush-out")
+      Seq(1, 2).foreach { k =>
+        Seq((-(2L * k - 1), ns, -1L, "click", 0.0, "{}"),
+            (-(2L * k), ns, -1L, "view", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(out.toString)
+        val part = java.nio.file.Files.list(out)
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst.get
+        val staged = d.resolve(s"events-00$k-flush.parquet")
+        java.nio.file.Files.copy(part, staged)
+        java.nio.file.Files.setLastModifiedTime(staged,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - 60000L + 1000L * k))
+        staged.toFile.deleteOnExit()
+      }
+      deleteRecursively(out)
+      d.resolve("events-000.parquet").toFile.deleteOnExit()
+      d.toFile.deleteOnExit()
+      d
+    })
+    spark.readStream.schema(rawEventSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
@@ -138,6 +201,37 @@ object EventStreams {
       .withWatermark("v_ts", "1 hour")
     clicks.join(views, expr(
       "c_user = v_user AND v_ts >= c_ts - interval 10 minutes AND v_ts <= c_ts"))
+  }
+
+  /** LEFT OUTER stream-stream interval join — [[clickViewJoin]]'s
+    * condition with the genuinely different semantics: a click with
+    * NO same-user view in its preceding 10 minutes still emits, with
+    * null view columns, once the watermark proves no matching view
+    * can arrive. Inner joins emit matches eagerly; outer rows exist
+    * only through watermark-driven state eviction, which is why the
+    * source must end with a flush sentinel ([[sourceWithFlush]]) for
+    * a drained stream to equal the batch left join.
+    *
+    * The sentinel key must be filtered by the BATCH consumer, never
+    * inside this streaming query: a `c_user >= 0` filter here is
+    * pushed by the optimizer below the watermark into the clicks scan
+    * — and, via the join equality, into the views scan — so the
+    * sentinel rows vanish before the watermark operator ever sees
+    * their event time and the flush never happens (measured: source
+    * `numInputRows = 0` for the sentinel files, watermark pinned at
+    * the real-data maximum).
+    */
+  def clickViewLeftJoin(events: DataFrame): DataFrame = {
+    val sec = events.withColumn("ts", date_trunc("second", col("ts")))
+    val clicks = sec.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val views = sec.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    clicks.join(views, expr(
+        "c_user = v_user AND v_ts >= c_ts - interval 10 minutes AND v_ts <= c_ts"),
+        "left_outer")
   }
 
   /** Stream-static enrichment join: each micro-batch of the stream is

@@ -80,6 +80,45 @@ class StreamingSuite extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer join withholds orphans until the watermark proves no match") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams.clickViewLeftJoin(input.toDF)
+      .writeStream.format("memory").queryName("ss_outer")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", typ = "view"),            // matches click 2
+        ev(2, "2024-01-01 10:06:00", typ = "click"),
+        ev(3, "2024-01-01 10:06:00", typ = "click", user = 2L)) // no view: orphan
+      q.processAllAvailable()
+      val matched = s.table("ss_outer").where("v_ts IS NOT NULL").count()
+      val orphans0 = s.table("ss_outer").where("v_ts IS NULL").count()
+      assert(matched == 1L, "the in-interval match must emit eagerly")
+      assert(orphans0 == 0L,
+        "the orphan must be WITHHELD while a matching view could still arrive")
+      // advance BOTH sides' watermarks past click 3 + interval + delay
+      // (join eviction uses the min across inputs, so a view alone
+      // moves nothing): each advance pair matches itself, adding no
+      // orphan. Two batches — the watermark computed from one batch
+      // drives eviction in the next.
+      input.addData(
+        ev(4, "2024-01-01 12:00:00", typ = "view", user = 99L),
+        ev(5, "2024-01-01 12:00:00", typ = "click", user = 99L))
+      q.processAllAvailable()
+      input.addData(
+        ev(6, "2024-01-01 12:00:01", typ = "view", user = 99L),
+        ev(7, "2024-01-01 12:00:01", typ = "click", user = 99L))
+      q.processAllAvailable()
+      val orphanUsers = s.table("ss_outer").where("v_ts IS NULL")
+        .collect().map(_.getLong(0)).toSet
+      assert(orphanUsers == Set(2L),
+        s"exactly the view-less click must surface null-padded, got $orphanUsers")
+    } finally q.stop()
+  }
+
   test("session windows merge events within the gap and split beyond it") {
     val s = spark
     import s.implicits._
