@@ -345,6 +345,49 @@ object VectorSearch {
       .select(col(idCol), col("cid"), col("d2"), col("rid").isNull.as("kept"))
   }
 
+  /** k-center greedy (farthest-point traversal) — the classic
+    * 2-approximation coreset / diversity-selection pass (Gonzalez,
+    * "Clustering to minimize the maximum intercluster distance",
+    * 1985; the core-set active-learning selector of Sener & Savarese,
+    * arXiv:1708.00489): start from the smallest id, repeatedly add
+    * the point FARTHEST from the current selection (max over points
+    * of min over selected of d2), ties toward the smaller id. All
+    * distances are exact longs on [[KMeans.quantize]]'s 1e-6 lattice,
+    * so the traversal is deterministic and engine-portable.
+    *
+    * Output: (round int, idCol, radius long) — the picked point per
+    * round and its distance to the selection at pick time (round r's
+    * radius is the exact covering radius of the first r centers; the
+    * seed's is 0).
+    *
+    * Scale shape: identical to [[KMeans.train]] — each round is one
+    * in-row scan against selected-center literals plus a 1-row
+    * argmax collect; k rounds, no joins, no pairwise blow-up.
+    */
+  def kCenterGreedy(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int = 4): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = df.sparkSession
+    val sv = df.select(col(idCol), KMeans.quantize(col(vecCol)).as("sv"))
+    val seed = sv.orderBy(col(idCol)).limit(1).collect()(0)
+    var picks = List((0, seed.getLong(0), 0L))
+    var cents = List(seed.getSeq[Long](1).toArray)
+    for (r <- 1 until k) {
+      val centArr = array(cents.map(m =>
+        array(m.map(lit).toIndexedSeq: _*)): _*)
+      val minD2 = array_min(transform(centArr, m =>
+        aggregate(zip_with(col("sv"), m, (a, b) => (a - b) * (a - b)),
+          lit(0L), _ + _)))
+      val p = sv.where(!col(idCol).isin(picks.map(_._2): _*))
+        .select(col(idCol), minD2.as("d2"), col("sv"))
+        .orderBy(col("d2").desc, col(idCol)).limit(1).collect()(0)
+      picks = picks :+ ((r, p.getLong(0), p.getLong(1)))
+      cents = cents :+ p.getSeq[Long](2).toArray
+    }
+    import spark.implicits._
+    picks.toDF("round", idCol, "radius")
+  }
+
   /** Per-dimension centroid table — the IVF coarse quantizer's
     * codebook: (labelCol, i, c). Exact decimal sums make the centroid
     * doubles order-independent and engine-portable; one shuffle keyed

@@ -539,6 +539,61 @@ object Similarity {
        |FROM a2 LEFT JOIN rem ON rem.rid = a2.vec_id
        |ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- q130
+  /** k-center greedy diversity selection
+    * ([[graft.llm.VectorSearch.kCenterGreedy]], Gonzalez 1985 /
+    * Sener & Savarese core-sets): 4 rounds of farthest-point
+    * traversal over the embeddings, exact lattice distances. The
+    * oracle unrolls every round — seed, per-round min-distance table,
+    * argmax pick — so the full traversal (selection order AND
+    * covering radii) is hash-checked.
+    */
+  def q130(spark: SparkSession, sfDir: String): DataFrame =
+    graft.llm.VectorSearch
+      .kCenterGreedy(emb(spark, sfDir), "vec_id", "embedding", k = 4)
+      .orderBy(col("round"))
+
+  private def kCenterCtes(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """sv AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS sv
+        |  FROM embeddings),
+        |sel0 AS (SELECT vec_id, sv FROM sv ORDER BY vec_id LIMIT 1)""".stripMargin)
+    for (r <- 1 until k) {
+      val sel = (0 until r).map {
+        case 0 => "SELECT vec_id, sv FROM sel0"
+        case i => s"SELECT s.vec_id, s.sv FROM sv s JOIN p$i USING (vec_id)"
+      }.mkString(" UNION ALL ")
+      sb.append(s""",
+        |d$r AS (
+        |  SELECT vec_id, MIN(dd) AS d2 FROM (
+        |    SELECT v.vec_id AS vec_id,
+        |      CAST(SUM((v.sv[i+1] - c.sv[i+1]) * (v.sv[i+1] - c.sv[i+1]))
+        |        AS BIGINT) AS dd
+        |    FROM sv v CROSS JOIN ($sel) c CROSS JOIN range(0, 64) t(i)
+        |    GROUP BY v.vec_id, c.vec_id)
+        |  GROUP BY vec_id),
+        |p$r AS (
+        |  SELECT vec_id, d2 FROM d$r
+        |  WHERE vec_id NOT IN (SELECT vec_id FROM ($sel))
+        |  ORDER BY d2 DESC, vec_id LIMIT 1)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  val q130Sql: String = {
+    val rounds = (1 until 4).map(r =>
+      s"UNION ALL SELECT $r AS round, vec_id, d2 AS radius FROM p$r")
+      .mkString("\n")
+    s"""WITH ${kCenterCtes(4)}
+       |SELECT 0 AS round, vec_id, CAST(0 AS BIGINT) AS radius FROM sel0
+       |$rounds
+       |ORDER BY round""".stripMargin
+  }
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q31_cosine_knn", q31 _, Some(q31Sql)),
     ("q32_ann_lsh_buckets", q32 _, Some(q32Sql)),
@@ -550,6 +605,7 @@ object Similarity {
     ("q115_pq_search", q115 _, Some(q115Sql)),
     ("q116_embedding_outliers", q116 _, Some(q116Sql)),
     ("q118_jl_projection", q118 _, Some(q118Sql)),
-    ("q124_semantic_dedup", q124 _, Some(q124Sql))
+    ("q124_semantic_dedup", q124 _, Some(q124Sql)),
+    ("q130_kcenter_coreset", q130 _, Some(q130Sql))
   )
 }

@@ -165,6 +165,33 @@ object Streaming {
       |SELECT user_id, ts_s, event_id, event_type, value, n_events
       |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q131
+  /** Tombstoned snapshot
+    * ([[EventStreams.latestSnapshotWithTombstones]]): q84's
+    * changelog compaction with the CDC DELETE rule — a user whose
+    * latest event is an `error` is absent from the snapshot; any
+    * later non-error event resurrects the key. The oracle applies
+    * the same last-event-wins-then-tombstone filter to the batch
+    * window argmax.
+    */
+  def q131(spark: SparkSession, sfDir: String): DataFrame =
+    run(spark, sfDir, "stream_tombstone_snapshot",
+        ev => EventStreams.latestSnapshotWithTombstones(ev, "error"))
+      .orderBy(col("user_id"))
+
+  val q131Sql: String =
+    """WITH r AS (
+      |  SELECT user_id,
+      |    CAST(epoch(DATE_TRUNC('second', ts)) AS BIGINT) AS ts_s,
+      |    event_id, event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY DATE_TRUNC('second', ts) DESC, event_id DESC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n_events
+      |  FROM events)
+      |SELECT user_id, ts_s, event_id, event_type, value, n_events
+      |FROM r WHERE rn = 1 AND event_type <> 'error'
+      |ORDER BY user_id""".stripMargin
+
   // ---------------------------------------------------------------- q129
   /** LEFT OUTER stream-stream interval join
     * ([[EventStreams.clickViewLeftJoin]]): q69's condition with the
@@ -210,6 +237,7 @@ object Streaming {
     ("q69_stream_stream_join", q69 _, Some(q69Sql)),
     ("q76_stream_static_join", q76 _, Some(q76Sql)),
     ("q84_stream_upsert_snapshot", q84 _, Some(q84Sql)),
-    ("q129_stream_outer_join", q129 _, Some(q129Sql))
+    ("q129_stream_outer_join", q129 _, Some(q129Sql)),
+    ("q131_tombstone_snapshot", q131 _, Some(q131Sql))
   )
 }

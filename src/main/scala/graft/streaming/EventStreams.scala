@@ -252,6 +252,19 @@ object EventStreams {
       broadcast(dim.select((col(dimKey).as(keyCol) +: dimCols.map(col)): _*)),
       Seq(keyCol))
 
+  /** [[latestSnapshot]] with DELETE semantics — changelog compaction
+    * with tombstones: the per-key argmax is unchanged, but a key
+    * whose LATEST event is a `tombstoneType` is ABSENT from the
+    * snapshot (the CDC delete rule; any later non-tombstone event
+    * resurrects the key). Same bounded per-key state; the tombstone
+    * filter is a stateless projection over the compacted aggregate,
+    * one row per key — it costs nothing and can't be pushed anywhere
+    * harmful (its column only exists above the aggregation).
+    */
+  def latestSnapshotWithTombstones(events: DataFrame,
+                                   tombstoneType: String): DataFrame =
+    latestSnapshot(events).where(col("event_type") =!= tombstoneType)
+
   /** Latest-state snapshot (streaming CDC/upsert materialization):
     * per user, the arg-max event under the total order
     * (second-truncated ts, event_id) — `max` over a struct compares

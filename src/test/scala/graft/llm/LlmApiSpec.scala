@@ -422,6 +422,48 @@ class LlmApiSpec extends AnyFunSuite {
       5L -> ((3L, 3L, "")), 6L -> ((3L, 3L, ""))))
   }
 
+  test("repeated spans match a brute-force reference on random corpora") {
+    import spark.implicits._
+    // small vocab + short docs + a planted duplicate pair → plenty of
+    // cross-doc and within-doc window repeats at several gram lengths
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("a", "b", "c", "d")
+    val corpus = (1L to 40L).map { id =>
+      val words = Seq.fill(4 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+      (id, words.mkString(" "))
+    } :+ (41L, "a b c d a b c d a b") :+ (42L, "a b c d a b c d a b")
+    def brute(minTokens: Int): Set[(Long, Long, Long, Long)] = {
+      val grams = corpus.flatMap { case (id, t) =>
+        val toks = t.split(" ")
+        (1 to toks.length - minTokens + 1).map(s =>
+          (id, s.toLong, toks.slice(s - 1, s - 1 + minTokens).mkString(" ")))
+      }
+      val dup = grams.groupBy(_._3).filter(_._2.size > 1).keySet
+      grams.filter(g => dup(g._3))
+        .map { case (id, s, _) => (id, s, s + minTokens - 1) }
+        .groupBy(_._1).toSeq.flatMap { case (id, hs) =>
+          // island merge: same running-max break rule as the operator
+          val sorted = hs.sortBy(_._2)
+          val islands = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+          sorted.foreach { case (_, s, e) =>
+            if (islands.nonEmpty && s <= islands.last._2 + 1)
+              islands(islands.length - 1) =
+                (islands.last._1, math.max(islands.last._2, e))
+            else islands += ((s, e))
+          }
+          islands.map { case (s, e) => (id, s, e, e - s + 1) }
+        }.toSet
+    }
+    for (m <- Seq(3, 5, 8)) {
+      val got = TextDedup.repeatedSpans(
+          corpus.toDF("doc_id", "text"), "doc_id", "text", minTokens = m)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == brute(m), s"minTokens=$m")
+      assert(got.nonEmpty, s"minTokens=$m must find the planted repeats")
+    }
+  }
+
   test("semDedup keeps the farther-from-centroid member, smaller id on ties") {
     import spark.implicits._
     val vecs = Seq(
