@@ -64,5 +64,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vector_dot_scaled"),
       new ExpressionInfo(classOf[VectorDotScaled].getName, "vector_dot_scaled"),
       (children: Seq[Expression]) => VectorDotScaled(children(0), children(1))))
+    // the custom as-of planner operator (graft.plans.AsOfJoinPlan);
+    // AsOf.join also self-registers via experimental.extraStrategies
+    // for sessions built without spark.sql.extensions
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
   }
 }

@@ -664,6 +664,36 @@ object Events {
        |FROM events WHERE event_type = 'purchase'
        |GROUP BY 1 ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------- q132
+  /** q38's as-of join through the CUSTOM PLANNER OPERATOR
+    * ([[graft.plans.AsOf.join]] → `AsOfJoinPlan` → `AsOfStrategy` →
+    * `AsOfJoinExec`): purchases and views enter as two separate
+    * relations, each hash-partitioned on the user and sorted by
+    * (user, ts, id) by Catalyst's EnsureRequirements, then one
+    * forward merge per co-partition finds each purchase's last
+    * strictly-prior view — O(|L|+|R|) per partition, no window
+    * materialization, exchanges elidable for bucketed inputs.
+    * Identical output contract to q38 (the union+window form), so
+    * the same oracle hash-checks the custom exec end to end.
+    */
+  def q132(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = ev(spark, sfDir)
+      .where(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        date_trunc("second", col("ts")).cast("long").as("ts_s"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_s"))
+    val views = e.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_event_id"),
+        col("ts_s").as("view_ts_s"))
+    graft.plans.AsOf.join(purchases, views,
+        Seq("user_id"), Seq("v_user"),
+        Seq("ts_s", "event_id"), Seq("view_ts_s", "view_event_id"))
+      .select(col("user_id"), col("event_id"), col("view_event_id"),
+        (col("ts_s") - col("view_ts_s")).as("gap_s"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_events_json_stats", q23 _, Some(q23Sql)),
     ("q24_events_daily_window", q24 _, Some(q24Sql)),
@@ -681,6 +711,7 @@ object Events {
     ("q98_retention_cohorts", q98 _, Some(q98Sql)),
     ("q99_sliding_mau_sketch", q99 _, Some(q99Sql)),
     ("q107_pit_join", q107 _, Some(q107Sql)),
-    ("q117_partition_pruning", q117 _, Some(q117Sql))
+    ("q117_partition_pruning", q117 _, Some(q117Sql)),
+    ("q132_asof_custom_exec", q132 _, Some(q38Sql))
   )
 }
