@@ -17,9 +17,17 @@ import org.apache.spark.sql.{DataFrame, GraftPlanApi}
   */
 object AsOf {
 
+  /** `tolerance` (pandas `merge_asof` tolerance): when set, a match
+    * additionally requires `left_time1 - right_time1 <= tolerance`
+    * over the LEADING time column (which must be a long); left rows
+    * whose last prior right row is staler than the tolerance emit
+    * null-padded. Monotone in the sort order, so it is an emit-time
+    * check — the merge never rewinds.
+    */
   def join(left: DataFrame, right: DataFrame,
            leftKeys: Seq[String], rightKeys: Seq[String],
-           leftTime: Seq[String], rightTime: Seq[String]): DataFrame = {
+           leftTime: Seq[String], rightTime: Seq[String],
+           tolerance: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfStrategy))
       spark.experimental.extraStrategies =
@@ -39,6 +47,6 @@ object AsOf {
     }
     GraftPlanApi.ofRows(spark,
       AsOfJoinPlan(attrs(lp, leftKeys), attrs(rp, rightKeys),
-        attrs(lp, leftTime), attrs(rp, rightTime), lp, rp))
+        attrs(lp, leftTime), attrs(rp, rightTime), lp, rp, tolerance))
   }
 }

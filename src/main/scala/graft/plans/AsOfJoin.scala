@@ -38,11 +38,15 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 case class AsOfJoinPlan(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Seq[Expression], rightTime: Seq[Expression],
-    left: LogicalPlan, right: LogicalPlan) extends BinaryNode {
+    left: LogicalPlan, right: LogicalPlan,
+    tolerance: Option[Long] = None) extends BinaryNode {
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
     "as-of join needs matching, non-empty key lists")
   require(leftTime.length == rightTime.length && leftTime.nonEmpty,
     "as-of join needs matching, non-empty time lists")
+  require(tolerance.isEmpty ||
+    leftTime.head.dataType == org.apache.spark.sql.types.LongType,
+    "tolerance needs a LongType leading time column")
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -57,8 +61,8 @@ case class AsOfJoinPlan(
   * [[graft.functions.GraftExtensions]]. */
 object AsOfStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(lk, rk, lt, rt, l, r) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(lk, rk, lt, rt, l, r, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r), tol) :: Nil
     case _ => Nil
   }
 }
@@ -66,7 +70,8 @@ object AsOfStrategy extends SparkStrategy {
 case class AsOfJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Seq[Expression], rightTime: Seq[Expression],
-    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+    left: SparkPlan, right: SparkPlan,
+    tolerance: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -105,9 +110,11 @@ case class AsOfJoinExec(
       val nullRight = new GenericInternalRow(rightOut.length)
       val joined = new JoinedRow
       val rBuf = rIter.buffered
+      val tol = tolerance
       // the last right row consumed whose key we are still inside
       var matchKey: InternalRow = null
       var matchRow: InternalRow = null
+      var matchT1: Long = 0L
       lIter.map { l =>
         val lKey = keyL(l).copy()
         val lTime = timeL(l).copy()
@@ -119,12 +126,14 @@ case class AsOfJoinExec(
           if (rKeyCmp < 0 ||
               (rKeyCmp == 0 && timeOrd.compare(timeR(rBuf.head), lTime) < 0)) {
             val r = rBuf.next()
-            if (rKeyCmp == 0) { matchKey = lKey; matchRow = r.copy() }
-            else { matchKey = null; matchRow = null }
+            if (rKeyCmp == 0) {
+              matchKey = lKey; matchT1 = timeR(r).getLong(0); matchRow = r.copy()
+            } else { matchKey = null; matchRow = null }
           } else advancing = false
         }
         val m =
-          if (matchKey != null && keyOrd.compare(matchKey, lKey) == 0) matchRow
+          if (matchKey != null && keyOrd.compare(matchKey, lKey) == 0 &&
+              tol.forall(t => lTime.getLong(0) - matchT1 <= t)) matchRow
           else nullRight
         resultProj(joined(l, m))
       }

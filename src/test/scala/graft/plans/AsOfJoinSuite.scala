@@ -58,6 +58,38 @@ class AsOfJoinSuite extends AnyFunSuite {
     assert(got.toSeq == Seq(102L))
   }
 
+  test("tolerance null-pads matches staler than the bound") {
+    val s = spark
+    import s.implicits._
+    val l = Seq((1L, 100L, 1L), (1L, 200L, 2L)).toDF("k", "t", "lid")
+    val r = Seq((1L, 95L, 900L), (1L, 105L, 901L)).toDF("rk", "rt", "rid")
+    def run(tol: Option[Long]) =
+      AsOf.join(l, r, Seq("k"), Seq("rk"), Seq("t", "lid"), Seq("rt", "rid"), tol)
+        .collect().map(row => row.getLong(2) ->
+          (if (row.isNullAt(5)) None else Some(row.getLong(5)))).toMap
+    // unbounded: both lefts match their latest prior right
+    assert(run(None) == Map(1L -> Some(900L), 2L -> Some(901L)))
+    // tolerance 50: t=200's prior (rt=105, 95 stale) exceeds the bound
+    assert(run(Some(50L)) == Map(1L -> Some(900L), 2L -> None))
+    // brute-force sweep over tolerances on the random fixture shape
+    val rnd = new scala.util.Random(41)
+    val lhs = (1 to 120).map(i => (rnd.nextInt(6).toLong, rnd.nextInt(40).toLong, i.toLong))
+    val rhs = (1 to 120).map(i => (rnd.nextInt(6).toLong, rnd.nextInt(40).toLong, (1000 + i).toLong))
+    val lf = lhs.toDF("k", "t", "lid"); val rf = rhs.toDF("rk", "rt", "rid")
+    for (tol <- Seq(0L, 3L, 10L)) {
+      val got = AsOf.join(lf, rf, Seq("k"), Seq("rk"),
+          Seq("t", "lid"), Seq("rt", "rid"), Some(tol))
+        .collect().map(row => (row.getLong(0), row.getLong(1), row.getLong(2)) ->
+          (if (row.isNullAt(5)) None else Some(row.getLong(5)))).toMap
+      val want = lhs.map { case (k, t, lid) =>
+        val cand = rhs.filter(x => x._1 == k && (x._2 < t || (x._2 == t && x._3 < lid)))
+        val last = cand.sortBy(x => (x._2, x._3)).lastOption
+        (k, t, lid) -> last.filter(x => t - x._2 <= tol).map(_._3)
+      }.toMap
+      assert(got == want, s"tolerance=$tol")
+    }
+  }
+
   test("self-join without aliasing is rejected, with aliasing it works") {
     val s = spark
     import s.implicits._
