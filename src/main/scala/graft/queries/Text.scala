@@ -978,6 +978,43 @@ object Text {
        |  CAST(SUM(id_sum) AS BIGINT) AS sum_subword_ids
        |FROM c GROUP BY bucket, batch ORDER BY bucket, batch""".stripMargin
 
+  // ---------------------------------------------------------------- q133
+  /** LM training-example assembly ([[graft.llm.LmData.examples]]):
+    * 4-token context → next-token prediction rows with 2 deterministic
+    * NCE negative draws per example (hash-rank into the
+    * frequency-sorted vocabulary). The oracle rebuilds the windows,
+    * the vocabulary ranking, and every negative draw — the full
+    * (context, word, label) training set is hash-checked.
+    */
+  def q133(spark: SparkSession, sfDir: String): DataFrame =
+    graft.llm.LmData.examples(docs(spark, sfDir), "doc_id", "text",
+        context = 4, negatives = 2)
+      .orderBy(col("doc_id"), col("pos"), col("label").desc, col("word"))
+
+  val q133Sql: String = {
+    val ph = graft.functions.PolyHash
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+       |exs AS (
+       |  SELECT doc_id, CAST(p AS BIGINT) AS pos,
+       |    array_to_string(s[p-4:p-1], ' ') AS context, s[p] AS target
+       |  FROM toks, UNNEST(range(5, len(s) + 1)) r(p)),
+       |vocab AS (
+       |  SELECT w, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w) - 1 AS BIGINT) AS rank
+       |  FROM (SELECT w, COUNT(*) AS c
+       |        FROM (SELECT unnest(s) AS w FROM toks) GROUP BY w)),
+       |vsize AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+       |neg AS (
+       |  SELECT e.doc_id, e.pos, e.context, vc.w
+       |  FROM exs e CROSS JOIN vsize CROSS JOIN range(1, 3) t(j)
+       |  JOIN vocab vc ON vc.rank =
+       |    ${ph.duckdbSql("(e.context || '#' || e.target || '#' || CAST(t.j AS VARCHAR))")} % v)
+       |SELECT doc_id, pos, context, target AS word, 1 AS label FROM exs
+       |UNION ALL
+       |SELECT doc_id, pos, context, w AS word, 0 AS label FROM neg
+       |ORDER BY doc_id, pos, label DESC, word""".stripMargin
+  }
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_token_stats", q34 _, Some(q34Sql)),
     ("q35_lang_id_confusion", q35 _, Some(q35Sql)),
@@ -1001,6 +1038,7 @@ object Text {
     ("q114_lineformat_roundtrip", q114 _, Some(q114Sql)),
     ("q120_bpe_encode", q120 _, Some(q120Sql)),
     ("q127_temperature_mixture", q127 _, Some(q127Sql)),
-    ("q128_tokenize_pack", q128 _, Some(q128Sql))
+    ("q128_tokenize_pack", q128 _, Some(q128Sql)),
+    ("q133_lm_examples", q133 _, Some(q133Sql))
   )
 }

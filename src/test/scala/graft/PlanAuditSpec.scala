@@ -31,7 +31,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q103_join_skew_stats", // 1-row histogram-total broadcast into the shares
     "q110_column_profile_approx", // 1-row exact-distinct frames broadcast into the envelope checks
     "q115_pq_search", // PQ ADC scans every corpus CODE per query by design (codes, not vectors)
-    "q127_temperature_mixture") // 1-row weight-total broadcast into the budget division (q100's shape)
+    "q127_temperature_mixture", // 1-row weight-total broadcast into the budget division (q100's shape)
+    "q133_lm_examples") // 1-row vocab-size broadcast into the negative-draw modulus
 
   test("no declared query plans a cartesian product; BNLJ only where intended") {
     // streaming queries execute on materialization, not plan-inspectable
