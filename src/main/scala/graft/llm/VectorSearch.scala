@@ -477,4 +477,39 @@ object VectorSearch {
       .select(col("va"), (col("pos") + 1).cast("int").as("rn"),
         col("n.vb").as("nn"), col("n.cos").as("cos"))
   }
+
+  /** Per-query recall@k of an approximate ranked-neighbor list against
+    * the exact one — the evaluation harness that closes the ANN loop:
+    * every index here ([[annTopK]], [[annTopKMultiProbe]],
+    * [[ivfSearch]], [[adcSearch]]) trades recall for candidate cost,
+    * and this operator measures the trade on the index's own output.
+    *
+    * Both inputs are ranked lists with columns (`queryCol`, `rn`,
+    * neighbor); rows with `rn > k` are ignored, so passing lists built
+    * at a larger k evaluates a shallower cut. The base set is the
+    * EXACT side's query points: a query the index dropped entirely
+    * (e.g. a singleton LSH bucket) scores recall 0 rather than
+    * disappearing from the average.
+    *
+    * Scale shape: both inputs are top-k lists — k·n rows, not corpus-
+    * sized — so the overlap join and the per-query count shuffle k·n
+    * rows on (query, neighbor). The corpus itself is never touched;
+    * evaluation cost is independent of vector dimensionality.
+    * Output: va, n_hits, recall (= n_hits / k, rounded to 6 decimals).
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int,
+                queryCol: String = "va", exactNnCol: String = "vb",
+                approxNnCol: String = "nn"): DataFrame = {
+    val e = exact.where(col("rn") <= k)
+      .select(col(queryCol).as("va"), col(exactNnCol).as("nn"))
+    val a = approx.where(col("rn") <= k)
+      .select(col(queryCol).as("va"), col(approxNnCol).as("nn"))
+    val hits = e.join(a, Seq("va", "nn"), "left_semi")
+      .groupBy(col("va")).agg(count(lit(1)).as("__h"))
+    e.groupBy(col("va")).agg(count(lit(1)).as("__n"))
+      .join(hits, Seq("va"), "left")
+      .select(col("va"),
+        coalesce(col("__h"), lit(0L)).cast("int").as("n_hits"),
+        round(coalesce(col("__h"), lit(0L)) / lit(k.toDouble), 6).as("recall"))
+  }
 }

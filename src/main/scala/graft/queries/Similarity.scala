@@ -594,6 +594,82 @@ object Similarity {
        |ORDER BY round""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q134
+  /** Recall@3 of the IVF index (q57's configuration: nprobe=2 over the
+    * 5 label lists) measured against the exact brute-force top-3 (q31)
+    * — the ANN evaluation loop run inside the engine. Every index in
+    * [[graft.llm.VectorSearch]] trades recall for candidate cost;
+    * this query puts a number on the trade, per query point, on the
+    * index's own output ([[graft.llm.VectorSearch.recallAtK]]).
+    *
+    * Scale shape: the two searches dominate (and carry their own
+    * plans); the evaluation itself joins two k·n-row ranked lists on
+    * (query, neighbor) — corpus-size-independent. At 100 TB this is
+    * how nprobe gets tuned: run on a sampled query set, sweep nprobe,
+    * read the recall column.
+    */
+  def q134(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val exact = graft.llm.VectorSearch.cosineTopK(e, "vec_id", "embedding", k = 3)
+    val approx = graft.llm.VectorSearch.ivfSearch(e, "vec_id", "embedding", "label",
+      k = 3, nprobe = 2)
+    graft.llm.VectorSearch.recallAtK(exact, approx, k = 3).orderBy(col("va"))
+  }
+
+  val q134Sql: String =
+    s"""WITH nrm AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSqlDuck("embedding", "embedding")}) AS nrm
+       |  FROM embeddings CROSS JOIN range(0, 64) t(i) GROUP BY vec_id, embedding),
+       |epairs AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb,
+       |    (${dotSqlDuck("a.embedding", "b.embedding")}) / (ANY_VALUE(a.nrm) * ANY_VALUE(b.nrm)) AS cos
+       |  FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id
+       |  CROSS JOIN range(0, 64) t(i)
+       |  GROUP BY a.vec_id, b.vec_id),
+       |exact3 AS (
+       |  SELECT va, vb FROM (
+       |    SELECT va, vb,
+       |      ROW_NUMBER() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rn
+       |    FROM epairs) WHERE rn <= 3),
+       |dims AS (
+       |  SELECT vec_id, label, i, CAST(embedding[i+1] AS DOUBLE) AS x
+       |  FROM embeddings CROSS JOIN range(0, 64) t(i)),
+       |cents AS (
+       |  SELECT label, i,
+       |    CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS c
+       |  FROM dims GROUP BY label, i),
+       |d2 AS (
+       |  SELECT d.vec_id, c.label,
+       |    CAST(SUM(CAST((x - c) * (x - c) AS DECIMAL(38,12))) AS DOUBLE) AS d2
+       |  FROM dims d JOIN cents c USING (i) GROUP BY d.vec_id, c.label),
+       |assign AS (
+       |  SELECT vec_id, label,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, label) AS arn
+       |  FROM d2),
+       |ipairs AS (
+       |  SELECT p.vec_id AS va, h.vec_id AS vb,
+       |    (${dotSqlDuck("a.embedding", "b.embedding")}) / (ANY_VALUE(a.nrm) * ANY_VALUE(b.nrm)) AS cos
+       |  FROM assign p JOIN assign h
+       |    ON p.label = h.label AND h.arn = 1 AND p.arn <= 2
+       |    AND p.vec_id <> h.vec_id
+       |  JOIN nrm a ON a.vec_id = p.vec_id JOIN nrm b ON b.vec_id = h.vec_id
+       |  CROSS JOIN range(0, 64) t(i)
+       |  GROUP BY p.vec_id, h.vec_id),
+       |approx3 AS (
+       |  SELECT va, vb FROM (
+       |    SELECT va, vb,
+       |      ROW_NUMBER() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rn
+       |    FROM ipairs) WHERE rn <= 3),
+       |hits AS (
+       |  SELECT e.va, COUNT(*) AS h
+       |  FROM exact3 e JOIN approx3 a ON a.va = e.va AND a.vb = e.vb
+       |  GROUP BY e.va),
+       |base AS (SELECT va, COUNT(*) AS n FROM exact3 GROUP BY va)
+       |SELECT b.va, CAST(COALESCE(h, 0) AS INT) AS n_hits,
+       |  ROUND(COALESCE(h, 0) / 3.0, 6) AS recall
+       |FROM base b LEFT JOIN hits USING (va) ORDER BY va""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q31_cosine_knn", q31 _, Some(q31Sql)),
     ("q32_ann_lsh_buckets", q32 _, Some(q32Sql)),
@@ -606,6 +682,7 @@ object Similarity {
     ("q116_embedding_outliers", q116 _, Some(q116Sql)),
     ("q118_jl_projection", q118 _, Some(q118Sql)),
     ("q124_semantic_dedup", q124 _, Some(q124Sql)),
-    ("q130_kcenter_coreset", q130 _, Some(q130Sql))
+    ("q130_kcenter_coreset", q130 _, Some(q130Sql)),
+    ("q134_ann_recall", q134 _, Some(q134Sql))
   )
 }
