@@ -212,6 +212,50 @@ object TextDedup {
       .select(col("d1"), col("d2"), col("est_sim"), col("jac"))
   }
 
+  /** Precision/recall of a scored candidate pair list against a scored
+    * exact ground truth, swept over similarity thresholds — the
+    * evaluation harness for the approximate dedup tier: at each
+    * threshold τ a pair is *predicted* if its candidate score ≥ τ and
+    * *true* if its exact score ≥ τ; a pair absent from a side scores
+    * −1 there (below every τ). MinHash/SimHash banding trades recall
+    * for join cost exactly like ANN indexing does
+    * ([[graft.llm.VectorSearch.recallAtK]]) — this puts the number on
+    * the trade so band/row counts can be tuned from measurements.
+    *
+    * Both inputs carry (d1, d2, score); duplicates are collapsed. One
+    * full-outer join on the pair key + one conditional aggregation per
+    * threshold (thresholds explode in-row — no extra scan). Pair
+    * lists are candidate-sized, never corpus-sized, so evaluation cost
+    * is bounded by the dedup run being evaluated.
+    * Output: threshold, tp, fp, fn, prec, rec (rounded to 6 decimals;
+    * null when the denominator is 0).
+    */
+  def pairEvalByThreshold(predicted: DataFrame, truth: DataFrame,
+                          thresholds: Seq[Double],
+                          predScoreCol: String = "est_sim",
+                          truthScoreCol: String = "jac"): DataFrame = {
+    val p = predicted.select(col("d1"), col("d2"), col(predScoreCol).as("__ps"))
+      .dropDuplicates("d1", "d2")
+    val t = truth.select(col("d1"), col("d2"), col(truthScoreCol).as("__ts"))
+      .dropDuplicates("d1", "d2")
+    val ps = coalesce(col("__ps"), lit(-1.0))
+    val ts = coalesce(col("__ts"), lit(-1.0))
+    p.join(t, Seq("d1", "d2"), "full_outer")
+      .select(ps.as("__ps"), ts.as("__ts"),
+        explode(array(thresholds.map(lit(_)): _*)).as("threshold"))
+      .groupBy(col("threshold"))
+      .agg(
+        sum(when(col("__ps") >= col("threshold") && col("__ts") >= col("threshold"), 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("__ps") >= col("threshold") && col("__ts") < col("threshold"), 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("__ps") < col("threshold") && col("__ts") >= col("threshold"), 1L)
+          .otherwise(0L)).as("fn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+        round(col("tp") / nullif(col("tp") + col("fp"), lit(0L)), 6).as("prec"),
+        round(col("tp") / nullif(col("tp") + col("fn"), lit(0L)), 6).as("rec"))
+  }
+
   /** Writes the MinHash signature store for `df` — the artifact an
     * incremental dedup pipeline persists so the NEXT refresh can dedup
     * a new batch against history without rescanning the corpus.

@@ -780,6 +780,81 @@ object Dedup {
        |  CAST(SUM(len(s)) AS BIGINT) AS sum_tokens
        |FROM s4 GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
+  // ---------------------------------------------------------------- q135
+  /** Precision/recall of the MinHash-LSH candidate tier (q29: 12
+    * hashes, 4 bands × 3 rows) against the exact n-gram Jaccard ground
+    * truth (q28 — lossless by its prefix-filter guarantee), swept over
+    * τ ∈ {0.6, 0.7, 0.8} via
+    * [[graft.llm.TextDedup.pairEvalByThreshold]]. A pair is predicted
+    * when its signature-estimated similarity ≥ τ and true when its
+    * exact Jaccard ≥ τ — the measured answer to "how many bands does
+    * this corpus need", the dedup twin of q134's ANN recall.
+    *
+    * Scale shape: the two dedup pipelines dominate and keep their own
+    * plans (banded equi-join, prefix-filtered join); the evaluation
+    * adds one full-outer join of two candidate-pair lists and a
+    * threshold-exploded conditional aggregation — pair-list-sized,
+    * never corpus-sized.
+    */
+  def q135(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val truth = graft.llm.TextDedup
+      .jaccardNearDupPairs(d, "doc_id", "text", n = 3, tNum = 3, tDen = 5)
+    val pred = graft.llm.TextDedup
+      .minHashLshPairs(d, "doc_id", "text", n = 3, k = 12, bands = 4)
+    graft.llm.TextDedup.pairEvalByThreshold(pred, truth, Seq(0.6, 0.7, 0.8))
+      .orderBy(col("threshold"))
+  }
+
+  val q135Sql: String =
+    s"""WITH ${shinglesSql(3)},
+       |hsh AS (SELECT doc_id,
+       |          list_distinct(list_transform(shingles, s -> ${PolyHash.duckdbSql("s")})) AS hs
+       |        FROM sh),
+       |ex AS (SELECT doc_id, unnest(hs) AS h FROM hsh),
+       |ecand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |          FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |truthp AS (SELECT d1, d2, jac FROM (
+       |    SELECT d1, d2,
+       |      len(list_intersect(x.hs, y.hs)) /
+       |      CAST(len(x.hs) + len(y.hs)
+       |           - len(list_intersect(x.hs, y.hs)) AS DOUBLE) AS jac
+       |    FROM ecand JOIN hsh x ON x.doc_id = d1 JOIN hsh y ON y.doc_id = d2)
+       |  WHERE jac >= 0.6),
+       |hx AS (SELECT doc_id, unnest(hs) AS x FROM hsh),
+       |params AS (SELECT i, (i*7919 + 1) % $P AS a, (i*104729 + 12345) % $P AS b
+       |           FROM range(0, 12) t(i)),
+       |sig AS (SELECT doc_id, i, MIN((a*x + b) % $P) AS mh
+       |        FROM hx CROSS JOIN params GROUP BY doc_id, i),
+       |bandkey AS (SELECT doc_id, i // 3 AS band,
+       |              string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bkey
+       |            FROM sig GROUP BY doc_id, i // 3),
+       |lcand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |          FROM bandkey a JOIN bandkey b
+       |          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |predp AS (SELECT d1, d2,
+       |            SUM(CASE WHEN m1.mh = m2.mh THEN 1 ELSE 0 END) / 12.0 AS est_sim
+       |          FROM lcand
+       |          JOIN sig m1 ON m1.doc_id = d1
+       |          JOIN sig m2 ON m2.doc_id = d2 AND m1.i = m2.i
+       |          GROUP BY d1, d2),
+       |fo AS (SELECT COALESCE(p.est_sim, -1) AS ps, COALESCE(t.jac, -1) AS ts
+       |       FROM predp p FULL OUTER JOIN truthp t
+       |       ON p.d1 = t.d1 AND p.d2 = t.d2),
+       |thr AS (SELECT CAST(unnest([0.6, 0.7, 0.8]) AS DOUBLE) AS threshold),
+       |agg AS (SELECT threshold,
+       |          CAST(SUM(CASE WHEN ps >= threshold AND ts >= threshold
+       |                        THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |          CAST(SUM(CASE WHEN ps >= threshold AND ts < threshold
+       |                        THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |          CAST(SUM(CASE WHEN ps < threshold AND ts >= threshold
+       |                        THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       |        FROM fo CROSS JOIN thr GROUP BY threshold)
+       |SELECT threshold, tp, fp, fn,
+       |  ROUND(tp / NULLIF(tp + fp, 0), 6) AS prec,
+       |  ROUND(tp / NULLIF(tp + fn, 0), 6) AS rec
+       |FROM agg ORDER BY threshold""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q27_exact_dedup", q27 _, Some(q27Sql)),
     ("q28_ngram_jaccard_neardup", q28 _, Some(q28Sql)),
@@ -797,6 +872,7 @@ object Dedup {
     ("q122_banded_store_dedup", q122 _, Some(q109Sql)),
     ("q123_repeated_spans", q123 _, Some(q123Sql)),
     ("q125_span_scrub", q125 _, Some(q125Sql)),
-    ("q126_pipeline_capstone", q126 _, Some(q126Sql))
+    ("q126_pipeline_capstone", q126 _, Some(q126Sql)),
+    ("q135_lsh_eval", q135 _, Some(q135Sql))
   )
 }

@@ -486,4 +486,37 @@ class LlmApiSpec extends AnyFunSuite {
       .where(col("kept")).count()
     assert(all == 5L)
   }
+
+  test("recallAtK scores hand-built ranked lists") {
+    import spark.implicits._
+    // exact: q1 → {10, 11}, q2 → {20, 21}; approx hits 1/2 on q1,
+    // misses q2 entirely (dropped query ⇒ recall 0, not absent)
+    val exact = Seq((1L, 1, 10L), (1L, 2, 11L), (2L, 1, 20L), (2L, 2, 21L))
+      .toDF("va", "rn", "vb")
+    val approx = Seq((1L, 1, 10L), (1L, 2, 99L)).toDF("va", "rn", "nn")
+    val got = VectorSearch.recallAtK(exact, approx, k = 2)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(got == Map(1L -> (1, 0.5), 2L -> (0, 0.0)))
+    // ranks beyond k are ignored: at k=1 the approx rank-2 row drops out
+    val at1 = VectorSearch.recallAtK(exact, approx, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(at1 == Map(1L -> 1, 2L -> 0))
+  }
+
+  test("pairEvalByThreshold counts the full confusion set") {
+    import spark.implicits._
+    // (1,2): agree high. (3,4): predicted 0.7 but true 0.65 — tp at
+    // 0.6, fp at 0.7. (5,6): truth-only ⇒ fn wherever its jac ≥ τ.
+    // (7,8): predicted-only ⇒ fp wherever est ≥ τ.
+    val pred = Seq((1L, 2L, 0.9), (3L, 4L, 0.7), (7L, 8L, 0.65))
+      .toDF("d1", "d2", "est_sim")
+    val truth = Seq((1L, 2L, 0.95), (3L, 4L, 0.65), (5L, 6L, 0.8))
+      .toDF("d1", "d2", "jac")
+    val got = TextDedup.pairEvalByThreshold(pred, truth, Seq(0.6, 0.7, 0.9))
+      .collect()
+      .map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0.6) == ((2L, 1L, 1L))) // tp=(1,2),(3,4); fp=(7,8); fn=(5,6)
+    assert(got(0.7) == ((1L, 1L, 1L))) // tp=(1,2); fp=(3,4); fn=(5,6)
+    assert(got(0.9) == ((1L, 0L, 0L))) // tp=(1,2); everything else below τ
+  }
 }
