@@ -732,6 +732,64 @@ object Analytics {
       |  total_pairs, n_keys, (key_pairs * 1000000) // total_pairs AS share_ppm
       |FROM r WHERE rank <= 5 ORDER BY rank""".stripMargin
 
+  // ---------------------------------------------------------------- q136
+  /** Bounded-depth BFS over the bipartite customer–part purchase graph
+    * ([[graft.operators.Bfs]]): minimum hop count from seed parts 1–2,
+    * depth ≤ 3 — the "customers also bought" expansion (part → its
+    * buyers → everything they bought → their other buyers). Nodes are
+    * encoded on one long axis (customer c → 2c, part p → 2p+1) so the
+    * frontier joins stay narrow; both edge orientations make the walk
+    * undirected.
+    *
+    * The oracle is a recursive CTE walking the same edges — DuckDB's
+    * UNION-dedup recursion bounded by the same hop limit, MIN(hop) per
+    * node. Level-synchronous BFS and set-semantics recursion provably
+    * agree on min-hop, so the hash compare pins the whole frontier/
+    * anti-join machinery, not just row counts.
+    *
+    * Scale shape: 3 levels = 3 frontier∶edge equi-joins (edge list
+    * persisted once) + 3 node-sized anti-joins; lineage truncated per
+    * level. The distinct (c, p) edge build is the usual orders⋈lineitem
+    * join — partial-aggregated before the distinct.
+    */
+  def q136(spark: SparkSession, sfDir: String): DataFrame = {
+    val cp = t(spark, sfDir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(spark, sfDir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = cp.select((col("c") * 2).as("src"), (col("p") * 2 + 1).as("dst"))
+      .union(cp.select((col("p") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+    val seeds = t(spark, sfDir, "part").where(col("p_partkey") <= 2)
+      .select((col("p_partkey") * 2 + 1).as("node"))
+    graft.operators.Bfs.minHops(edges, seeds, maxHops = 3)
+      .select(
+        when(pmod(col("node"), lit(2)) === 0, lit("c")).otherwise(lit("p"))
+          .as("node_type"),
+        expr("node div 2").as("node_id"),
+        col("hop").cast("int").as("hop"))
+      .orderBy(col("node_type"), col("node_id"))
+  }
+
+  val q136Sql: String =
+    """WITH RECURSIVE cp AS (
+      |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |e AS (
+      |  SELECT 2*c AS src, 2*p+1 AS dst FROM cp
+      |  UNION ALL
+      |  SELECT 2*p+1 AS src, 2*c AS dst FROM cp),
+      |walk(node, hop) AS (
+      |  SELECT 2*p_partkey+1, 0 FROM part WHERE p_partkey <= 2
+      |  UNION
+      |  SELECT e.dst, w.hop + 1
+      |  FROM walk w JOIN e ON e.src = w.node
+      |  WHERE w.hop < 3)
+      |SELECT CASE WHEN node % 2 = 0 THEN 'c' ELSE 'p' END AS node_type,
+      |  node // 2 AS node_id, CAST(MIN(hop) AS INT) AS hop
+      |FROM walk GROUP BY node
+      |ORDER BY node_type, node_id""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q77_ordered_listagg", q77 _, Some(q77Sql)),
     ("q78_hll_mergeable", q78 _, Some(q78Sql)),
@@ -749,6 +807,7 @@ object Analytics {
     ("q101_snapshot_diff", q101 _, Some(q101Sql)),
     ("q102_column_profile", q102 _, Some(q102Sql)),
     ("q103_join_skew_stats", q103 _, Some(q103Sql)),
-    ("q110_column_profile_approx", q110 _, Some(q110Sql))
+    ("q110_column_profile_approx", q110 _, Some(q110Sql)),
+    ("q136_bfs_min_hops", q136 _, Some(q136Sql))
   )
 }

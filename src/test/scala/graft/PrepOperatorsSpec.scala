@@ -205,4 +205,27 @@ class PrepOperatorsSpec extends AnyFunSuite {
     // doc 3 matches both terms and must outrank the single-term docs
     assert(got(3L)._2 > got(1L)._2 && got(3L)._2 > got(2L)._2)
   }
+
+  test("BFS min-hops: cycle, shortcut, depth cut, unreachable, multi-seed") {
+    val s = spark
+    import s.implicits._
+    // 1→2→3→4→5→1 cycle plus shortcut 1→4; 9→10 disconnected; seed {1, 9}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L), (1L, 4L),
+      (9L, 10L)).toDF("src", "dst")
+    val seeds = Seq(1L, 9L).toDF("node")
+    val got = graft.operators.Bfs.minHops(edges, seeds, maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // shortcut wins over the long way (4 at hop 1, not 3); 5 at hop 2
+    // via the shortcut; 3 at hop 2; cycle never revisits 1 at hop 5
+    assert(got == Map(1L -> 0, 9L -> 0, 2L -> 1, 4L -> 1, 10L -> 1,
+      3L -> 2, 5L -> 2))
+    // depth 0 = seeds only; nothing expands
+    val h0 = graft.operators.Bfs.minHops(edges, seeds, maxHops = 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(h0 == Set(1L, 9L))
+    // early exit: once the component is exhausted, deeper bounds add nothing
+    val deep = graft.operators.Bfs.minHops(edges, seeds, maxHops = 100)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(deep == got)
+  }
 }
