@@ -92,4 +92,38 @@ object Lexical {
       .orderBy(col("score").desc, col(idCol))
       .limit(topK)
   }
+
+  /** Exact phrase matching via the positional posting list — the
+    * inverted-index phrase query. Tokens explode with their position;
+    * only the phrase's own terms survive the (pushed-down) `IN`
+    * filter, and term i's postings shift by −i so a full phrase
+    * occurrence becomes one (doc, pos) key present in every term's
+    * shifted list — a chain of left-semi equi-joins, no window, no
+    * regex scan of the text. Overlapping occurrences all count
+    * (position arithmetic is oblivious to them, unlike a
+    * non-overlapping `replace`-based count).
+    *
+    * Shape at scale: postings for a phrase are corpus-frequency-sized,
+    * not corpus-sized, and at 100 TB the posting table is the thing
+    * you pre-build once ([[search]]'s scaladoc) and bucket by term —
+    * each semi-join then co-locates on (doc, pos). Repeated words in
+    * the phrase are fine — each position joins independently.
+    * Output: idCol, n_matches, first_pos (0-based token position).
+    */
+  def phraseMatches(df: DataFrame, idCol: String, textCol: String,
+                    phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "need a non-empty phrase")
+    val postings = df
+      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+      .where(col("term").isin(phrase.distinct: _*))
+    var m = postings.where(col("term") === phrase.head)
+      .select(col(idCol), col("pos"))
+    phrase.zipWithIndex.tail.foreach { case (w, i) =>
+      val pi = postings.where(col("term") === w)
+        .select(col(idCol).as("__id"), (col("pos") - i).as("__p"))
+      m = m.join(pi, m(idCol) === pi("__id") && m("pos") === pi("__p"), "left_semi")
+    }
+    m.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matches"), min(col("pos")).cast("int").as("first_pos"))
+  }
 }

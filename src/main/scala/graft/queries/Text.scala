@@ -1015,6 +1015,31 @@ object Text {
        |ORDER BY doc_id, pos, label DESC, word""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q137
+  /** Exact phrase search ("slow hash batch") via the positional
+    * posting list ([[graft.llm.Lexical.phraseMatches]]): each term's
+    * postings shift by its phrase offset and chain through left-semi
+    * joins — the inverted-index phrase query, not a regex scan. The
+    * oracle recomputes matches with a token-position list
+    * comprehension, so overlapping-occurrence counting and the 0-based
+    * position convention are both pinned.
+    */
+  def q137(spark: SparkSession, sfDir: String): DataFrame =
+    graft.llm.Lexical
+      .phraseMatches(docs(spark, sfDir), "doc_id", "text",
+        Seq("slow", "hash", "batch"))
+      .orderBy(col("doc_id"))
+
+  val q137Sql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+      |m AS (SELECT doc_id,
+      |        [i FOR i IN range(1, len(s) - 1)
+      |         IF s[i] = 'slow' AND s[i+1] = 'hash' AND s[i+2] = 'batch'] AS ps
+      |      FROM t)
+      |SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_matches,
+      |  CAST(ps[1] - 1 AS INT) AS first_pos
+      |FROM m WHERE len(ps) > 0 ORDER BY doc_id""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_token_stats", q34 _, Some(q34Sql)),
     ("q35_lang_id_confusion", q35 _, Some(q35Sql)),
@@ -1039,6 +1064,7 @@ object Text {
     ("q120_bpe_encode", q120 _, Some(q120Sql)),
     ("q127_temperature_mixture", q127 _, Some(q127Sql)),
     ("q128_tokenize_pack", q128 _, Some(q128Sql)),
-    ("q133_lm_examples", q133 _, Some(q133Sql))
+    ("q133_lm_examples", q133 _, Some(q133Sql)),
+    ("q137_phrase_search", q137 _, Some(q137Sql))
   )
 }

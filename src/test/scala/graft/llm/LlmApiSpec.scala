@@ -519,4 +519,22 @@ class LlmApiSpec extends AnyFunSuite {
     assert(got(0.7) == ((1L, 1L, 1L))) // tp=(1,2); fp=(3,4); fn=(5,6)
     assert(got(0.9) == ((1L, 0L, 0L))) // tp=(1,2); everything else below τ
   }
+
+  test("phraseMatches counts overlapping occurrences and repeated terms") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b a"), // "a b a" overlaps at 0 and 2 — both count
+      (2L, "x a b a y"), // single interior match at 1
+      (3L, "a b c"), // no match
+      (4L, "b a b")) // no "a b a"
+      .toDF("doc_id", "text")
+    val got = Lexical.phraseMatches(df, "doc_id", "text", Seq("a", "b", "a"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(got == Map(1L -> ((2L, 0)), 2L -> ((1L, 1))))
+    // single-term phrase degenerates to term positions
+    val one = Lexical.phraseMatches(df, "doc_id", "text", Seq("b"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(one == Map(1L -> ((2L, 1)), 2L -> ((1L, 2)), 3L -> ((1L, 1)),
+      4L -> ((2L, 0))))
+  }
 }
