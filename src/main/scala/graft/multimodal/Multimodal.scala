@@ -335,8 +335,96 @@ object Multimodal {
       |  CAST((octet_length(encode(text)) + 255) // 256 AS INT) AS n_frames
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Average-hash (aHash) perceptual fingerprints over REAL decoded
+    * images: nearest-neighbor-sample the decoded bitmap on an 8×8
+    * grid, take per-sample brightness g = r+g+b, and set bit i iff
+    * 64·g_i > Σg — the integer-exact form of "brighter than the
+    * mean" (no division, no floats, so the oracle can replay it).
+    * The hash is emitted as a 64-char '0'/'1' string: portable across
+    * engines, no sign-bit pitfalls, and an equi-join/group key exactly
+    * like the SimHash band keys (q30).
+    *
+    * Same batched partition pass as [[extractFeatures]] — one decoder
+    * per partition, embarrassingly parallel, no shuffle.
+    */
+  def perceptualHashes(blobs: Dataset[MediaBlob], batchSize: Int = 64): DataFrame = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { blob =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(blob.data))
+          require(img != null, s"undecodable image blob for doc ${blob.doc_id}")
+          val w = img.getWidth
+          val h = img.getHeight
+          val g = new Array[Long](64)
+          var i = 0
+          while (i < 64) {
+            val rgb = img.getRGB((i % 8) * w / 8, (i / 8) * h / 8)
+            g(i) = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            i += 1
+          }
+          val tot = g.sum
+          val sb = new StringBuilder(64)
+          i = 0
+          while (i < 64) {
+            sb.append(if (64 * g(i) > tot) '1' else '0')
+            i += 1
+          }
+          (blob.doc_id, sb.toString)
+        }
+      }
+    }.toDF("doc_id", "phash")
+  }
+
+  /** q138: PNG-encode → real `javax.imageio` decode → aHash → group
+    * by fingerprint — perceptual image dedup, the multimodal twin of
+    * exact text dedup (q27): images whose decoded pixel structure
+    * hashes identically collapse to one representative (min doc_id
+    * survivor, same policy). Every fingerprint bit passes through
+    * real compressed PNG bytes; the oracle replays the checkerboard
+    * + sampling + threshold arithmetic the images were built from.
+    *
+    * Scale shape: decode is partition-local; the only shuffle is the
+    * group-by on the 64-bit fingerprint — exact dedup's hash-only
+    * shuffle, with the hash 64 characters instead of 256 bits. A
+    * hamming-tolerant variant would band the fingerprint exactly as
+    * q30 bands SimHash — same machinery, already built.
+    */
+  def imagePerceptualDedup(spark: SparkSession, sfDir: String): DataFrame =
+    perceptualHashes(syntheticPngBlobs(spark, sfDir))
+      .groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_images"), min(col("doc_id")).as("rep_id"),
+        sum(col("doc_id")).as("sum_doc_ids"))
+      .orderBy(col("phash"))
+
+  val q138Sql: String =
+    """WITH g AS (
+      |  SELECT doc_id, 1 + doc_id % 16 AS w, 1 + doc_id % 8 AS h,
+      |    (doc_id % 256) + ((doc_id * 7) % 256) + ((doc_id * 13) % 256) AS s0,
+      |    ((doc_id * 3 + 1) % 256) + ((doc_id * 5 + 2) % 256)
+      |      + ((doc_id * 11 + 3) % 256) AS s1
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id,
+      |    [CASE WHEN ((((i % 8) * w) // 8) + (((i // 8) * h) // 8)) % 2 = 0
+      |          THEN s0 ELSE s1 END FOR i IN range(0, 64)] AS gs
+      |  FROM g),
+      |t AS (SELECT doc_id, gs, list_sum(gs) AS tot FROM b),
+      |hsh AS (
+      |  SELECT doc_id,
+      |    array_to_string(
+      |      list_transform(gs, v -> CASE WHEN 64 * v > tot
+      |                                   THEN '1' ELSE '0' END), '') AS phash
+      |  FROM t)
+      |SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_images,
+      |  CAST(MIN(doc_id) AS BIGINT) AS rep_id,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids
+      |FROM hsh GROUP BY phash ORDER BY phash""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q44_multimodal_features", featureTable _, Some(q44Sql)),
     ("q108_imageio_decode", imageDecode _, Some(q108Sql)),
-    ("q121_wav_decode", audioDecode _, Some(q121Sql)))
+    ("q121_wav_decode", audioDecode _, Some(q121Sql)),
+    ("q138_image_phash_dedup", imagePerceptualDedup _, Some(q138Sql)))
 }

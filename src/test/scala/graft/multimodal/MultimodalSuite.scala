@@ -162,4 +162,33 @@ class MultimodalSuite extends AnyFunSuite {
     val c = top1.select("cos").collect().map(_.getDouble(0))
     assert(c.forall(v => v >= -1.0000001 && v <= 1.0000001))
   }
+
+  test("perceptual aHash: re-encoding invariant, structure sensitive") {
+    val s = spark
+    import s.implicits._
+    def png(w: Int, h: Int, bright: Int, dark: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, if ((x + y) % 2 == 0) bright else dark)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // docs 1/2: same geometry+palette through two separate encode calls
+    // (different byte streams) — the perceptual hash must collapse them.
+    // doc 3: same palette, transposed geometry — must not collide.
+    val blobs = Seq(
+      MediaBlob(1L, "image/png", png(6, 4, 0xffffff, 0x000000)),
+      MediaBlob(2L, "image/png", png(6, 4, 0xffffff, 0x000000)),
+      MediaBlob(3L, "image/png", png(4, 6, 0xffffff, 0x000000)))
+      .toDS()
+    val got = Multimodal.perceptualHashes(blobs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == got(2L))
+    assert(got(1L) != got(3L))
+    assert(got.values.forall(h => h.length == 64 && h.forall(c => c == '0' || c == '1')))
+    // the brighter color occupies the even-parity sampled cells: bit 0 set
+    assert(got(1L).head == '1')
+  }
 }
