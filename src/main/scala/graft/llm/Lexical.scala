@@ -126,4 +126,38 @@ object Lexical {
     m.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_matches"), min(col("pos")).cast("int").as("first_pos"))
   }
+
+  /** Top distinctive terms per group by class-based tf·idf (the
+    * BERTopic c-TF-IDF idea, Grootendorst arXiv:2203.05794 §3.3, in
+    * this engine's rational-idf form): score(g, t) = tf(g, t) ·
+    * ((G·10⁶) div gf(t)), where gf(t) is the number of groups
+    * containing t and G the number of non-empty groups. Terms
+    * concentrated in few groups outscore corpus-wide ones — the
+    * "what is this cluster about" explanation step of semantic
+    * clustering, equally usable per language or per source.
+    *
+    * Shape at scale: token counts partially aggregate map-side on
+    * (group, term); group frequencies and the group count are
+    * vocabulary-sized (Heaps-small) broadcasts; the final top-k
+    * window partitions on the bounded group id. The corpus text is
+    * scanned once and never shuffled whole.
+    * Output: groupCol, rk, term, score — rk ≤ topK by (score desc,
+    * term).
+    */
+  def distinctiveTerms(df: DataFrame, groupCol: String, textCol: String,
+                       topK: Int = 3): DataFrame = {
+    val tf = df
+      .select(col(groupCol).as("__grp"), explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("__grp"), col("term")).agg(count(lit(1)).as("tf"))
+    val gf = tf.groupBy(col("term")).agg(count(lit(1)).as("gf"))
+    val ng = tf.agg(countDistinct(col("__grp")).as("ng"))
+    tf.join(broadcast(gf), "term").crossJoin(broadcast(ng))
+      .withColumn("score", col("tf") * expr("(ng * 1000000) div gf"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__grp")).orderBy(col("score").desc, col("term"))))
+      .where(col("rk") <= topK)
+      .select(col("__grp").as(groupCol), col("rk").cast("int").as("rk"),
+        col("term"), col("score"))
+  }
 }

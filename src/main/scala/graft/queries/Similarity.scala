@@ -670,6 +670,47 @@ object Similarity {
        |  ROUND(COALESCE(h, 0) / 3.0, 6) AS recall
        |FROM base b LEFT JOIN hits USING (va) ORDER BY va""".stripMargin
 
+  // ---------------------------------------------------------------- q139
+  /** Cluster labeling: the q61 k-means semantic clusters explained by
+    * their top-3 distinctive terms via class-based tf·idf
+    * ([[graft.llm.Lexical.distinctiveTerms]]) — embeddings pick the
+    * clusters, text explains them, the missing "what IS this cluster"
+    * step between semantic clustering (q61) and curation decisions
+    * like q124's SemDeDup or q119's split audit.
+    *
+    * Scale shape: k-means as q61 (broadcast centroid literals); the
+    * assignment joins `documents` on the id axis (same key, hash
+    * join); token scoring partially aggregates on (cid, term) and the
+    * idf tables are vocabulary-sized broadcasts. The final window
+    * partitions on the 8 bounded cluster ids.
+    */
+  def q139(spark: SparkSession, sfDir: String): DataFrame = {
+    val assign = graft.llm.KMeans.assign(emb(spark, sfDir), "vec_id", "embedding",
+      k = 8, passes = 2)
+    val d = Tables.load(spark, sfDir, "documents")
+    val joined = assign.select(col("vec_id"), col("cid"))
+      .join(d.select(col("doc_id"), col("text")), col("doc_id") === col("vec_id"))
+    graft.llm.Lexical.distinctiveTerms(joined, "cid", "text", topK = 3)
+      .orderBy(col("cid"), col("rk"))
+  }
+
+  val q139Sql: String =
+    s"""WITH $kmeansCtes,
+       |toks AS (SELECT a2.cid, unnest(string_split(d.text, ' ')) AS term
+       |         FROM a2 JOIN documents d ON d.doc_id = a2.vec_id),
+       |tf AS (SELECT cid, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |       FROM toks GROUP BY cid, term),
+       |gf AS (SELECT term, COUNT(*) AS gf FROM tf GROUP BY term),
+       |ng AS (SELECT COUNT(DISTINCT cid) AS ng FROM tf),
+       |scored AS (SELECT cid, term,
+       |             CAST(tf * ((ng * 1000000) // gf) AS BIGINT) AS score
+       |           FROM tf JOIN gf USING (term) CROSS JOIN ng)
+       |SELECT cid, CAST(rk AS INT) AS rk, term, score FROM (
+       |  SELECT cid, term, score,
+       |    ROW_NUMBER() OVER (PARTITION BY cid ORDER BY score DESC, term) AS rk
+       |  FROM scored)
+       |WHERE rk <= 3 ORDER BY cid, rk""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q31_cosine_knn", q31 _, Some(q31Sql)),
     ("q32_ann_lsh_buckets", q32 _, Some(q32Sql)),
@@ -683,6 +724,7 @@ object Similarity {
     ("q118_jl_projection", q118 _, Some(q118Sql)),
     ("q124_semantic_dedup", q124 _, Some(q124Sql)),
     ("q130_kcenter_coreset", q130 _, Some(q130Sql)),
-    ("q134_ann_recall", q134 _, Some(q134Sql))
+    ("q134_ann_recall", q134 _, Some(q134Sql)),
+    ("q139_cluster_terms", q139 _, Some(q139Sql))
   )
 }

@@ -520,6 +520,20 @@ class LlmApiSpec extends AnyFunSuite {
     assert(got(0.9) == ((1L, 0L, 0L))) // tp=(1,2); everything else below τ
   }
 
+  test("distinctiveTerms ranks concentrated terms above shared ones") {
+    import spark.implicits._
+    val df = Seq(
+      (1, "alpha alpha common"), (1, "alpha common"),
+      (2, "beta common common"), (2, "common"))
+      .toDF("grp", "text")
+    val got = Lexical.distinctiveTerms(df, "grp", "text", topK = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getString(2)).toMap
+    // alpha: tf=3, gf=1 → 3·2e6; common in grp 1: tf=2, gf=2 → 2·1e6
+    assert(got((1, 1)) == "alpha" && got((1, 2)) == "common")
+    // beta: tf=1, gf=1 → 2e6; common in grp 2: tf=3, gf=2 → 3e6 — tf wins
+    assert(got((2, 1)) == "common" && got((2, 2)) == "beta")
+  }
+
   test("phraseMatches counts overlapping occurrences and repeated terms") {
     import spark.implicits._
     val df = Seq(
