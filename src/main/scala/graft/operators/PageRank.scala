@@ -58,7 +58,8 @@ object PageRank {
           scale: Long = 1000000000000L,
           dampNum: Long = 85, dampDen: Long = 100,
           broadcastRanks: Boolean = false,
-          eagerCleanup: Boolean = false): DataFrame = {
+          eagerCleanup: Boolean = false,
+          seeds: Option[DataFrame] = None): DataFrame = {
     val bc: DataFrame => DataFrame =
       if (broadcastRanks) org.apache.spark.sql.functions.broadcast else identity
     // all three static tables persist: the caller's edge plan is often
@@ -67,10 +68,24 @@ object PageRank {
     // re-enters the plan at every iteration's left join, `edgesDeg` at
     // every contrib join
     val edgesP = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = edgesP.select(col("src").as("node"))
+    // personalized PageRank (Page et al. 1999 §6, "personalized"
+    // teleport): restart mass lands only on the seed set instead of
+    // uniformly — ranks then measure importance RELATIVE to the seeds
+    // (topic-conditioned curation: "what supplies this part family").
+    // The un-normalized form keeps the same integer base magnitude on
+    // seeds and 0 elsewhere — ranking-equivalent to the 1/|S|
+    // normalization, exactly representable, and identical to uniform
+    // PageRank when every node seeds.
+    val allNodes = edgesP.select(col("src").as("node"))
       .union(edgesP.select(col("dst").as("node")))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = (seeds match {
+      case Some(s) => allNodes.join(
+          s.select(col("node")).distinct().withColumn("__seed", lit(true)),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("__seed"), lit(false)).as("__seed"))
+      case None => allNodes.withColumn("__seed", lit(true))
+    }).persist(StorageLevel.MEMORY_AND_DISK)
     // out-degree as a window count: one shuffle on src, versus the
     // groupBy+join formulation's two passes over the edge list
     val edgesDeg = edgesP
@@ -78,7 +93,8 @@ object PageRank {
         org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val base = scale / dampDen * (dampDen - dampNum)
-    var ranks = nodes.select(col("node"), lit(scale).as("rank"))
+    var ranks = nodes.select(col("node"),
+      when(col("__seed"), lit(scale)).otherwise(lit(0L)).as("rank"))
     for (_ <- 1 to iters) {
       val contrib = edgesDeg
         .join(bc(ranks), edgesDeg("src") === ranks("node"))
@@ -87,7 +103,8 @@ object PageRank {
       ranks = nodes
         .join(bc(contrib), nodes("node") === contrib("dst"), "left")
         .select(col("node"),
-          expr(s"${base}L + ($dampNum * coalesce(s, 0L)) div $dampDen").as("rank"))
+          (when(col("__seed"), lit(base)).otherwise(lit(0L))
+            + expr(s"($dampNum * coalesce(s, 0L)) div $dampDen")).as("rank"))
     }
     if (!eagerCleanup) ranks
     else {

@@ -790,6 +790,65 @@ object Analytics {
       |FROM walk GROUP BY node
       |ORDER BY node_type, node_id""".stripMargin
 
+  // ---------------------------------------------------------------- q140
+  /** Personalized PageRank on the q82 part↔supplier graph: teleport
+    * mass restarts only at parts 1–50 ([[graft.operators.PageRank]]
+    * `seeds`), so ranks measure supply importance RELATIVE to that
+    * part family — topic-conditioned graph curation (pick the
+    * suppliers/parts that matter to a seed set, not globally). Same
+    * integer-exact iteration, broadcast-rank mode, and unrolled-round
+    * oracle as q82; the only delta is the seed-gated base/init term —
+    * which is exactly what the oracle pins.
+    */
+  def q140(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = t(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val fwd = pairs.select((col("l_partkey") * 2).as("src"),
+      (col("l_suppkey") * 2 + 1).as("dst"))
+    val rev = pairs.select((col("l_suppkey") * 2 + 1).as("src"),
+      (col("l_partkey") * 2).as("dst"))
+    val seeds = t(spark, sfDir, "part").where(col("p_partkey") <= 50)
+      .select((col("p_partkey") * 2).as("node"))
+    graft.operators.PageRank
+      .run(fwd.union(rev), iters = 3, scale = 1000000000L,
+        broadcastRanks = true, seeds = Some(seeds))
+      .select(
+        when(col("node") % 2 === 0, "part").otherwise("supplier").as("kind"),
+        expr("node div 2").as("key"), col("node"), col("rank").as("rank_val"))
+      .orderBy(col("rank_val").desc, col("node"))
+      .limit(20)
+  }
+
+  val q140Sql: String = {
+    def round(prev: String): String =
+      s"""SELECT n.node,
+         |       CAST(CASE WHEN sd.node IS NOT NULL THEN 150000000 ELSE 0 END
+         |            + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank_val
+         |       FROM n LEFT JOIN seeds sd ON n.node = sd.node
+         |       LEFT JOIN (
+         |         SELECT e.dst, SUM(r.rank_val // d.outdeg) AS s
+         |         FROM e JOIN $prev r ON e.src = r.node
+         |         JOIN deg d ON e.src = d.src
+         |         GROUP BY e.dst) c ON n.node = c.dst""".stripMargin
+    s"""WITH e AS (
+       |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem
+       |  UNION
+       |  SELECT DISTINCT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst FROM lineitem),
+       |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+       |seeds AS (SELECT p_partkey * 2 AS node FROM part WHERE p_partkey <= 50),
+       |r0 AS (SELECT n.node,
+       |         CAST(CASE WHEN sd.node IS NOT NULL THEN 1000000000 ELSE 0 END
+       |              AS BIGINT) AS rank_val
+       |       FROM n LEFT JOIN seeds sd ON n.node = sd.node),
+       |r1 AS (${round("r0")}),
+       |r2 AS (${round("r1")}),
+       |r3 AS (${round("r2")})
+       |SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind,
+       |  node // 2 AS key, node, rank_val
+       |FROM r3 ORDER BY rank_val DESC, node LIMIT 20""".stripMargin
+  }
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q77_ordered_listagg", q77 _, Some(q77Sql)),
     ("q78_hll_mergeable", q78 _, Some(q78Sql)),
@@ -808,6 +867,7 @@ object Analytics {
     ("q102_column_profile", q102 _, Some(q102Sql)),
     ("q103_join_skew_stats", q103 _, Some(q103Sql)),
     ("q110_column_profile_approx", q110 _, Some(q110Sql)),
-    ("q136_bfs_min_hops", q136 _, Some(q136Sql))
+    ("q136_bfs_min_hops", q136 _, Some(q136Sql)),
+    ("q140_personalized_pagerank", q140 _, Some(q140Sql))
   )
 }
