@@ -478,6 +478,45 @@ object VectorSearch {
         col("n.vb").as("nn"), col("n.cos").as("cos"))
   }
 
+  /** Hard-triplet mining for contrastive/metric training (the
+    * batch-hard strategy of Hermans et al. arXiv:1703.07737 §3, run
+    * corpus-wide): for every anchor, the *hardest positive* is its
+    * least-similar same-label vector and the *hardest negative* its
+    * most-similar different-label vector; the margin between them is
+    * what a triplet loss would push on. Anchors missing either side
+    * (singleton label, or only one label in the corpus) are dropped.
+    *
+    * Ties break toward the smaller neighbor id via lexicographic
+    * struct min/max — no window, one conditional aggregation over the
+    * pair stream. Like [[cosineTopK]] this scans all pairs
+    * (declared-quadratic baseline); at scale, mine from an ANN
+    * candidate set instead ([[annTopK]] output joined to labels) —
+    * same aggregation, bucketed fan-out.
+    * Output: va, pos_id, pos_cos, neg_id, neg_cos, margin (= neg −
+    * pos cosine, rounded 6).
+    */
+  def hardTriplets(df: DataFrame, idCol: String, vecCol: String,
+                   labelCol: String): DataFrame = {
+    val e = withNorm(df, vecCol)
+    val a = spread(e).select(col(idCol).as("va"), col(vecCol).as("ea"),
+      col("nrm").as("na"), col(labelCol).as("la"))
+    val b = e.select(col(idCol).as("vb"), col(vecCol).as("eb"),
+      col("nrm").as("nb"), col(labelCol).as("lb"))
+    a.join(broadcast(b), col("va") =!= col("vb"))
+      .withColumn("cos", expr(dot("ea", "eb")) / (col("na") * col("nb")))
+      .groupBy(col("va"))
+      .agg(
+        min(when(col("la") === col("lb"),
+          struct(col("cos").as("cos"), col("vb").as("vb")))).as("pos"),
+        max(when(col("la") =!= col("lb"),
+          struct(col("cos").as("cos"), (col("vb") * -1).as("nvb")))).as("neg"))
+      .where(col("pos").isNotNull && col("neg").isNotNull)
+      .select(col("va"),
+        col("pos.vb").as("pos_id"), round(col("pos.cos"), 6).as("pos_cos"),
+        (col("neg.nvb") * -1).as("neg_id"), round(col("neg.cos"), 6).as("neg_cos"),
+        round(col("neg.cos") - col("pos.cos"), 6).as("margin"))
+  }
+
   /** Per-query recall@k of an approximate ranked-neighbor list against
     * the exact one — the evaluation harness that closes the ANN loop:
     * every index here ([[annTopK]], [[annTopKMultiProbe]],

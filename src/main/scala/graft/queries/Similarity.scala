@@ -711,6 +711,48 @@ object Similarity {
        |  FROM scored)
        |WHERE rk <= 3 ORDER BY cid, rk""".stripMargin
 
+  // ---------------------------------------------------------------- q141
+  /** Batch-hard triplet mining over the labeled embeddings
+    * ([[graft.llm.VectorSearch.hardTriplets]]): per anchor, the
+    * least-similar same-label vector and most-similar other-label
+    * vector — the training pairs a contrastive embedding model would
+    * consume, mined inside the engine. The margin column is the
+    * quantity a triplet loss optimizes; negative margins mark label
+    * regions the current embedding already confuses.
+    */
+  def q141(spark: SparkSession, sfDir: String): DataFrame =
+    graft.llm.VectorSearch
+      .hardTriplets(emb(spark, sfDir), "vec_id", "embedding", "label")
+      .orderBy(col("va"))
+
+  val q141Sql: String =
+    s"""WITH nrm AS (
+       |  SELECT vec_id, label, embedding,
+       |    sqrt(${dotSqlDuck("embedding", "embedding")}) AS nrm
+       |  FROM embeddings CROSS JOIN range(0, 64) t(i) GROUP BY vec_id, label, embedding),
+       |p AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb,
+       |    ANY_VALUE(a.label) AS la, ANY_VALUE(b.label) AS lb,
+       |    (${dotSqlDuck("a.embedding", "b.embedding")}) / (ANY_VALUE(a.nrm) * ANY_VALUE(b.nrm)) AS cos
+       |  FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id
+       |  CROSS JOIN range(0, 64) t(i)
+       |  GROUP BY a.vec_id, b.vec_id),
+       |pos AS (
+       |  SELECT va, vb, cos FROM (
+       |    SELECT va, vb, cos,
+       |      ROW_NUMBER() OVER (PARTITION BY va ORDER BY cos ASC, vb) AS rn
+       |    FROM p WHERE la = lb) WHERE rn = 1),
+       |neg AS (
+       |  SELECT va, vb, cos FROM (
+       |    SELECT va, vb, cos,
+       |      ROW_NUMBER() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rn
+       |    FROM p WHERE la <> lb) WHERE rn = 1)
+       |SELECT pos.va, pos.vb AS pos_id, ROUND(pos.cos, 6) AS pos_cos,
+       |  neg.vb AS neg_id, ROUND(neg.cos, 6) AS neg_cos,
+       |  ROUND(neg.cos - pos.cos, 6) AS margin
+       |FROM pos JOIN neg ON pos.va = neg.va
+       |ORDER BY pos.va""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q31_cosine_knn", q31 _, Some(q31Sql)),
     ("q32_ann_lsh_buckets", q32 _, Some(q32Sql)),
@@ -725,6 +767,7 @@ object Similarity {
     ("q124_semantic_dedup", q124 _, Some(q124Sql)),
     ("q130_kcenter_coreset", q130 _, Some(q130Sql)),
     ("q134_ann_recall", q134 _, Some(q134Sql)),
-    ("q139_cluster_terms", q139 _, Some(q139Sql))
+    ("q139_cluster_terms", q139 _, Some(q139Sql)),
+    ("q141_hard_triplets", q141 _, Some(q141Sql))
   )
 }

@@ -520,6 +520,26 @@ class LlmApiSpec extends AnyFunSuite {
     assert(got(0.9) == ((1L, 0L, 0L))) // tp=(1,2); everything else below τ
   }
 
+  test("hardTriplets picks batch-hard pairs and drops singleton labels") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f), "a"),
+      (2L, Array(1f, 0.1f, 0f), "a"),   // close positive for 1
+      (3L, Array(0.7f, 0.7f, 0f), "a"), // farther positive for 1
+      (4L, Array(1f, 0.2f, 0f), "b"),   // near negative for 1
+      (5L, Array(0f, 0f, 1f), "b"),
+      (9L, Array(0f, 1f, 0f), "c"))     // singleton label: no positive
+      .toDF("vec_id", "embedding", "label")
+    val got = VectorSearch.hardTriplets(vecs, "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    // anchor 1: hardest positive = least-similar same-label (3, not 2);
+    // hardest negative = most-similar other-label (4, not 5 or 9? 9 is
+    // label c — eligible as negative; cos(1,9)=0 < cos(1,4))
+    assert(got(1L) == ((3L, 4L)))
+    assert(!got.contains(9L)) // singleton label has no positive side
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("distinctiveTerms ranks concentrated terms above shared ones") {
     import spark.implicits._
     val df = Seq(
