@@ -478,6 +478,42 @@ object VectorSearch {
         col("n.vb").as("nn"), col("n.cos").as("cos"))
   }
 
+  /** Per-label centroid drift between two embedding snapshots —
+    * distribution-shift monitoring for an embedding pipeline: when a
+    * re-embedding run (new model, new corpus slice) moves a label's
+    * centroid, downstream ANN indexes and k-means codebooks built on
+    * the old geometry degrade silently; this measures the move.
+    * drift² = Σ_dims (cA_d − cB_d)², with centroid means computed
+    * from exact decimal sums and the squared terms decimal-summed
+    * (order-independent — the q33 arithmetic discipline), so the
+    * number is engine-portable. Labels present in only one snapshot
+    * drop (inner join) — a disappearing label is schema drift, not
+    * centroid drift.
+    *
+    * Scale shape: each snapshot reduces to a (labels × dims)-row
+    * centroid table in one partially-aggregated shuffle; the
+    * comparison join and final per-label sum are codebook-sized.
+    * Output: labelCol, n_a, n_b, drift2 (rounded 6).
+    */
+  def centroidDrift(a: DataFrame, b: DataFrame, vecCol: String,
+                    labelCol: String): DataFrame = {
+    def cents(df: DataFrame) = df
+      .select(col(labelCol), posexplode(col(vecCol)).as(Seq("i", "x")))
+      .withColumn("x", col("x").cast("double"))
+      .groupBy(col(labelCol), col("i"))
+      .agg((sum(col("x").cast("decimal(38,12)")).cast("double") /
+        count(lit(1))).as("c"), count(lit(1)).as("n"))
+    val ca = cents(a).select(col(labelCol), col("i"),
+      col("c").as("ca"), col("n").as("na"))
+    val cb = cents(b).select(col(labelCol).as("__lb"), col("i").as("__ib"),
+      col("c").as("cb"), col("n").as("nb"))
+    ca.join(cb, ca(labelCol) === col("__lb") && col("i") === col("__ib"))
+      .groupBy(col(labelCol))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        round(sum(expr("cast((ca - cb) * (ca - cb) as decimal(38,12))"))
+          .cast("double"), 6).as("drift2"))
+  }
+
   /** Hard-triplet mining for contrastive/metric training (the
     * batch-hard strategy of Hermans et al. arXiv:1703.07737 §3, run
     * corpus-wide): for every anchor, the *hardest positive* is its

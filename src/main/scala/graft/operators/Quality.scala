@@ -31,6 +31,42 @@ object Quality {
   def compliance(p: Column): Column =
     round(count(when(p, 1)) / count(lit(1)).cast("double"), 6)
 
+  /** A declared foreign-key relationship: every non-null `factKey`
+    * value in `fact` must exist as `dimKey` in `dim`. */
+  final case class FkCheck(name: String, fact: DataFrame, factKey: String,
+                           dim: DataFrame, dimKey: String)
+
+  /** Cross-table referential-integrity audit — the multi-table
+    * complement of [[check]]: one row per declared FK with the fact
+    * row count, null-key count, and orphan count (non-null keys
+    * missing from the dimension). Null keys are reported separately,
+    * NOT as orphans — a null FK is a completeness problem, a dangling
+    * one a consistency problem, and at 100 TB they have different
+    * owners.
+    *
+    * Each check is one key-only left-anti join (fact shuffles its key
+    * column, the dimension its distinct key — never whole rows) plus
+    * one aggregation pass over the fact; checks are independent and
+    * their single-row results union. Output: constraint_name, n_rows,
+    * n_null_keys, n_orphans, passed — ordered by name.
+    */
+  def referentialIntegrity(checks: Seq[FkCheck]): DataFrame = {
+    require(checks.nonEmpty, "need at least one FK check")
+    checks.map { c =>
+      val orphans = c.fact.where(col(c.factKey).isNotNull)
+        .select(col(c.factKey).as("__k"))
+        .join(c.dim.select(col(c.dimKey).as("__k")).distinct(),
+          Seq("__k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      c.fact.agg(count(lit(1)).as("n_rows"),
+          count(when(col(c.factKey).isNull, 1)).as("n_null_keys"))
+        .crossJoin(orphans)
+        .select(lit(c.name).as("constraint_name"), col("n_rows"),
+          col("n_null_keys"), col("n_orphans"),
+          (col("n_orphans") === 0 && col("n_null_keys") === 0).as("passed"))
+    }.reduce(_ unionByName _).orderBy(col("constraint_name"))
+  }
+
   /** One row per constraint: `constraint_name`, `metric`, `passed`,
     * ordered by name.
     */

@@ -849,6 +849,61 @@ object Analytics {
        |FROM r3 ORDER BY rank_val DESC, node LIMIT 20""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q143
+  /** Referential-integrity audit across the whole star schema
+    * ([[graft.operators.Quality.referentialIntegrity]]): every
+    * declared FK edge checked in one run — row counts, null keys, and
+    * dangling (orphan) keys reported separately per edge. The
+    * cross-table complement of q88's single-table constraint suite;
+    * on a 100 TB lake this is the nightly consistency gate that
+    * catches a partially-loaded dimension before queries silently
+    * lose fact rows to inner joins.
+    */
+  def q143(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Quality.FkCheck
+    def tb(n: String) = t(spark, sfDir, n)
+    graft.operators.Quality.referentialIntegrity(Seq(
+      FkCheck("customer.c_nationkey->nation", tb("customer"), "c_nationkey",
+        tb("nation"), "n_nationkey"),
+      FkCheck("lineitem.l_orderkey->orders", tb("lineitem"), "l_orderkey",
+        tb("orders"), "o_orderkey"),
+      FkCheck("lineitem.l_partkey->part", tb("lineitem"), "l_partkey",
+        tb("part"), "p_partkey"),
+      FkCheck("lineitem.l_suppkey->supplier", tb("lineitem"), "l_suppkey",
+        tb("supplier"), "s_suppkey"),
+      FkCheck("nation.n_regionkey->region", tb("nation"), "n_regionkey",
+        tb("region"), "r_regionkey"),
+      FkCheck("orders.o_custkey->customer", tb("orders"), "o_custkey",
+        tb("customer"), "c_custkey"),
+      FkCheck("supplier.s_nationkey->nation", tb("supplier"), "s_nationkey",
+        tb("nation"), "n_nationkey")))
+  }
+
+  val q143Sql: String = {
+    def block(name: String, fact: String, fk: String,
+              dim: String, dk: String): String =
+      s"""SELECT '$name' AS constraint_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CASE WHEN f.__k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_keys,
+         |  CAST(SUM(CASE WHEN f.__k IS NOT NULL AND d.__dk IS NULL
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+         |FROM (SELECT $fk AS __k FROM $fact) f
+         |LEFT JOIN (SELECT DISTINCT $dk AS __dk FROM $dim) d ON f.__k = d.__dk""".stripMargin
+    val blocks = Seq(
+      block("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      block("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      block("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      block("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      block("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+      block("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      block("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+      .mkString("\nUNION ALL\n")
+    s"""SELECT constraint_name, n_rows, n_null_keys, n_orphans,
+       |  (n_null_keys = 0 AND n_orphans = 0) AS passed
+       |FROM (
+       |$blocks
+       |) ORDER BY constraint_name""".stripMargin
+  }
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q77_ordered_listagg", q77 _, Some(q77Sql)),
     ("q78_hll_mergeable", q78 _, Some(q78Sql)),
@@ -868,6 +923,7 @@ object Analytics {
     ("q103_join_skew_stats", q103 _, Some(q103Sql)),
     ("q110_column_profile_approx", q110 _, Some(q110Sql)),
     ("q136_bfs_min_hops", q136 _, Some(q136Sql)),
-    ("q140_personalized_pagerank", q140 _, Some(q140Sql))
+    ("q140_personalized_pagerank", q140 _, Some(q140Sql)),
+    ("q143_referential_integrity", q143 _, Some(q143Sql))
   )
 }

@@ -753,6 +753,41 @@ object Similarity {
        |FROM pos JOIN neg ON pos.va = neg.va
        |ORDER BY pos.va""".stripMargin
 
+  // ---------------------------------------------------------------- q142
+  /** Embedding-distribution drift between two corpus snapshots
+    * ([[graft.llm.VectorSearch.centroidDrift]]): per label, the
+    * squared L2 move of the centroid from the even-id half to the
+    * odd-id half (the id parity standing in for before/after a
+    * re-embedding run). The monitoring number that says when ANN
+    * indexes and codebooks built on the old geometry need a rebuild.
+    */
+  def q142(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    graft.llm.VectorSearch.centroidDrift(
+      e.where(col("vec_id") % 2 === 0), e.where(col("vec_id") % 2 === 1),
+      "embedding", "label")
+      .orderBy(col("label"))
+  }
+
+  val q142Sql: String =
+    """WITH dims AS (
+      |  SELECT vec_id, label, i, CAST(embedding[i+1] AS DOUBLE) AS x,
+      |    vec_id % 2 AS half
+      |  FROM embeddings CROSS JOIN range(0, 64) t(i)),
+      |cents AS (
+      |  SELECT label, half, i,
+      |    CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS c,
+      |    COUNT(*) AS n
+      |  FROM dims GROUP BY label, half, i),
+      |j AS (
+      |  SELECT a.label, a.i, a.c AS ca, b.c AS cb, a.n AS na, b.n AS nb
+      |  FROM cents a JOIN cents b
+      |    ON a.label = b.label AND a.i = b.i AND a.half = 0 AND b.half = 1)
+      |SELECT label, CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+      |  ROUND(CAST(SUM(CAST((ca - cb) * (ca - cb) AS DECIMAL(38,12))) AS DOUBLE), 6)
+      |    AS drift2
+      |FROM j GROUP BY label ORDER BY label""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q31_cosine_knn", q31 _, Some(q31Sql)),
     ("q32_ann_lsh_buckets", q32 _, Some(q32Sql)),
@@ -768,6 +803,7 @@ object Similarity {
     ("q130_kcenter_coreset", q130 _, Some(q130Sql)),
     ("q134_ann_recall", q134 _, Some(q134Sql)),
     ("q139_cluster_terms", q139 _, Some(q139Sql)),
-    ("q141_hard_triplets", q141 _, Some(q141Sql))
+    ("q141_hard_triplets", q141 _, Some(q141Sql)),
+    ("q142_centroid_drift", q142 _, Some(q142Sql))
   )
 }

@@ -390,4 +390,21 @@ class AnalyticsSpec extends AnyFunSuite {
       .collect().head
     assert(census.getLong(0) == 3 && census.getLong(1) == 1)
   }
+
+  test("referential integrity separates null keys from orphans") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Quality.FkCheck
+    val fact = Seq(Some(1L), Some(1L), Some(7L), None)
+      .toDF("fk") // 7 dangles, one null, 1 resolves twice
+    val dim = Seq(1L, 2L).toDF("pk")
+    val clean = Seq(Some(2L)).toDF("fk")
+    val got = graft.operators.Quality.referentialIntegrity(Seq(
+      FkCheck("fact.fk->dim", fact, "fk", dim, "pk"),
+      FkCheck("clean.fk->dim", clean, "fk", dim, "pk")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got("fact.fk->dim") == ((4L, 1L, 1L, false)))
+    assert(got("clean.fk->dim") == ((1L, 0L, 0L, true)))
+  }
 }
