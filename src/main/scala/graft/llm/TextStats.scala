@@ -88,6 +88,34 @@ object TextStats {
     df.withColumn("sample_bucket", pmod(GraftFunctions.polyHash(textCol), lit(buckets)))
   }
 
+  /** Deterministic weighted sampling without replacement — the
+    * Efraimidis–Spirakis A-ES scheme (arXiv:cs/0508091, the k-smallest
+    * -priority formulation) with a stable content hash standing in for
+    * the random draw: priority = key / weight, the k smallest win.
+    * Doubling a row's weight halves its priority, doubling its odds
+    * over the hash ensemble — while staying reproducible across runs,
+    * engines, and partitionings (the same trade [[withSampleBucket]]
+    * makes for the unweighted case). `keyCol` must be a deterministic
+    * non-negative hash of the row's content (e.g. `poly_hash`);
+    * weights must be positive.
+    *
+    * Shape at scale: orderBy+limit plans as TakeOrdered — per-
+    * partition k-heaps merged on the driver, no global sort, no
+    * shuffle of the losers. Output: rk, idCol, weightCol, pri
+    * (rounded 6; the rank window runs post-limit over k rows).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     keyCol: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pri"), col(idCol))
+    df.select(col(idCol), col(weightCol),
+        (col(keyCol).cast("double") / col(weightCol)).as("pri"))
+      .orderBy(col("pri"), col(idCol)).limit(k)
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .select(col("rk"), col(idCol), col(weightCol),
+        round(col("pri"), 6).as("pri"))
+  }
+
   /** Per-document n-gram repetition metrics — the Gopher-style
     * machine-text quality rules (published in Rae et al. 2021,
     * "Scaling Language Models: Methods, Analysis & Insights from

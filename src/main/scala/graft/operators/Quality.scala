@@ -67,6 +67,39 @@ object Quality {
     }.reduce(_ unionByName _).orderBy(col("constraint_name"))
   }
 
+  /** One-step k-anonymity generalization audit (Sweeney 2002): group
+    * sizes over the quasi-identifier tuple (`qiCoarse` + `qiFine`);
+    * groups of at least `k` rows publish as-is, smaller groups
+    * suppress `qiFine` (reported as NULL) and re-aggregate at the
+    * coarse level — the first rung of the generalization lattice. A
+    * generalized bucket can itself still be under k; it is flagged
+    * `at_risk` rather than climbing further (one documented step, not
+    * a full lattice search).
+    *
+    * Two partially-aggregated shuffles: one on the full QI tuple, one
+    * on the coarse prefix over the (already tiny) risky group list.
+    * Output: qiCoarse…, qiFine (null when generalized), n_rows,
+    * generalized, at_risk.
+    */
+  def kAnonymity(df: DataFrame, qiCoarse: Seq[String], qiFine: String,
+                 k: Long): DataFrame = {
+    require(qiCoarse.nonEmpty, "need at least one coarse quasi-identifier")
+    val counts = df.groupBy((qiCoarse :+ qiFine).map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+    val safe = counts.where(col("n_rows") >= k)
+      .withColumn("generalized", lit(false))
+      .withColumn("at_risk", lit(false))
+    val gen = counts.where(col("n_rows") < k)
+      .groupBy(qiCoarse.map(col): _*)
+      .agg(sum(col("n_rows")).as("n_rows"))
+      .withColumn(qiFine, lit(null).cast("string"))
+      .withColumn("generalized", lit(true))
+      .withColumn("at_risk", col("n_rows") < k)
+    safe.unionByName(gen)
+      .select((qiCoarse :+ qiFine).map(col) ++
+        Seq(col("n_rows"), col("generalized"), col("at_risk")): _*)
+  }
+
   /** One row per constraint: `constraint_name`, `metric`, `passed`,
     * ordered by name.
     */

@@ -1040,6 +1040,60 @@ object Text {
       |  CAST(ps[1] - 1 AS INT) AS first_pos
       |FROM m WHERE len(ps) > 0 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q144
+  /** Length-weighted deterministic document sample
+    * ([[graft.llm.TextStats.weightedSample]], Efraimidis–Spirakis
+    * A-ES with the content poly-hash as the draw): 50 docs, odds
+    * proportional to `n_chars` — the "sample by token mass, not by
+    * document count" selection a mixture builder wants, reproducible
+    * bit-for-bit. TakeOrdered shape: per-partition heaps, no global
+    * sort.
+    */
+  def q144(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    graft.llm.TextStats.weightedSample(
+      d.withColumn("hv", graft.functions.GraftFunctions.polyHash("text")),
+      "doc_id", "n_chars", "hv", k = 50)
+  }
+
+  val q144Sql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, n_chars, ${graft.functions.PolyHash.duckdbSql("text")} AS hv
+       |  FROM documents),
+       |p AS (SELECT doc_id, n_chars, CAST(hv AS DOUBLE) / n_chars AS pri FROM h)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY pri, doc_id) AS INT) AS rk,
+       |  doc_id, n_chars, ROUND(pri, 6) AS pri
+       |FROM p ORDER BY pri, doc_id LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------- q145
+  /** k-anonymity audit over the (lang, source) quasi-identifiers
+    * ([[graft.operators.Quality.kAnonymity]], k = 5): publishable
+    * group sizes, with under-k groups suppressing `source` and
+    * re-aggregating per language — the release-gate check a corpus
+    * with provenance columns needs before publication, and the
+    * privacy-side sibling of the q63 PII redaction pass.
+    */
+  def q145(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Quality
+      .kAnonymity(docs(spark, sfDir), Seq("lang"), "source", k = 5L)
+      .orderBy(col("lang"), coalesce(col("source"), lit("")))
+
+  val q145Sql: String =
+    """WITH c AS (
+      |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_rows
+      |  FROM documents GROUP BY lang, source),
+      |safe AS (
+      |  SELECT lang, source, n_rows, false AS generalized, false AS at_risk
+      |  FROM c WHERE n_rows >= 5),
+      |gen AS (
+      |  SELECT lang, CAST(NULL AS VARCHAR) AS source,
+      |    CAST(SUM(n_rows) AS BIGINT) AS n_rows, true AS generalized,
+      |    (CAST(SUM(n_rows) AS BIGINT) < 5) AS at_risk
+      |  FROM c WHERE n_rows < 5 GROUP BY lang)
+      |SELECT * FROM (SELECT * FROM safe UNION ALL SELECT * FROM gen)
+      |ORDER BY lang, COALESCE(source, '')""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_token_stats", q34 _, Some(q34Sql)),
     ("q35_lang_id_confusion", q35 _, Some(q35Sql)),
@@ -1065,6 +1119,8 @@ object Text {
     ("q127_temperature_mixture", q127 _, Some(q127Sql)),
     ("q128_tokenize_pack", q128 _, Some(q128Sql)),
     ("q133_lm_examples", q133 _, Some(q133Sql)),
-    ("q137_phrase_search", q137 _, Some(q137Sql))
+    ("q137_phrase_search", q137 _, Some(q137Sql)),
+    ("q144_weighted_sample", q144 _, Some(q144Sql)),
+    ("q145_k_anonymity", q145 _, Some(q145Sql))
   )
 }

@@ -407,4 +407,22 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got("fact.fk->dim") == ((4L, 1L, 1L, false)))
     assert(got("clean.fk->dim") == ((1L, 0L, 0L, true)))
   }
+
+  test("kAnonymity generalizes under-k groups and flags residual risk") {
+    val s = spark
+    import s.implicits._
+    // lang a: (s1 ×3 safe with k=3), (s2 ×1, s3 ×1 → generalize to 2,
+    // still < 3 → at_risk). lang b: (s1 ×2, s2 ×1 → generalize to 3, safe).
+    val df = Seq(("a", "s1"), ("a", "s1"), ("a", "s1"), ("a", "s2"),
+      ("a", "s3"), ("b", "s1"), ("b", "s1"), ("b", "s2"))
+      .toDF("lang", "source")
+    val got = graft.operators.Quality.kAnonymity(df, Seq("lang"), "source", k = 3L)
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1))) ->
+        ((r.getLong(2), r.getBoolean(3), r.getBoolean(4)))).toMap
+    assert(got(("a", Some("s1"))) == ((3L, false, false)))
+    assert(got(("a", None)) == ((2L, true, true))) // generalized, still < k
+    assert(got(("b", None)) == ((3L, true, false))) // generalized, now safe
+    assert(got.size == 3) // under-k fine groups never publish raw
+  }
 }

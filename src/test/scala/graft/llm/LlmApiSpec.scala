@@ -520,6 +520,17 @@ class LlmApiSpec extends AnyFunSuite {
     assert(got(0.9) == ((1L, 0L, 0L))) // tp=(1,2); everything else below τ
   }
 
+  test("weightedSample: priority = key/weight, weight raises the odds") {
+    import spark.implicits._
+    // same key, ×4 weight → quarter priority; ties break on id
+    val df = Seq((1L, 100L, 400L), (2L, 400L, 400L), (3L, 100L, 100L),
+      (4L, 100L, 100L)).toDF("id", "w", "hv")
+    val got = TextStats.weightedSample(df, "id", "w", "hv", k = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(3)))
+    // priorities: 1→4.0, 2→1.0, 3→1.0, 4→1.0; id tie-break orders 2,3,4
+    assert(got.toSeq == Seq((1, 2L, 1.0), (2, 3L, 1.0), (3, 4L, 1.0)))
+  }
+
   test("hardTriplets picks batch-hard pairs and drops singleton labels") {
     import spark.implicits._
     val vecs = Seq(
