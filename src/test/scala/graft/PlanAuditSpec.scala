@@ -32,7 +32,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "q110_column_profile_approx", // 1-row exact-distinct frames broadcast into the envelope checks
     "q115_pq_search", // PQ ADC scans every corpus CODE per query by design (codes, not vectors)
     "q127_temperature_mixture", // 1-row weight-total broadcast into the budget division (q100's shape)
-    "q133_lm_examples") // 1-row vocab-size broadcast into the negative-draw modulus
+    "q133_lm_examples", // 1-row vocab-size broadcast into the negative-draw modulus
+    "q134_ann_recall", // q31's exact baseline IS the eval ground truth (all-pairs by definition)
+    "q139_cluster_terms", // 1-row group-count broadcast into the idf (q66's shape)
+    "q141_hard_triplets", // declared-quadratic mining baseline (q31's shape; ANN-mined at scale)
+    "q143_referential_integrity") // 1-row orphan-count crossjoins assembling each audit row
 
   test("no declared query plans a cartesian product; BNLJ only where intended") {
     // streaming queries execute on materialization, not plan-inspectable
