@@ -694,6 +694,80 @@ object Events {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  // ---------------------------------------------------------------- q146
+  /** Multi-touch linear attribution with exact-cents allocation: each
+    * purchase's value (in integer cents) splits equally across the
+    * user's view/click touches in the preceding 7 days, remainder
+    * cents going to the EARLIEST touches (largest-remainder a.k.a.
+    * Hamilton apportionment with equal weights — q100's discipline,
+    * so Σ allocations ≡ purchase cents with zero rounding drift);
+    * purchases with no touch window report under '(none)'. The
+    * last-touch funnel (q26) answers "did they convert"; this answers
+    * "which touch types earn the revenue".
+    *
+    * Scale shape: the touch↔purchase match is a time-bounded interval
+    * join on user (the q39 family — bucket by (user, day) at 100 TB);
+    * the rank/count window partitions on purchase id, bounded by one
+    * purchase's 7-day touch neighborhood. Output is touch-type-sized.
+    */
+  def q146(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = ev(spark, sfDir)
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"), col("ts").as("pts"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+    val t = e.where(col("event_type").isin("view", "click"))
+      .select(col("event_id").as("tid"), col("user_id").as("tuid"),
+        col("ts").as("tts"), col("event_type").as("touch_type"))
+    val touchCond = col("user_id") === col("tuid") &&
+      col("tts") < col("pts") &&
+      col("tts") >= col("pts") - expr("INTERVAL 7 DAYS")
+    val byPurchase = Window.partitionBy(col("pid"))
+    val alloc = p.join(t, touchCond)
+      .withColumn("rk", row_number().over(
+        byPurchase.orderBy(col("tts"), col("tid"))))
+      .withColumn("n", count(lit(1)).over(byPurchase))
+      .select(col("touch_type"),
+        (expr("cents div n")
+          + when(col("rk") <= col("cents") % col("n"), 1L).otherwise(0L)).as("ac"))
+    val attributed = alloc
+      .groupBy(col("touch_type").as("event_type"))
+      .agg(count(lit(1)).as("n_touches"), sum(col("ac")).as("attributed_cents"))
+    val none = p.join(t, touchCond, "left_anti")
+      .agg(count(lit(1)).as("n_touches"), sum(col("cents")).as("attributed_cents"))
+      .select(lit("(none)").as("event_type"), col("n_touches"),
+        col("attributed_cents"))
+    attributed.unionByName(none).orderBy(col("event_type"))
+  }
+
+  val q146Sql: String =
+    """WITH p AS (
+      |  SELECT event_id AS pid, user_id, ts AS pts,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |t AS (
+      |  SELECT event_id AS tid, user_id, ts AS tts, event_type
+      |  FROM events WHERE event_type IN ('view', 'click')),
+      |j AS (
+      |  SELECT p.pid, p.cents, t.event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY p.pid ORDER BY t.tts, t.tid) AS rk,
+      |    COUNT(*) OVER (PARTITION BY p.pid) AS n
+      |  FROM p JOIN t ON p.user_id = t.user_id
+      |    AND t.tts < p.pts AND t.tts >= p.pts - INTERVAL 7 DAY),
+      |a AS (
+      |  SELECT event_type,
+      |    cents // n + CASE WHEN rk <= cents % n THEN 1 ELSE 0 END AS ac
+      |  FROM j)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+      |  CAST(SUM(ac) AS BIGINT) AS attributed_cents
+      |FROM a GROUP BY event_type
+      |UNION ALL
+      |SELECT '(none)', CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(cents) AS BIGINT)
+      |FROM p WHERE NOT EXISTS (
+      |  SELECT 1 FROM t WHERE t.user_id = p.user_id
+      |    AND t.tts < p.pts AND t.tts >= p.pts - INTERVAL 7 DAY)
+      |ORDER BY event_type""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_events_json_stats", q23 _, Some(q23Sql)),
     ("q24_events_daily_window", q24 _, Some(q24Sql)),
@@ -712,6 +786,7 @@ object Events {
     ("q99_sliding_mau_sketch", q99 _, Some(q99Sql)),
     ("q107_pit_join", q107 _, Some(q107Sql)),
     ("q117_partition_pruning", q117 _, Some(q117Sql)),
-    ("q132_asof_custom_exec", q132 _, Some(q38Sql))
+    ("q132_asof_custom_exec", q132 _, Some(q38Sql)),
+    ("q146_multitouch_attribution", q146 _, Some(q146Sql))
   )
 }

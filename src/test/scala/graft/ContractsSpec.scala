@@ -40,4 +40,17 @@ class ContractsSpec extends AnyFunSuite {
     assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
     spark.catalog.dropTempView("contracts_daily")
   }
+
+  test("q146 attribution conserves every purchase cent") {
+    val sfDir = "/root/testdata/sf0.001"
+    val attributed = queries.Events.q146(spark, sfDir)
+      .agg(sum(col("attributed_cents"))).collect().head.getLong(0)
+    val total = Tables.load(spark, sfDir, "events")
+      .where(col("event_type") === "purchase")
+      .agg(sum(round(col("value") * 100).cast("bigint")))
+      .collect().head.getLong(0)
+    // Hamilton largest-remainder split: allocations sum EXACTLY to the
+    // purchase total — no rounding drift in either direction
+    assert(attributed == total)
+  }
 }
