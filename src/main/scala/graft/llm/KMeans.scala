@@ -111,4 +111,54 @@ object KMeans {
     assigned.groupBy(col("cid").as("cluster_id"))
       .agg(count(lit(1)).as("n"), min(col(idCol)).as("rep_id"),
         sum(col("d2")).as("wss"))
+
+  /** Incremental codebook maintenance from sufficient statistics —
+    * the clustering member of the engine's incremental family (exact
+    * hash store q113, signature store q109, streaming cycle): a
+    * codebook trained on `hist` absorbs a new `batch` WITHOUT
+    * rescanning history, because per-cluster coordinate sums and
+    * counts are a sufficient statistic for the Lloyd update. Both
+    * halves assign in-row against the trained centroid literals; the
+    * refreshed centroid is `(hist_sum + batch_sum) div (n_h + n_b)`
+    * per dimension (exact lattice arithmetic, identical to a full
+    * Lloyd round over the union), and `move2` = Σ_d (new_d − old_d)²
+    * reports how far each center moved — the rebuild-trigger signal,
+    * the codebook-side twin of [[VectorSearch.centroidDrift]].
+    *
+    * Scale shape: training sees only `hist` (at refresh time: only
+    * its stored stats); the batch pass is one in-row assignment +
+    * one (k×dims)-group partial-agg shuffle. At 100 TB the (cid, d,
+    * sum, n) table IS the store — k×dims rows, re-read per refresh
+    * while the history vectors stay cold.
+    * Output: cid, n_hist, n_batch (0 for unrefreshed clusters),
+    * move2.
+    */
+  def incrementalSummary(hist: DataFrame, batch: DataFrame,
+                         idCol: String, vecCol: String,
+                         k: Int = 8, passes: Int = 2): DataFrame = {
+    val cents = train(hist, idCol, vecCol, k, passes)
+    def stats(df: DataFrame) = df
+      .select(col(idCol), quantize(col(vecCol)).as("sv"))
+      .select(col("sv"), assignExpr(col("sv"), cents).getField("cid").as("cid"))
+      .select(col("cid"), posexplode(col("sv")).as(Seq("d", "v")))
+      .groupBy(col("cid"), col("d"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+    val h = stats(hist)
+      .select(col("cid"), col("d"), col("s").as("hs"), col("n").as("hn"))
+    val b = stats(batch)
+      .select(col("cid").as("bcid"), col("d").as("bd"),
+        col("s").as("bs"), col("n").as("bn"))
+    import hist.sparkSession.implicits._
+    val old = cents.flatMap { case (cid, m) =>
+      m.zipWithIndex.map { case (v, d) => (cid, d, v) }
+    }.toDF("ocid", "od", "old")
+    h.join(b, col("cid") === col("bcid") && col("d") === col("bd"), "left")
+      .join(broadcast(old), col("cid") === col("ocid") && col("d") === col("od"))
+      .withColumn("nd",
+        expr("(hs + coalesce(bs, 0L)) div (hn + coalesce(bn, 0L))"))
+      .groupBy(col("cid"))
+      .agg(max(col("hn")).as("n_hist"),
+        max(coalesce(col("bn"), lit(0L))).as("n_batch"),
+        sum((col("nd") - col("old")) * (col("nd") - col("old"))).as("move2"))
+  }
 }

@@ -788,6 +788,93 @@ object Similarity {
       |    AS drift2
       |FROM j GROUP BY label ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------- q147
+  /** Incremental k-means codebook maintenance
+    * ([[graft.llm.KMeans.incrementalSummary]]): the codebook trains on
+    * the even-id half, then absorbs the odd-id batch from sufficient
+    * statistics alone — history sums + counts, never a history rescan
+    * — and reports each center's exact squared move. Completes the
+    * incremental-maintenance family (q113 exact store, q109/q122
+    * signature stores, streaming cycle) for the clustering tier, and
+    * pairs with q142: drift says the data moved, move2 says how far
+    * the codebook must follow.
+    */
+  def q147(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    graft.llm.KMeans.incrementalSummary(
+      e.where(col("vec_id") % 2 === 0), e.where(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", k = 8, passes = 2)
+      .orderBy(col("cid"))
+  }
+
+  val q147Sql: String =
+    """WITH sv AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS sv
+      |  FROM embeddings),
+      |sve AS (SELECT * FROM sv WHERE vec_id % 2 = 0),
+      |svo AS (SELECT * FROM sv WHERE vec_id % 2 = 1),
+      |c0 AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid, sv AS m
+      |  FROM (SELECT * FROM sve ORDER BY vec_id LIMIT 8)),
+      |d1 AS (
+      |  SELECT v.vec_id, c.cid,
+      |    CAST(SUM((v.sv[i+1] - c.m[i+1]) * (v.sv[i+1] - c.m[i+1])) AS BIGINT) AS d2
+      |  FROM sve v CROSS JOIN c0 c CROSS JOIN range(0, 64) r(i)
+      |  GROUP BY v.vec_id, c.cid),
+      |a1 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |    FROM d1) WHERE rn = 1),
+      |c1 AS (
+      |  SELECT cid, list(m ORDER BY d) AS m FROM (
+      |    SELECT a.cid, r.i AS d,
+      |      CAST(SUM(v.sv[r.i+1]) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS m
+      |    FROM a1 a JOIN sve v USING (vec_id) CROSS JOIN range(0, 64) r(i)
+      |    GROUP BY a.cid, r.i)
+      |  GROUP BY cid),
+      |d2e AS (
+      |  SELECT v.vec_id, c.cid,
+      |    CAST(SUM((v.sv[i+1] - c.m[i+1]) * (v.sv[i+1] - c.m[i+1])) AS BIGINT) AS d2
+      |  FROM sve v CROSS JOIN c1 c CROSS JOIN range(0, 64) r(i)
+      |  GROUP BY v.vec_id, c.cid),
+      |a2e AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |    FROM d2e) WHERE rn = 1),
+      |d2o AS (
+      |  SELECT v.vec_id, c.cid,
+      |    CAST(SUM((v.sv[i+1] - c.m[i+1]) * (v.sv[i+1] - c.m[i+1])) AS BIGINT) AS d2
+      |  FROM svo v CROSS JOIN c1 c CROSS JOIN range(0, 64) r(i)
+      |  GROUP BY v.vec_id, c.cid),
+      |a2o AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |    FROM d2o) WHERE rn = 1),
+      |hist AS (
+      |  SELECT a.cid, r.i AS d, CAST(SUM(v.sv[r.i+1]) AS BIGINT) AS s,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM a2e a JOIN sve v USING (vec_id) CROSS JOIN range(0, 64) r(i)
+      |  GROUP BY a.cid, r.i),
+      |bat AS (
+      |  SELECT a.cid, r.i AS d, CAST(SUM(v.sv[r.i+1]) AS BIGINT) AS s,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM a2o a JOIN svo v USING (vec_id) CROSS JOIN range(0, 64) r(i)
+      |  GROUP BY a.cid, r.i),
+      |upd AS (
+      |  SELECT h.cid, h.d, h.n AS hn, COALESCE(b.n, 0) AS bn,
+      |    (h.s + COALESCE(b.s, 0)) // (h.n + COALESCE(b.n, 0)) AS nd
+      |  FROM hist h LEFT JOIN bat b ON h.cid = b.cid AND h.d = b.d)
+      |SELECT u.cid, CAST(MAX(u.hn) AS BIGINT) AS n_hist,
+      |  CAST(MAX(u.bn) AS BIGINT) AS n_batch,
+      |  CAST(SUM((u.nd - c.m[u.d+1]) * (u.nd - c.m[u.d+1])) AS BIGINT) AS move2
+      |FROM upd u JOIN c1 c ON u.cid = c.cid
+      |GROUP BY u.cid ORDER BY u.cid""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q31_cosine_knn", q31 _, Some(q31Sql)),
     ("q32_ann_lsh_buckets", q32 _, Some(q32Sql)),
@@ -804,6 +891,7 @@ object Similarity {
     ("q134_ann_recall", q134 _, Some(q134Sql)),
     ("q139_cluster_terms", q139 _, Some(q139Sql)),
     ("q141_hard_triplets", q141 _, Some(q141Sql)),
-    ("q142_centroid_drift", q142 _, Some(q142Sql))
+    ("q142_centroid_drift", q142 _, Some(q142Sql)),
+    ("q147_incremental_kmeans", q147 _, Some(q147Sql))
   )
 }

@@ -520,6 +520,34 @@ class LlmApiSpec extends AnyFunSuite {
     assert(got(0.9) == ((1L, 0L, 0L))) // tp=(1,2); everything else below τ
   }
 
+  test("incremental k-means equals the full recompute over the union") {
+    val hist = embs.where(col("vec_id") % 2 === 0)
+    val batch = embs.where(col("vec_id") % 2 === 1)
+    val inc = KMeans.incrementalSummary(hist, batch, "vec_id", "embedding",
+        k = 4, passes = 2)
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    // the sufficient-statistic claim: history sums + batch sums give
+    // the SAME refreshed centroids as one Lloyd update computed from
+    // scratch over the union under the hist-trained codebook
+    val cents = KMeans.train(hist, "vec_id", "embedding", k = 4, passes = 2)
+    val sv = hist.unionByName(batch)
+      .select(col("vec_id"), KMeans.quantize(col("embedding")).as("sv"))
+    val nd = KMeans.assignWith(hist.unionByName(batch), "vec_id", "embedding", cents)
+      .join(sv, "vec_id")
+      .select(col("cid"), posexplode(col("sv")).as(Seq("d", "v")))
+      .groupBy(col("cid"), col("d"))
+      .agg(expr("sum(v) div count(1)").as("nd"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val full = cents.map { case (cid, m) =>
+      cid -> m.zipWithIndex.collect {
+        case (old, d) if nd.contains((cid, d)) =>
+          val diff = nd((cid, d)) - old; diff * diff
+      }.sum
+    }.toMap.filter { case (cid, _) => inc.contains(cid) }
+    assert(inc == full)
+    assert(inc.nonEmpty)
+  }
+
   test("weightedSample: priority = key/weight, weight raises the odds") {
     import spark.implicits._
     // same key, ×4 weight → quarter priority; ties break on id
