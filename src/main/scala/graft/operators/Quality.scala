@@ -67,6 +67,35 @@ object Quality {
     }.reduce(_ unionByName _).orderBy(col("constraint_name"))
   }
 
+  /** Approximate-functional-dependency audit (the g₃ error of
+    * Kivinen & Mannila 1995): does `lhs` determine `rhs`? Per `lhs`
+    * value, the majority `rhs` is the dependency's repair target and
+    * every other row is a violation — g₃ is exactly the minimum
+    * fraction of rows to delete for the FD to hold exactly. The
+    * value-level sibling of [[referentialIntegrity]]'s key-level
+    * audit: RI says the key resolves, this says the attribute is
+    * consistent (one source shouldn't span five languages).
+    *
+    * One partial-agg shuffle on (lhs, rhs), then a window over the
+    * (lhs, rhs)-distinct count table — value-pair-sized, not
+    * row-sized; majority ties break toward the smaller `rhs`.
+    * Output: lhs, n_rows, n_rhs, majority_<rhs>, n_violations,
+    * g3 (violation rate, rounded 6).
+    */
+  def functionalDependency(df: DataFrame, lhs: String, rhs: String): DataFrame = {
+    val counts = df.groupBy(col(lhs), col(rhs)).agg(count(lit(1)).as("cnt"))
+    val ranked = counts.withColumn("rk",
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(lhs)).orderBy(col("cnt").desc, col(rhs))))
+    ranked.groupBy(col(lhs))
+      .agg(sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_rhs"),
+        max(when(col("rk") === 1, col(rhs))).as(s"majority_$rhs"),
+        sum(when(col("rk") =!= 1, col("cnt")).otherwise(0L)).as("n_violations"))
+      .withColumn("g3", round(col("n_violations") / col("n_rows"), 6))
+  }
+
   /** One-step k-anonymity generalization audit (Sweeney 2002): group
     * sizes over the quasi-identifier tuple (`qiCoarse` + `qiFine`);
     * groups of at least `k` rows publish as-is, smaller groups

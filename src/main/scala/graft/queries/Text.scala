@@ -1094,6 +1094,35 @@ object Text {
       |SELECT * FROM (SELECT * FROM safe UNION ALL SELECT * FROM gen)
       |ORDER BY lang, COALESCE(source, '')""".stripMargin
 
+  // ---------------------------------------------------------------- q148
+  /** Does `source` determine `lang`? The approximate-FD audit
+    * ([[graft.operators.Quality.functionalDependency]], g₃ error) over
+    * the documents provenance columns: per source, the majority
+    * language and the exact fraction of rows breaking the dependency.
+    * On a crawl corpus this is the "one feed, one language" sanity
+    * check whose violations are exactly the mislabeled-language
+    * candidates the q35 classifier should re-score.
+    */
+  def q148(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Quality
+      .functionalDependency(docs(spark, sfDir), "source", "lang")
+      .orderBy(col("source"))
+
+  val q148Sql: String =
+    """WITH c AS (
+      |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM documents GROUP BY source, lang),
+      |r AS (
+      |  SELECT source, lang, cnt,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, lang) AS rk
+      |  FROM c)
+      |SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rhs,
+      |  MAX(CASE WHEN rk = 1 THEN lang END) AS majority_lang,
+      |  CAST(SUM(CASE WHEN rk <> 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_violations,
+      |  ROUND(SUM(CASE WHEN rk <> 1 THEN cnt ELSE 0 END) / CAST(SUM(cnt) AS DOUBLE), 6) AS g3
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_token_stats", q34 _, Some(q34Sql)),
     ("q35_lang_id_confusion", q35 _, Some(q35Sql)),
@@ -1121,6 +1150,7 @@ object Text {
     ("q133_lm_examples", q133 _, Some(q133Sql)),
     ("q137_phrase_search", q137 _, Some(q137Sql)),
     ("q144_weighted_sample", q144 _, Some(q144Sql)),
-    ("q145_k_anonymity", q145 _, Some(q145Sql))
+    ("q145_k_anonymity", q145 _, Some(q145Sql)),
+    ("q148_fd_audit", q148 _, Some(q148Sql))
   )
 }
