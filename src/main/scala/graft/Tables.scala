@@ -38,21 +38,41 @@ object Tables {
     if (name == "events") loadEvents(spark, sfDir) else
       spark.read.parquet(path(sfDir, name))
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * infer as a timestamp. An explicit schema reads the INT64 physical
-    * column as a raw nanosecond long (no session conf mutation), which we
-    * truncate to microseconds — the same truncation Spark ≤3.x applied
-    * implicitly, and what every oracle query assumes.
+  /** `events.ts` has shipped with two different parquet logical types
+    * across testdata drops: TIMESTAMP(MICROS) (current), which Spark
+    * reads natively, and TIMESTAMP(NANOS), which Spark 4 refuses to
+    * infer (`Illegal Parquet type` at schema inference). Never hard-code
+    * the unit: try the native read and keep it when `ts` arrives as a
+    * real timestamp; otherwise fall back to an explicit schema that
+    * reads the INT64 physical column as a raw nanosecond long and
+    * truncates to microseconds — the truncation Spark ≤3.x applied
+    * implicitly for NANOS data. Both paths are pinned by fixtures in
+    * `TablesSpec` and the real testdata by `TestdataCanarySpec`.
     */
   private val eventsRawSchema = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  private def loadEvents(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.schema(eventsRawSchema).parquet(path(sfDir, "events"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = path(sfDir, "events")
+    val native = scala.util.Try(spark.read.parquet(p)).toOption.flatMap { df =>
+      df.schema("ts").dataType match {
+        case TimestampType => Some(df)
+        // parquet isAdjustedToUTC=false infers as NTZ; the session TZ is
+        // pinned to UTC everywhere (Sessions/HiveSessions), so the cast
+        // maps wall-clock to the identical instant — same values the
+        // DuckDB oracle sees reading the file as a naive timestamp.
+        case TimestampNTZType =>
+          Some(df.withColumn("ts", col("ts").cast(TimestampType)))
+        case _ => None // raw int64 (NANOS-era physical long) → fallback
+      }
+    }
+    native.getOrElse {
+      spark.read.schema(eventsRawSchema).parquet(p)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }.select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
 
   /** Register every test table as a temp view named after the table. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

@@ -31,7 +31,8 @@ final case class UserCounts(user_id: Long, n_events: Long,
 object EventStreams {
 
   /** Streaming source over the driver-generated events parquet, same
-    * ns→µs timestamp normalization as [[Tables.loadEvents]].
+    * timestamp-unit robustness as [[Tables.loadEvents]] (see
+    * [[nativeSchema]]).
     *
     * The file source wants a *directory* it can watch for arriving
     * files; the test table is a single parquet file, so it is staged
@@ -49,6 +50,38 @@ object EventStreams {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** The file stream source requires an explicit schema, so the unit
+    * robustness of [[Tables.loadEvents]] is reproduced by probing the
+    * source file ONCE with a batch read: if Spark infers a native
+    * timestamp (µs data; NTZ when isAdjustedToUTC=false), stream with
+    * that inferred schema and cast to TimestampType (identity under the
+    * UTC session TZ); otherwise fall back to the raw-int64 ns read.
+    * Cached per file — one footer read per source per process.
+    */
+  private val probedSchemas =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[StructType]]()
+
+  private def nativeSchema(spark: SparkSession, src: String): Option[StructType] =
+    probedSchemas.computeIfAbsent(src, { _ =>
+      scala.util.Try(spark.read.parquet(src).schema).toOption.filter { s =>
+        s("ts").dataType == TimestampType || s("ts").dataType == TimestampNTZType
+      }
+    })
+
+  private def readEvents(spark: SparkSession, src: String, dir: String,
+                         maxFilesPerTrigger: Option[Int]): DataFrame = {
+    var reader = spark.readStream
+    maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
+    nativeSchema(spark, src) match {
+      case Some(s) =>
+        reader.schema(s).parquet(dir)
+          .withColumn("ts", col("ts").cast(TimestampType))
+      case None =>
+        reader.schema(rawEventSchema).parquet(dir)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
+  }
+
   def source(spark: SparkSession, sfDir: String): DataFrame = {
     val src = Tables.path(sfDir, "events")
     val dir = stagedSources.computeIfAbsent(src, { _ =>
@@ -59,8 +92,7 @@ object EventStreams {
       d.toFile.deleteOnExit()
       d
     })
-    spark.readStream.schema(rawEventSchema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    readEvents(spark, src, dir.toString, None)
   }
 
   /** [[source]] plus FLUSH SENTINEL files: far-future (-1)-user rows,
@@ -95,15 +127,26 @@ object EventStreams {
       java.nio.file.Files.setLastModifiedTime(d.resolve("events-000.parquet"),
         java.nio.file.attribute.FileTime.fromMillis(
           System.currentTimeMillis() - 60000L))
-      // sentinel: 2100-01-01 (ns), far past any synthetic event time
-      val ns = 4102444800L * 1000000000L
+      // sentinel: 2100-01-01, far past any synthetic event time —
+      // written in the SAME unit/type as the probed source so the one
+      // explicit stream schema reads every file in the directory
       import spark.implicits._
       val out = java.nio.file.Files.createTempDirectory("graft-flush-out")
       Seq(1, 2).foreach { k =>
-        Seq((-(2L * k - 1), ns, -1L, "click", 0.0, "{}"),
-            (-(2L * k), ns, -1L, "view", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.mode("overwrite").parquet(out.toString)
+        val sentinel = nativeSchema(spark, src) match {
+          case Some(s) =>
+            val t = java.time.LocalDateTime.of(2100, 1, 1, 0, 0)
+            Seq((-(2L * k - 1), t, -1L, "click", 0.0, "{}"),
+                (-(2L * k), t, -1L, "view", 0.0, "{}"))
+              .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+              .withColumn("ts", col("ts").cast(s("ts").dataType))
+          case None =>
+            val ns = 4102444800L * 1000000000L
+            Seq((-(2L * k - 1), ns, -1L, "click", 0.0, "{}"),
+                (-(2L * k), ns, -1L, "view", 0.0, "{}"))
+              .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        }
+        sentinel.coalesce(1).write.mode("overwrite").parquet(out.toString)
         val part = java.nio.file.Files.list(out)
           .filter(p => p.getFileName.toString.endsWith(".parquet"))
           .findFirst.get
@@ -119,10 +162,7 @@ object EventStreams {
       d.toFile.deleteOnExit()
       d
     })
-    spark.readStream.schema(rawEventSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    readEvents(spark, src, dir.toString, Some(1))
   }
 
   // --- transform builders (stream/batch agnostic) ----------------------

@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins BOTH unit paths of `Tables.loadEvents` with tiny fixture files,
+  * so a testdata-format drift (the round-7 regression: driver moved
+  * `events.ts` from TIMESTAMP(NANOS) to TIMESTAMP(MICROS) and the
+  * loader kept dividing by 1000) can never again pass `sbt test` while
+  * the oracle goes red.
+  *
+  *  - µs fixture: written here by Spark with TIMESTAMP_MICROS output —
+  *    must round-trip values exactly through the native path.
+  *  - ns fixture: committed under test resources with a true parquet
+  *    TIMESTAMP(NANOS) logical type (Spark 4 refuses to infer it) —
+  *    must arrive µs-truncated through the raw-int64 fallback.
+  */
+class TablesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.hive
+  import spark.implicits._
+
+  test("native path: TIMESTAMP(MICROS) events round-trip exactly") {
+    val dir = Files.createTempDirectory("graft-events-us").toString
+    val ts = Timestamp.valueOf("2024-03-05 12:34:56.654321")
+    val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+      Seq((1L, ts, 7L, "view", 1.5, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+    val got = Tables.load(spark, dir, "events").collect()
+    assert(got.length == 1)
+    assert(got(0).getTimestamp(1) == ts)
+  }
+
+  test("native path: TIMESTAMP_NTZ events cast to UTC instants") {
+    val dir = Files.createTempDirectory("graft-events-ntz").toString
+    // the driver's testdata is TIMESTAMP(MICROS) isAdjustedToUTC=false,
+    // which Spark infers as TIMESTAMP_NTZ — model that exactly
+    Seq((1L, java.time.LocalDateTime.parse("2024-03-05T12:34:56.654321"),
+         7L, "view", 1.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Tables.load(spark, dir, "events").collect()
+    assert(got.length == 1)
+    assert(got(0).getTimestamp(1).toInstant ==
+      java.time.Instant.parse("2024-03-05T12:34:56.654321Z"))
+  }
+
+  test("fallback path: TIMESTAMP(NANOS) fixture arrives µs-truncated") {
+    val dir = new java.io.File(
+      getClass.getResource("/fixtures/events_ns").toURI).getAbsolutePath
+    val ev = Tables.load(spark, dir, "events")
+    assert(ev.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val agg = ev.agg(
+      count(lit(1)).as("n"),
+      countDistinct(to_date($"ts")).as("days"),
+      min($"ts").as("mn")).collect()(0)
+    assert(agg.getLong(0) == 5L)
+    assert(agg.getLong(1) == 3L)
+    // fixture row 1 is 2024-01-01T00:00:00.123456789Z → truncated to µs
+    assert(agg.getTimestamp(2).toInstant ==
+      java.time.Instant.parse("2024-01-01T00:00:00.123456Z"))
+  }
+}
+
+/** Real-testdata canary: reads the driver-generated events table through
+  * the same `Tables.load` the whole query inventory uses and asserts
+  * pinned invariants of the dataset itself (30 distinct days, Jan 2024,
+  * non-empty). Round 7 proved the need: 228 synthetic-data tests stayed
+  * green while all 23 events-touching oracle queries were red.
+  */
+class TestdataCanarySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.hive
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("sf0.001 events spans 30 distinct 2024 days through Tables.load") {
+    assume(new java.io.File(s"$sfDir/events.parquet").exists(),
+      "driver testdata not present")
+    val agg = Tables.load(spark, sfDir, "events").agg(
+      count(lit(1)).as("n"),
+      countDistinct(to_date($"ts")).as("days"),
+      year(min($"ts")).as("y_min"),
+      year(max($"ts")).as("y_max")).collect()(0)
+    assert(agg.getLong(0) > 0L)
+    assert(agg.getLong(1) == 30L, "events must span 30 distinct days")
+    assert(agg.getInt(2) == 2024 && agg.getInt(3) == 2024)
+  }
+}
