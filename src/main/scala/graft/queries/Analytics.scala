@@ -904,6 +904,45 @@ object Analytics {
        |) ORDER BY constraint_name""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q153
+  /** Schema evolution across parquet batches (`mergeSchema`): batch 1
+    * is written before a column existed, batch 2 adds `o_prio`; one
+    * merged read spans both, with the missing column null-filled for
+    * pre-evolution rows. This is the on-disk reality of any long-lived
+    * 100 TB table — columns get added mid-history and a reader must
+    * union the footers' schemas instead of requiring a rewrite of
+    * petabytes of old files.
+    *
+    * Scale note: `mergeSchema` reconciles FOOTERS (one small read per
+    * file at planning time), not data; the scan itself stays pruned and
+    * pushed-down. The oracle recomputes the same aggregate from the
+    * unevolved source table — layout/history must be invisible to
+    * results.
+    */
+  def q153(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.scratchDir(spark, "schevo", sfDir)
+    val orders = t(spark, sfDir, "orders")
+    orders.where(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$base/batch1")
+    orders.where(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority").as("o_prio"))
+      .write.mode("overwrite").parquet(s"$base/batch2")
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$base/batch1", s"$base/batch2")
+      .groupBy(coalesce(col("o_prio"), lit("<pre-evolution>")).as("prio"))
+      .agg(count(lit(1)).as("n"), Num.dsum(col("o_totalprice"), 2).as("sum_price"))
+      .orderBy(col("prio"))
+  }
+
+  val q153Sql: String =
+    s"""SELECT
+       |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+       |       ELSE '<pre-evolution>' END AS prio,
+       |  COUNT(*) AS n, ${Num.dsumSql("o_totalprice", 2)} AS sum_price
+       |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q77_ordered_listagg", q77 _, Some(q77Sql)),
     ("q78_hll_mergeable", q78 _, Some(q78Sql)),
@@ -924,6 +963,7 @@ object Analytics {
     ("q110_column_profile_approx", q110 _, Some(q110Sql)),
     ("q136_bfs_min_hops", q136 _, Some(q136Sql)),
     ("q140_personalized_pagerank", q140 _, Some(q140Sql)),
-    ("q143_referential_integrity", q143 _, Some(q143Sql))
+    ("q143_referential_integrity", q143 _, Some(q143Sql)),
+    ("q153_schema_evolution", q153 _, Some(q153Sql))
   )
 }

@@ -11,9 +11,11 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * [[graft.streaming.EventStreams]]; these batch forms are the
   * oracle-checkable versions.
   *
-  * `events.ts` is nanosecond-precision parquet; Spark truncates to µs
-  * while DuckDB keeps ns — so every oracle-checked query truncates `ts`
-  * to full seconds (or coarser) before any comparison or output.
+  * `events.ts` has drifted between parquet logical types across
+  * testdata drops (ns, then µs) — [[graft.Tables.loadEvents]] probes
+  * the file's actual type. Oracle-checked queries still truncate `ts`
+  * to full seconds (or coarser) before any comparison or output, so
+  * results are unit-insensitive by construction.
   */
 object Events {
   private def ev(spark: SparkSession, sfDir: String): DataFrame =
@@ -768,6 +770,69 @@ object Events {
       |    AND t.tts < p.pts AND t.tts >= p.pts - INTERVAL 7 DAY)
       |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q150
+  /** Purged time-series cross-validation folds with a 1-day embargo
+    * (López de Prado's purged k-fold, the leakage-safe temporal
+    * counterpart of q119's cluster-level split): the event span is cut
+    * into 5 contiguous day-range test folds, and for each fold every
+    * event within one day of the fold boundary is EMBARGOED — excluded
+    * from training so that leakage through temporally-adjacent rows
+    * (sessions straddling the cut, label horizons overlapping it)
+    * cannot inflate eval metrics.
+    *
+    * Scale design: the fold spine is a 1-row global (min-day, n-days)
+    * aggregate broadcast onto the scan (allowlisted 1-row BNLJ); the
+    * ×5 fold fan-out is an in-row `explode(sequence(...))` — no join,
+    * no extra shuffle; the only shuffle is the 5-row final groupBy.
+    * Every step is integer day arithmetic — engine-exact.
+    */
+  def q150(spark: SparkSession, sfDir: String): DataFrame = {
+    val nFolds = 5
+    val e = ev(spark, sfDir).select(to_date(col("ts")).as("day"))
+    val spine = e.agg(min(col("day")).as("d0"),
+      (datediff(max(col("day")), min(col("day"))) + 1).as("n_days"))
+    e.crossJoin(broadcast(spine))
+      .withColumn("w", ceil(col("n_days") / lit(nFolds.toDouble)).cast(IntegerType))
+      .withColumn("d", datediff(col("day"), col("d0")))
+      .select(col("d"), col("w"), col("n_days"),
+        explode(sequence(lit(0), lit(nFolds - 1))).as("fold"))
+      .withColumn("lo", col("fold") * col("w"))
+      .withColumn("hi", least((col("fold") + 1) * col("w") - 1, col("n_days") - 1))
+      .withColumn("cls",
+        when(col("d").between(col("lo"), col("hi")), "test")
+          .when(col("d").between(col("lo") - 1, col("hi") + 1), "embargo")
+          .otherwise("train"))
+      .groupBy(col("fold"))
+      .agg(
+        sum(when(col("cls") === "train", 1).otherwise(0)).cast(LongType).as("n_train"),
+        sum(when(col("cls") === "test", 1).otherwise(0)).cast(LongType).as("n_test"),
+        sum(when(col("cls") === "embargo", 1).otherwise(0)).cast(LongType).as("n_embargo"))
+      .orderBy(col("fold"))
+  }
+
+  val q150Sql: String =
+    """WITH spine AS (
+      |  SELECT MIN(CAST(ts AS DATE)) AS d0,
+      |    DATE_DIFF('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) + 1 AS n_days
+      |  FROM events),
+      |e AS (
+      |  SELECT DATE_DIFF('day', d0, CAST(ts AS DATE)) AS d,
+      |    CAST(CEIL(n_days / 5.0) AS INT) AS w, n_days
+      |  FROM events CROSS JOIN spine),
+      |x AS (
+      |  SELECT d, w, n_days, CAST(f.fold AS INT) AS fold
+      |  FROM e CROSS JOIN (SELECT UNNEST(range(0, 5)) AS fold) f),
+      |c AS (
+      |  SELECT fold, d, fold * w AS lo,
+      |    LEAST((fold + 1) * w - 1, n_days - 1) AS hi
+      |  FROM x)
+      |SELECT fold,
+      |  CAST(SUM(CASE WHEN d NOT BETWEEN lo - 1 AND hi + 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+      |  CAST(SUM(CASE WHEN d BETWEEN lo AND hi THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+      |  CAST(SUM(CASE WHEN d BETWEEN lo - 1 AND hi + 1
+      |            AND d NOT BETWEEN lo AND hi THEN 1 ELSE 0 END) AS BIGINT) AS n_embargo
+      |FROM c GROUP BY fold ORDER BY fold""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_events_json_stats", q23 _, Some(q23Sql)),
     ("q24_events_daily_window", q24 _, Some(q24Sql)),
@@ -787,6 +852,7 @@ object Events {
     ("q107_pit_join", q107 _, Some(q107Sql)),
     ("q117_partition_pruning", q117 _, Some(q117Sql)),
     ("q132_asof_custom_exec", q132 _, Some(q38Sql)),
-    ("q146_multitouch_attribution", q146 _, Some(q146Sql))
+    ("q146_multitouch_attribution", q146 _, Some(q146Sql)),
+    ("q150_purged_time_split", q150 _, Some(q150Sql))
   )
 }

@@ -1123,6 +1123,71 @@ object Text {
       |  ROUND(SUM(CASE WHEN rk <> 1 THEN cnt ELSE 0 END) / CAST(SUM(cnt) AS DOUBLE), 6) AS g3
       |FROM r GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q152
+  /** Skip-gram training-pair extraction (word2vec-style data prep):
+    * symmetric (center, context) pairs within a ±2 window, the top-50
+    * pairs by frequency, and for each a DETERMINISTIC negative sample —
+    * the vocabulary word whose frequency rank equals
+    * `poly_hash(center ⊔ context) mod |V|` (hash-seeded stand-in for
+    * the unigram-table draw, reproducible across engines and runs).
+    *
+    * Scale design: pair generation is entirely in-row — a higher-order
+    * `transform` over the token array emits both directions of each
+    * window pair with no self-join (a positions self-join would be
+    * per-doc quadratic in window size × length); the only shuffles are
+    * the pair-count and vocab-count groupBys. The vocab ranking window
+    * is unpartitioned but Heaps-law-bounded (vocab, not corpus), and
+    * the rank→negative join broadcasts the vocab.
+    */
+  def q152(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, sfDir)
+    val toks = d.select(split(col("text"), " ").as("s"))
+    val pairs = toks.select(explode(expr(
+      """flatten(transform(s, (c, i) ->
+        |  flatten(transform(slice(s, i + 2, 2), x ->
+        |    array(struct(c AS center, x AS context),
+        |          struct(x AS center, c AS context))))))""".stripMargin)).as("p"))
+      .select(col("p.center").as("center"), col("p.context").as("context"))
+    val top = pairs.groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("center"), col("context"))
+      .limit(50)
+    val vocab = d.select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("freq").desc, col("tok"))) - 1)
+      .select(col("tok"), col("rank"))
+    val vocabSize = vocab.agg(count(lit(1)).as("vs"))
+    top.crossJoin(broadcast(vocabSize))
+      .withColumn("nrank", expr("poly_hash(center || ' ' || context) % vs"))
+      .join(broadcast(vocab), col("nrank") === col("rank"))
+      .select(col("center"), col("context"), col("cnt"), col("tok").as("neg"))
+      .orderBy(col("cnt").desc, col("center"), col("context"))
+  }
+
+  val q152Sql: String = {
+    val h = graft.functions.PolyHash.duckdbSql("t.center || ' ' || t.context")
+    s"""WITH toks AS (SELECT string_split(text, ' ') AS s FROM documents),
+       |b1 AS (SELECT unnest([s[i] || ' ' || s[i+1] for i in range(1, len(s))]) AS g
+       |       FROM toks WHERE len(s) >= 2),
+       |b2 AS (SELECT unnest([s[i] || ' ' || s[i+2] for i in range(1, len(s) - 1)]) AS g
+       |       FROM toks WHERE len(s) >= 3),
+       |fwd AS (SELECT string_split(g, ' ')[1] AS center, string_split(g, ' ')[2] AS context
+       |        FROM (SELECT g FROM b1 UNION ALL SELECT g FROM b2)),
+       |sym AS (SELECT center, context FROM fwd
+       |        UNION ALL SELECT context AS center, center AS context FROM fwd),
+       |top AS (SELECT center, context, COUNT(*) AS cnt FROM sym GROUP BY 1, 2
+       |        ORDER BY cnt DESC, center, context LIMIT 50),
+       |vocab AS (SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) - 1 AS rank
+       |          FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |          GROUP BY tok),
+       |v AS (SELECT COUNT(*) AS vs FROM vocab)
+       |SELECT t.center, t.context, t.cnt, w.tok AS neg
+       |FROM top t CROSS JOIN v JOIN vocab w ON w.rank = ($h) % v.vs
+       |ORDER BY t.cnt DESC, t.center, t.context""".stripMargin
+  }
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_token_stats", q34 _, Some(q34Sql)),
     ("q35_lang_id_confusion", q35 _, Some(q35Sql)),
@@ -1151,6 +1216,7 @@ object Text {
     ("q137_phrase_search", q137 _, Some(q137Sql)),
     ("q144_weighted_sample", q144 _, Some(q144Sql)),
     ("q145_k_anonymity", q145 _, Some(q145Sql)),
-    ("q148_fd_audit", q148 _, Some(q148Sql))
+    ("q148_fd_audit", q148 _, Some(q148Sql)),
+    ("q152_skipgram_pairs", q152 _, Some(q152Sql))
   )
 }

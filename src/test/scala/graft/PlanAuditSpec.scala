@@ -36,7 +36,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q134_ann_recall", // q31's exact baseline IS the eval ground truth (all-pairs by definition)
     "q139_cluster_terms", // 1-row group-count broadcast into the idf (q66's shape)
     "q141_hard_triplets", // declared-quadratic mining baseline (q31's shape; ANN-mined at scale)
-    "q143_referential_integrity") // 1-row orphan-count crossjoins assembling each audit row
+    "q143_referential_integrity", // 1-row orphan-count crossjoins assembling each audit row
+    "q150_purged_time_split", // 1-row (min-day, n-days) spine broadcast onto the scan
+    "q152_skipgram_pairs") // 1-row vocab-size broadcast into the negative-draw modulus
 
   test("no declared query plans a cartesian product; BNLJ only where intended") {
     // streaming queries execute on materialization, not plan-inspectable
@@ -97,6 +99,18 @@ class PlanAuditSpec extends AnyFunSuite {
       .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
     assert(pf.contains("event_type"),
       s"expected event_type in PartitionFilters, plan had: [$pf]")
+    // round-7 regression guard: a pruned PLAN can still read collapsed
+    // data (the ts-unit bug produced 1 partition and a green plan
+    // assert over wrong rows) — pin the ROWS too: one result row per
+    // distinct purchase day, same day set as the unpartitioned scan
+    val expectedDays = Tables.load(spark, sfDir, "events")
+      .where(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .select(org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("ts")))
+      .distinct().count()
+    val rows = SparkEntry.queries("q117_partition_pruning")(spark, sfDir).count()
+    assert(rows == expectedDays && rows > 1,
+      s"pruned read returned $rows day rows, direct scan has $expectedDays")
   }
 
   test("q79: the decile is rank arithmetic, not a single-partition NTILE window") {
