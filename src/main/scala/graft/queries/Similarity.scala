@@ -875,6 +875,194 @@ object Similarity {
       |FROM upd u JOIN c1 c ON u.cid = c.cid
       |GROUP BY u.cid ORDER BY u.cid""".stripMargin
 
+  // ---------------------------------------------------------------- q149
+  /** SQ8 scalar-quantized search + exact rerank
+    * ([[graft.llm.VectorSearch.sq8Rerank]]): byte codes against the
+    * per-dimension corpus range generate top-10 candidates by
+    * integer code dot, then ONLY those 10 are reranked with the exact
+    * cosine — the byte-per-dim middle tier between brute force (q31)
+    * and PQ (q115). Candidate arithmetic is all-BIGINT, so candidate
+    * sets are engine-exact; the reranked cosine reuses the scaled-long
+    * dot. Output shape matches q31 for direct comparison.
+    */
+  def q149(spark: SparkSession, sfDir: String): DataFrame =
+    graft.llm.VectorSearch
+      .sq8Rerank(emb(spark, sfDir), "vec_id", "embedding", m = 10, k = 3)
+      .select(col("va"), col("rn"), col("vb"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("va"), col("rn"))
+
+  val q149Sql: String =
+    s"""WITH dims AS (
+       |  SELECT vec_id, t.i, CAST(embedding[t.i + 1] AS DOUBLE) AS x
+       |  FROM embeddings CROSS JOIN range(0, 64) t(i)),
+       |st AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM dims GROUP BY i),
+       |qd AS (
+       |  SELECT vec_id, d.i,
+       |    CASE WHEN mx = mn THEN 0
+       |         ELSE CAST(floor((x - mn) / (mx - mn) * 255.0 + 0.5) AS BIGINT) END AS q
+       |  FROM dims d JOIN st USING (i)),
+       |sc AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb, SUM(a.q * b.q) AS score
+       |  FROM qd a JOIN qd b ON a.i = b.i AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT va, vb FROM (
+       |    SELECT va, vb,
+       |      ROW_NUMBER() OVER (PARTITION BY va ORDER BY score DESC, vb) AS crn
+       |    FROM sc) WHERE crn <= 10),
+       |nrm AS (
+       |  SELECT vec_id, embedding, sqrt(${dotSqlDuck("embedding", "embedding")}) AS nrm
+       |  FROM embeddings CROSS JOIN range(0, 64) t(i) GROUP BY vec_id, embedding),
+       |ex AS (
+       |  SELECT c.va, c.vb,
+       |    (${dotSqlDuck("x.embedding", "y.embedding")}) / (ANY_VALUE(x.nrm) * ANY_VALUE(y.nrm)) AS cos
+       |  FROM cand c JOIN nrm x ON x.vec_id = c.va JOIN nrm y ON y.vec_id = c.vb
+       |  CROSS JOIN range(0, 64) t(i)
+       |  GROUP BY c.va, c.vb)
+       |SELECT va, rn, vb, ROUND(cos, 6) AS cos FROM (
+       |  SELECT va, vb, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rn
+       |  FROM ex) WHERE rn <= 3
+       |ORDER BY va, rn""".stripMargin
+
+  // ---------------------------------------------------------------- q151
+  /** Weighted majority-vote label aggregation with annotator
+    * reliability (one deterministic round of the Dawid–Skene EM
+    * shape): five synthetic annotators with hash-derived error rates
+    * 10%–50% each label every item; round 1 takes the per-item
+    * majority (ties → smaller label), annotator weight = #items in
+    * agreement with that majority; round 2 revotes with those integer
+    * weights. Output: per annotator, the round-1 weight and round-2
+    * agreement count — the reliability ranking a crowd-label pipeline
+    * uses to prune annotators before training.
+    *
+    * Scale design: label generation is an in-row ×5 explode (no join);
+    * both vote rounds shuffle on `vec_id` only; the 5-row weights
+    * table broadcasts back onto the obs stream. All arithmetic is
+    * integer — engine-exact.
+    */
+  def q151(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val obs = emb(spark, sfDir)
+      .select(col("vec_id"), col("label").cast(LongType).as("label"),
+        explode(sequence(lit(0), lit(4))).as("a"))
+      .withColumn("err",
+        pmod(col("vec_id") * lit(1103515245L) + col("a") * lit(12345L), lit(100L)))
+      .withColumn("shift",
+        pmod(col("vec_id") * lit(69069L) + col("a") * lit(363L), lit(9L)) + 1)
+      .withColumn("obs",
+        when(col("err") < (col("a") + 1) * 10,
+          pmod(col("label") + col("shift"), lit(10L)))
+          .otherwise(col("label")))
+      .select(col("vec_id"), col("a"), col("obs"))
+    val byItem = Window.partitionBy(col("vec_id"))
+    val maj = obs.groupBy(col("vec_id"), col("obs")).agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(byItem.orderBy(col("c").desc, col("obs"))))
+      .where(col("rn") === 1).select(col("vec_id"), col("obs").as("maj"))
+    val weights = obs.join(maj, "vec_id")
+      .groupBy(col("a"))
+      .agg(sum(when(col("obs") === col("maj"), 1).otherwise(0))
+        .cast(LongType).as("weight"))
+    val wmaj = obs.join(broadcast(weights), "a")
+      .groupBy(col("vec_id"), col("obs")).agg(sum(col("weight")).as("w"))
+      .withColumn("rn", row_number().over(byItem.orderBy(col("w").desc, col("obs"))))
+      .where(col("rn") === 1).select(col("vec_id"), col("obs").as("wmaj"))
+    obs.join(wmaj, "vec_id")
+      .groupBy(col("a"))
+      .agg(sum(when(col("obs") === col("wmaj"), 1).otherwise(0))
+        .cast(LongType).as("n_agree_weighted"))
+      .join(weights, "a")
+      .select(col("a").cast(IntegerType).as("annotator"), col("weight"),
+        col("n_agree_weighted"))
+      .orderBy(col("annotator"))
+  }
+
+  val q151Sql: String =
+    """WITH base AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label, CAST(t.a AS INT) AS a
+      |  FROM embeddings CROSS JOIN (SELECT UNNEST(range(0, 5)) AS a) t),
+      |obs AS (
+      |  SELECT vec_id, a,
+      |    CASE WHEN (vec_id * 1103515245 + a * 12345) % 100 < (a + 1) * 10
+      |         THEN (label + 1 + (vec_id * 69069 + a * 363) % 9) % 10
+      |         ELSE label END AS obs
+      |  FROM base),
+      |maj AS (
+      |  SELECT vec_id, obs AS maj FROM (
+      |    SELECT vec_id, obs, ROW_NUMBER() OVER (
+      |      PARTITION BY vec_id ORDER BY COUNT(*) DESC, obs) AS rn
+      |    FROM obs GROUP BY vec_id, obs) WHERE rn = 1),
+      |wts AS (
+      |  SELECT a, CAST(SUM(CASE WHEN obs = maj THEN 1 ELSE 0 END) AS BIGINT) AS weight
+      |  FROM obs JOIN maj USING (vec_id) GROUP BY a),
+      |wmaj AS (
+      |  SELECT vec_id, obs AS wmaj FROM (
+      |    SELECT vec_id, obs, ROW_NUMBER() OVER (
+      |      PARTITION BY vec_id ORDER BY SUM(weight) DESC, obs) AS rn
+      |    FROM obs JOIN wts USING (a) GROUP BY vec_id, obs) WHERE rn = 1)
+      |SELECT a AS annotator, ANY_VALUE(weight) AS weight,
+      |  CAST(SUM(CASE WHEN obs = wmaj THEN 1 ELSE 0 END) AS BIGINT) AS n_agree_weighted
+      |FROM obs JOIN wmaj USING (vec_id) JOIN wts USING (a)
+      |GROUP BY a ORDER BY annotator""".stripMargin
+
+  // ---------------------------------------------------------------- q154
+  /** Matryoshka truncation evaluation: recall@3 of brute-force search
+    * on the FIRST 16 of 64 dimensions against the full-dimension
+    * exact top-3 — the measurement that justifies serving truncated
+    * (matryoshka) embeddings at scale, where a prefix scan reads 4×
+    * fewer bytes exactly like SQ8 reads 4× fewer than float32. Both
+    * sides are the declared-quadratic exact baseline (q31/q134's
+    * allowlisted shape); the division is exact-integer-over-integer.
+    */
+  def q154(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val full = graft.llm.VectorSearch
+      .cosineTopK(e, "vec_id", "embedding", k = 3)
+      .select(col("va"), col("vb"))
+    val pre = graft.llm.VectorSearch
+      .cosineTopK(e.withColumn("emb16", slice(col("embedding"), 1, 16)),
+        "vec_id", "emb16", k = 3)
+      .select(col("va"), col("vb"), lit(1).as("hit"))
+    full.join(pre, Seq("va", "vb"), "left")
+      .agg(
+        lit(3).cast(org.apache.spark.sql.types.IntegerType).as("k"),
+        countDistinct(col("va")).as("n_queries"),
+        round(sum(coalesce(col("hit"), lit(0))) /
+          (lit(3.0) * countDistinct(col("va"))), 6).as("recall"))
+  }
+
+  val q154Sql: String = {
+    val dot16 =
+      "CAST(SUM(CAST(round(CAST(%s[i+1] AS DOUBLE) * CAST(%s[i+1] AS DOUBLE) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12"
+    s"""WITH nrmF AS (
+       |  SELECT vec_id, embedding, sqrt(${dotSqlDuck("embedding", "embedding")}) AS nrm
+       |  FROM embeddings CROSS JOIN range(0, 64) t(i) GROUP BY vec_id, embedding),
+       |fp AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb,
+       |    (${dotSqlDuck("a.embedding", "b.embedding")}) / (ANY_VALUE(a.nrm) * ANY_VALUE(b.nrm)) AS cos
+       |  FROM nrmF a JOIN nrmF b ON a.vec_id <> b.vec_id
+       |  CROSS JOIN range(0, 64) t(i) GROUP BY 1, 2),
+       |f3 AS (SELECT va, vb FROM (
+       |  SELECT va, vb, ROW_NUMBER() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rn
+       |  FROM fp) WHERE rn <= 3),
+       |nrmP AS (
+       |  SELECT vec_id, embedding, sqrt(${dot16.format("embedding", "embedding")}) AS nrm
+       |  FROM embeddings CROSS JOIN range(0, 16) t(i) GROUP BY vec_id, embedding),
+       |pp AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb,
+       |    (${dot16.format("a.embedding", "b.embedding")}) / (ANY_VALUE(a.nrm) * ANY_VALUE(b.nrm)) AS cos
+       |  FROM nrmP a JOIN nrmP b ON a.vec_id <> b.vec_id
+       |  CROSS JOIN range(0, 16) t(i) GROUP BY 1, 2),
+       |p3 AS (SELECT va, vb FROM (
+       |  SELECT va, vb, ROW_NUMBER() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rn
+       |  FROM pp) WHERE rn <= 3)
+       |SELECT CAST(3 AS INT) AS k,
+       |  (SELECT COUNT(DISTINCT va) FROM f3) AS n_queries,
+       |  ROUND((SELECT COUNT(*) FROM f3 JOIN p3 USING (va, vb)) /
+       |        (3.0 * (SELECT COUNT(DISTINCT va) FROM f3)), 6) AS recall""".stripMargin
+  }
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q31_cosine_knn", q31 _, Some(q31Sql)),
     ("q32_ann_lsh_buckets", q32 _, Some(q32Sql)),
@@ -892,6 +1080,9 @@ object Similarity {
     ("q139_cluster_terms", q139 _, Some(q139Sql)),
     ("q141_hard_triplets", q141 _, Some(q141Sql)),
     ("q142_centroid_drift", q142 _, Some(q142Sql)),
-    ("q147_incremental_kmeans", q147 _, Some(q147Sql))
+    ("q147_incremental_kmeans", q147 _, Some(q147Sql)),
+    ("q149_sq8_rerank", q149 _, Some(q149Sql)),
+    ("q151_label_vote", q151 _, Some(q151Sql)),
+    ("q154_matryoshka_recall", q154 _, Some(q154Sql))
   )
 }

@@ -38,7 +38,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q141_hard_triplets", // declared-quadratic mining baseline (q31's shape; ANN-mined at scale)
     "q143_referential_integrity", // 1-row orphan-count crossjoins assembling each audit row
     "q150_purged_time_split", // 1-row (min-day, n-days) spine broadcast onto the scan
-    "q152_skipgram_pairs") // 1-row vocab-size broadcast into the negative-draw modulus
+    "q152_skipgram_pairs", // 1-row vocab-size broadcast into the negative-draw modulus
+    "q149_sq8_rerank", // SQ8 candidate gen scans every corpus CODE per query (q115's shape)
+    "q154_matryoshka_recall") // both sides are the declared-quadratic exact baseline (q134's shape)
 
   test("no declared query plans a cartesian product; BNLJ only where intended") {
     // streaming queries execute on materialization, not plan-inspectable
