@@ -210,6 +210,186 @@ object Dedup {
        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q155
+  /** INCREMENTAL connected-components maintenance: q54's clustering as
+    * a refresh. History (80% of docs, `doc_id % 5 != 0`) was clustered
+    * in a previous run and persisted as two stores — min-id labels and
+    * the [[graft.llm.TextDedup.writeSignatureStore]] shingle sets; the
+    * new batch (`doc_id % 5 == 0`) is then merged WITHOUT re-pairing
+    * or even re-reading history text:
+    *  - batch↔history edges come from a shared-shingle join against
+    *    the signature store (exact Jaccard on stored sets — lossless,
+    *    same edge definition as q54's oracle);
+    *  - batch↔batch edges from the prefix-filtered pair join on the
+    *    batch alone;
+    *  - history's internal structure enters as STAR EDGES
+    *    (member → stored root), so the merge graph has
+    *    |history| + |new edges| edges instead of history's full pair
+    *    list — and a batch doc bridging two old clusters correctly
+    *    collapses them (root_A and root_B are both endpoints, so the
+    *    new min propagates).
+    * Stored roots are component minima, so merged labels equal the
+    * from-scratch q54 labels — which is exactly what the oracle
+    * checks (full recompute, restricted to batch docs).
+    *
+    * Scale: the expensive stage at 100 TB is pair generation over
+    * history (quadratic-ish in bucket sizes); this refresh pays it
+    * only for batch-sized inputs, plus one equi-join against stored
+    * signatures. CC itself runs on the contracted star graph.
+    */
+  def q155(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.llm.TextDedup
+    val d = docs(spark, sfDir)
+    val hist = d.where(pmod(col("doc_id"), lit(5)) =!= 0)
+    val batch = d.where(pmod(col("doc_id"), lit(5)) === 0)
+    val labelStore = Tables.scratchDir(spark, "cclabels", sfDir)
+    val sigStore = Tables.scratchDir(spark, "ccsigs", sfDir)
+    // base build — the state a previous run persisted
+    val histPairs = TextDedup.jaccardNearDupPairs(
+      hist, "doc_id", "text", n = 3, tNum = 3, tDen = 5)
+    val histLabels = TextDedup.connectedComponents(histPairs, "d1", "d2")
+    hist.select(col("doc_id"))
+      .join(histLabels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .write.mode("overwrite").parquet(labelStore)
+    TextDedup.writeSignatureStore(hist, "doc_id", "text", sigStore, n = 3)
+    // incremental refresh — history arrives ONLY through the stores
+    val stored = spark.read.parquet(labelStore)
+    val sigs = spark.read.parquet(sigStore)
+      .select(col("doc_id").as("dh"), col("hs").as("hs1"), col("sz").as("sz1"))
+    val bsh = TextDedup.hashedShingles(batch, "doc_id", "text", 3)
+      .select(col("doc_id").as("db"), col("hs").as("hs2"), col("sz").as("sz2"))
+    val candHB = sigs.select(col("dh"), explode(col("hs1")).as("h"))
+      .join(bsh.select(col("db"), explode(col("hs2")).as("h")), "h")
+      .select(col("dh"), col("db")).distinct()
+    val hbPairs = candHB.join(sigs, "dh").join(bsh, "db")
+      .withColumn("inter", size(array_intersect(col("hs1"), col("hs2"))))
+      .withColumn("jac",
+        col("inter") / (col("sz1") + col("sz2") - col("inter")))
+      .where(col("jac") >= lit(0.6))
+      .select(col("dh").as("d1"), col("db").as("d2"))
+    val bbPairs = TextDedup.jaccardNearDupPairs(
+        batch, "doc_id", "text", n = 3, tNum = 3, tDen = 5)
+      .select(col("d1"), col("d2"))
+    val starEdges = stored.where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("d1"), col("cluster_id").as("d2"))
+    val merged = TextDedup.connectedComponents(
+      starEdges.unionByName(hbPairs).unionByName(bbPairs), "d1", "d2")
+    batch.select(col("doc_id"))
+      .join(merged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("kept", col("doc_id") === col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q155Sql: String = {
+    // full-recompute ground truth: q54's pair pipeline + closure over
+    // ALL documents, output restricted to the refresh batch
+    val pairCte =
+      s"""${shinglesSql(3)},
+         |hsh AS (SELECT doc_id,
+         |          list_distinct(list_transform(shingles, s -> ${PolyHash.duckdbSql("s")})) AS hs
+         |        FROM sh),
+         |ex AS (SELECT doc_id, unnest(hs) AS h FROM hsh),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |         FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT d1, d2 FROM (
+         |  SELECT d1, d2,
+         |    len(list_intersect(x.hs, y.hs)) /
+         |    CAST(len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)) AS DOUBLE) AS jac
+         |  FROM cand JOIN hsh x ON x.doc_id = d1 JOIN hsh y ON y.doc_id = d2)
+         |  WHERE jac >= 0.6)""".stripMargin
+    s"""WITH RECURSIVE $pairCte,
+       |edges AS (SELECT d1 AS u, d2 AS v FROM pairs
+       |          UNION SELECT d2, d1 FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |lab AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u)
+       |SELECT d.doc_id,
+       |  COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+       |  (d.doc_id = COALESCE(l.cluster_id, d.doc_id)) AS kept
+       |FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id
+       |WHERE d.doc_id % 5 = 0 ORDER BY d.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q156
+  /** Content-defined chunking (CDC) dedup — the rsync/LBFS family:
+    * chunk boundaries are placed where the [[PolyHash]] of the 8-char
+    * window STARTING at a position is ≡ 0 (mod 64), so boundaries
+    * depend only on local content. An insertion near a document's head
+    * shifts every fixed-size block but leaves all content-defined
+    * boundaries after it intact — which is why CDC chunk stores dedup
+    * partially-edited files where whole-doc hashing (q27) and even
+    * shingle Jaccard see two different documents. Output: per lang,
+    * total vs distinct chunk counts and the dedup ratio a chunk store
+    * would achieve.
+    *
+    * Scale design: chunking is entirely in-row (higher-order
+    * `transform`/`filter` over positions with the codegen'd
+    * `poly_hash` — no explode until the final distinct-count), and the
+    * only shuffle is on (lang, chunk_hash). At 100 TB the chunk-hash
+    * store replaces the corpus at ~(1 − dup_ratio) of its bytes.
+    */
+  def q156(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = 8
+    val mask = 64
+    val chunked = docs(spark, sfDir)
+      .withColumn("L", length(col("text")))
+      .withColumn("starts", expr(
+        s"""concat(array(1),
+           |  CASE WHEN L >= $w + 1
+           |       THEN filter(sequence(2, L - $w + 1),
+           |                   i -> poly_hash(substring(text, i, $w)) % $mask = 0)
+           |       ELSE array() END)""".stripMargin))
+      .withColumn("hashes", expr(
+        s"""transform(starts, (s, j) ->
+           |  poly_hash(substring(text, s,
+           |    CASE WHEN j = size(starts) - 1 THEN L - s + 1
+           |         ELSE element_at(starts, j + 2) - s END)))""".stripMargin))
+      .select(col("lang"), col("hashes"))
+    chunked
+      .select(col("lang"), explode(col("hashes")).as("h"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("h")).as("n_distinct"))
+      .join(chunked.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs")), "lang")
+      .select(col("lang"), col("n_docs"), col("n_chunks"), col("n_distinct"),
+        round(lit(1) - col("n_distinct") / col("n_chunks").cast("double"), 6)
+          .as("dup_ratio"))
+      .orderBy(col("lang"))
+  }
+
+  val q156Sql: String = {
+    val winHash = PolyHash.duckdbSql("(text[i:i+7])")
+    val chunkHash = PolyHash.duckdbSql("ch")
+    s"""WITH d AS (SELECT doc_id, lang, text, length(text) AS L FROM documents),
+       |st AS (SELECT doc_id, lang, text, L,
+       |  list_prepend(1, CASE WHEN L >= 9
+       |    THEN [i for i in range(2, L - 8 + 2) if ($winHash) % 64 = 0]
+       |    ELSE [] END) AS starts
+       |  FROM d),
+       |ch AS (SELECT doc_id, lang,
+       |  list_transform(
+       |    list_transform(starts, (s, j) ->
+       |      CASE WHEN j = len(starts) THEN text[s:L]
+       |           ELSE text[s:starts[j + 1] - 1] END),
+       |    ch -> ($chunkHash)) AS hashes
+       |  FROM st),
+       |ex AS (SELECT lang, unnest(hashes) AS h FROM ch),
+       |agg AS (SELECT lang, COUNT(*) AS n_chunks,
+       |          CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct
+       |        FROM ex GROUP BY lang),
+       |nd AS (SELECT lang, COUNT(*) AS n_docs FROM ch GROUP BY lang)
+       |SELECT lang, n_docs, n_chunks, n_distinct,
+       |  ROUND(1 - n_distinct / CAST(n_chunks AS DOUBLE), 6) AS dup_ratio
+       |FROM agg JOIN nd USING (lang) ORDER BY lang""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q60
   /** Containment near-dup pairs (near-superset detection): a short
     * document embedded in a longer one scores containment ≈ 1 while
@@ -873,6 +1053,8 @@ object Dedup {
     ("q123_repeated_spans", q123 _, Some(q123Sql)),
     ("q125_span_scrub", q125 _, Some(q125Sql)),
     ("q126_pipeline_capstone", q126 _, Some(q126Sql)),
-    ("q135_lsh_eval", q135 _, Some(q135Sql))
+    ("q135_lsh_eval", q135 _, Some(q135Sql)),
+    ("q155_cc_incremental", q155 _, Some(q155Sql)),
+    ("q156_cdc_chunk_dedup", q156 _, Some(q156Sql))
   )
 }
