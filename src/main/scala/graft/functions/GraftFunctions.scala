@@ -39,7 +39,9 @@ object GraftFunctions {
     "bloom_contains" -> (children => BloomMightContain(children(0), children(1),
       children(2).eval().asInstanceOf[Int])),
     "freq_candidates" -> (children => FreqItemsAgg(children(0),
-      children(1).eval().asInstanceOf[Int]).toAggregateExpression()))
+      children(1).eval().asInstanceOf[Int]).toAggregateExpression()),
+    "cdc_chunk_hashes" -> (children => CdcChunkHashes(children(0),
+      children(1).eval().asInstanceOf[Int], children(2).eval().asInstanceOf[Int])))
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -238,12 +238,23 @@ object Dedup {
     * signatures. CC itself runs on the contracted star graph.
     */
   def q155(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.llm.TextDedup
     val d = docs(spark, sfDir)
-    val hist = d.where(pmod(col("doc_id"), lit(5)) =!= 0)
-    val batch = d.where(pmod(col("doc_id"), lit(5)) === 0)
-    val labelStore = Tables.scratchDir(spark, "cclabels", sfDir)
-    val sigStore = Tables.scratchDir(spark, "ccsigs", sfDir)
+    ccIncremental(
+      d.where(pmod(col("doc_id"), lit(5)) =!= 0),
+      d.where(pmod(col("doc_id"), lit(5)) === 0),
+      Tables.scratchDir(spark, "cclabels", sfDir),
+      Tables.scratchDir(spark, "ccsigs", sfDir))
+  }
+
+  /** Engine core of [[q155]], parameterized over the history/batch
+    * split and store locations so the equivalence property (incremental
+    * ≡ from-scratch) is also pinned in `Round8OperatorsSpec` on
+    * synthetic bridge-merge data.
+    */
+  def ccIncremental(hist: DataFrame, batch: DataFrame,
+                    labelStore: String, sigStore: String): DataFrame = {
+    import graft.llm.TextDedup
+    val spark = hist.sparkSession
     // base build — the state a previous run persisted
     val histPairs = TextDedup.jaccardNearDupPairs(
       hist, "doc_id", "text", n = 3, tNum = 3, tDen = 5)
@@ -328,28 +339,20 @@ object Dedup {
     * total vs distinct chunk counts and the dedup ratio a chunk store
     * would achieve.
     *
-    * Scale design: chunking is entirely in-row (higher-order
-    * `transform`/`filter` over positions with the codegen'd
-    * `poly_hash` — no explode until the final distinct-count), and the
-    * only shuffle is on (lang, chunk_hash). At 100 TB the chunk-hash
-    * store replaces the corpus at ~(1 − dup_ratio) of its bytes.
+    * Scale design: chunking is one in-row O(len) rolling pass per
+    * document ([[graft.functions.CdcChunkHashes]] — the declarative
+    * `filter(sequence(...), i -> poly_hash(substring(...)))` form it
+    * replaced re-hashed a fresh substring per position, O(len·w) and
+    * 23 s at sf0.1 vs <1 s rolling; equivalence suite-pinned), with no
+    * explode until the final distinct-count. The only shuffle is on
+    * (lang, chunk_hash). At 100 TB the chunk-hash store replaces the
+    * corpus at ~(1 − dup_ratio) of its bytes.
     */
   def q156(spark: SparkSession, sfDir: String): DataFrame = {
     val w = 8
     val mask = 64
     val chunked = docs(spark, sfDir)
-      .withColumn("L", length(col("text")))
-      .withColumn("starts", expr(
-        s"""concat(array(1),
-           |  CASE WHEN L >= $w + 1
-           |       THEN filter(sequence(2, L - $w + 1),
-           |                   i -> poly_hash(substring(text, i, $w)) % $mask = 0)
-           |       ELSE array() END)""".stripMargin))
-      .withColumn("hashes", expr(
-        s"""transform(starts, (s, j) ->
-           |  poly_hash(substring(text, s,
-           |    CASE WHEN j = size(starts) - 1 THEN L - s + 1
-           |         ELSE element_at(starts, j + 2) - s END)))""".stripMargin))
+      .withColumn("hashes", expr(s"cdc_chunk_hashes(text, $w, $mask)"))
       .select(col("lang"), col("hashes"))
     chunked
       .select(col("lang"), explode(col("hashes")).as("h"))
