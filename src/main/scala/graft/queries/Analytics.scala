@@ -943,6 +943,52 @@ object Analytics {
        |  COUNT(*) AS n, ${Num.dsumSql("o_totalprice", 2)} AS sum_price
        |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin
 
+  // ---------------------------------------------------------------- q157
+  /** HITS hubs & authorities (Kleinberg) on the bipartite
+    * supplier↔part graph from lineitem: two unnormalized power-iteration
+    * rounds in pure BIGINT arithmetic (h₀ = 1; aₖ = Σ h over incident
+    * suppliers; hₖ = Σ a over incident parts), so scores are
+    * engine-exact without the float normalization real HITS defers to
+    * the end anyway (rankings are normalization-invariant). Top-10
+    * hubs and top-10 authorities. Complements q82's PageRank: HITS
+    * scores *within the query-relevant subgraph*, the shape used for
+    * seed-set expansion in graph-curated training data.
+    *
+    * Scale design: each half-round is ONE equi-join + groupBy shuffle,
+    * keyed alternately on part and supplier; rounds are a fixed small
+    * constant and score magnitudes are degree-bounded
+    * (≤ deg_max⁴ < 2⁴⁰ at any realistic skew), so no normalization
+    * step — and no float drift — is needed mid-iteration.
+    */
+  def q157(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = t(spark, sfDir, "lineitem")
+      .select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct()
+    val a1 = e.groupBy(col("p")).agg(count(lit(1)).cast(LongType).as("a1"))
+    val h1 = e.join(a1, "p").groupBy(col("s")).agg(sum(col("a1")).as("h1"))
+    val a2 = e.join(h1, "s").groupBy(col("p")).agg(sum(col("h1")).as("a2"))
+    val h2 = e.join(a2, "p").groupBy(col("s")).agg(sum(col("a2")).as("h2"))
+    val topS = h2.orderBy(col("h2").desc, col("s")).limit(10)
+      .select(lit("supplier").as("kind"), col("s").as("key"),
+        col("h2").cast(LongType).as("score"))
+    val topP = a2.orderBy(col("a2").desc, col("p")).limit(10)
+      .select(lit("part").as("kind"), col("p").as("key"),
+        col("a2").cast(LongType).as("score"))
+    topS.unionByName(topP).orderBy(col("kind"), col("score").desc, col("key"))
+  }
+
+  val q157Sql: String =
+    """WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+      |a1 AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS a1 FROM e GROUP BY p),
+      |h1 AS (SELECT s, CAST(SUM(a1) AS BIGINT) AS h1 FROM e JOIN a1 USING (p) GROUP BY s),
+      |a2 AS (SELECT p, CAST(SUM(h1) AS BIGINT) AS a2 FROM e JOIN h1 USING (s) GROUP BY p),
+      |h2 AS (SELECT s, CAST(SUM(a2) AS BIGINT) AS h2 FROM e JOIN a2 USING (p) GROUP BY s),
+      |ts AS (SELECT 'supplier' AS kind, s AS key, h2 AS score FROM h2
+      |       ORDER BY h2 DESC, s LIMIT 10),
+      |tp AS (SELECT 'part' AS kind, p AS key, a2 AS score FROM a2
+      |       ORDER BY a2 DESC, p LIMIT 10)
+      |SELECT kind, key, score FROM (SELECT * FROM ts UNION ALL SELECT * FROM tp)
+      |ORDER BY kind, score DESC, key""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q77_ordered_listagg", q77 _, Some(q77Sql)),
     ("q78_hll_mergeable", q78 _, Some(q78Sql)),
@@ -964,6 +1010,7 @@ object Analytics {
     ("q136_bfs_min_hops", q136 _, Some(q136Sql)),
     ("q140_personalized_pagerank", q140 _, Some(q140Sql)),
     ("q143_referential_integrity", q143 _, Some(q143Sql)),
-    ("q153_schema_evolution", q153 _, Some(q153Sql))
+    ("q153_schema_evolution", q153 _, Some(q153Sql)),
+    ("q157_hits_bipartite", q157 _, Some(q157Sql))
   )
 }

@@ -1188,6 +1188,53 @@ object Text {
        |ORDER BY t.cnt DESC, t.center, t.context""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q158
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher, K = 60) of the
+    * two lexical rankings the engine already produces for the shared
+    * query terms — tf·idf (q66) and BM25 (q90):
+    * `rrf(d) = Σ_lists 1/(K + rank_d)`. RRF is the standard
+    * score-scale-free way to combine retrieval backends (lexical +
+    * dense, multiple indexes) without calibrating their scores; docs
+    * missing from a list simply contribute nothing.
+    *
+    * Determinism: each addend is rounded to 9 decimals and summed as
+    * DECIMAL (exact, order-independent — the q89 discipline); ranks
+    * are integers from the already-deterministic (score, doc_id)
+    * orderings. The rank windows are unpartitioned but run over the
+    * topK = 20 fused candidates, not the corpus.
+    */
+  def q158(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = Seq("spark", "vector", "customer")
+    val d = docs(spark, sfDir)
+    def ranked(res: DataFrame): DataFrame = res.select(col("doc_id"),
+      row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).as("r"))
+    val lists =
+      ranked(graft.llm.Lexical.search(d, "doc_id", "text", terms, topK = 20))
+        .unionByName(
+          ranked(graft.llm.Lexical.bm25Search(d, "doc_id", "text", terms, topK = 20)))
+    lists.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_lists"),
+        sum(expr(
+          "CAST(round(CAST(1.0 AS DOUBLE) / (60 + r), 9) AS DECIMAL(18,9))"))
+          .as("rrf_dec"))
+      .select(col("doc_id"), col("n_lists"),
+        round(col("rrf_dec").cast("double"), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val q158Sql: String =
+    s"""WITH t1 AS ($q66Sql),
+       |t2 AS ($q90Sql),
+       |r1 AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r FROM t1),
+       |r2 AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r FROM t2),
+       |u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+       |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_lists,
+       |  ROUND(CAST(SUM(CAST(ROUND(CAST(1.0 AS DOUBLE) / (60 + r), 9) AS DECIMAL(18,9))) AS DOUBLE), 6) AS rrf
+       |FROM u GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_token_stats", q34 _, Some(q34Sql)),
     ("q35_lang_id_confusion", q35 _, Some(q35Sql)),
@@ -1217,6 +1264,7 @@ object Text {
     ("q144_weighted_sample", q144 _, Some(q144Sql)),
     ("q145_k_anonymity", q145 _, Some(q145Sql)),
     ("q148_fd_audit", q148 _, Some(q148Sql)),
-    ("q152_skipgram_pairs", q152 _, Some(q152Sql))
+    ("q152_skipgram_pairs", q152 _, Some(q152Sql)),
+    ("q158_rrf_fusion", q158 _, Some(q158Sql))
   )
 }
