@@ -78,6 +78,21 @@ object Lexical {
     val dfreq = hits.groupBy(col("tok")).agg(count(lit(1)).as("dft"))
     val corpus = df.select(size(split(col(textCol), " ")).cast("long").as("dl"))
       .agg(count(lit(1)).as("nd"), sum(col("dl")).as("tt"))
+    bm25Score(hits, dfreq, corpus, idCol, topK)
+  }
+
+  /** The BM25 scoring tail over precomputed sufficient statistics —
+    * shared by [[bm25Search]] (fresh single-corpus stats) and the
+    * incremental index-maintenance query (history statistics read from
+    * a persisted index store and MERGED with a new batch's: postings
+    * union, per-term df sums, (N, T) sums — every input here is
+    * additive, which is exactly what makes an inverted index
+    * refreshable without rescanning history).
+    * `hits` = (idCol, dl, tok, tf); `dfreq` = (tok, dft);
+    * `corpus` = 1 row (nd, tt).
+    */
+  def bm25Score(hits: DataFrame, dfreq: DataFrame, corpus: DataFrame,
+                idCol: String, topK: Int): DataFrame = {
     hits.join(broadcast(dfreq), "tok").crossJoin(broadcast(corpus))
       .withColumn("term_score",
         ((lit(2) * col("nd") - lit(2) * col("dft") + lit(1)) * lit(22) * col("tt") * col("tf"))

@@ -1235,6 +1235,63 @@ object Text {
        |  ROUND(CAST(SUM(CAST(ROUND(CAST(1.0 AS DOUBLE) / (60 + r), 9) AS DECIMAL(18,9))) AS DOUBLE), 6) AS rrf
        |FROM u GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q159
+  /** INCREMENTAL inverted-index maintenance for BM25: history (75% of
+    * docs, `doc_id % 4 != 0`) was indexed in a previous run into three
+    * persisted artifacts — full postings (tok, doc_id, dl, tf),
+    * per-term document frequencies, and the (N, total-tokens) corpus
+    * stats. The refresh tokenizes ONLY the new batch and merges:
+    * postings union, df sums, (N, T) sums — every BM25 input is an
+    * additive sufficient statistic, so the merged top-20 equals the
+    * full-corpus recompute bit-for-bit, which is exactly what the
+    * oracle (q90's full-corpus SQL) checks.
+    *
+    * Scale: at 100 TB the postings store IS the searchable asset; a
+    * refresh costs one tokenize pass over the batch plus a pruned read
+    * of the query terms' posting rows (predicate pushdown on `tok`) —
+    * history text is never rescanned. The only quadratic-free shuffles
+    * are per-term groupBys.
+    */
+  def q159(spark: SparkSession, sfDir: String): DataFrame = {
+    val terms = Seq("spark", "vector", "customer")
+    val d = docs(spark, sfDir)
+    val hist = d.where(pmod(col("doc_id"), lit(4)) =!= 0)
+    val batch = d.where(pmod(col("doc_id"), lit(4)) === 0)
+    val store = graft.Tables.scratchDir(spark, "bm25idx", sfDir)
+    def toks(src: org.apache.spark.sql.DataFrame) =
+      src.select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+          explode(col("t")).as("tok"))
+    // --- index build (the previous run's persisted state)
+    toks(hist).groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .write.mode("overwrite").parquet(s"$store/postings")
+    spark.read.parquet(s"$store/postings")
+      .groupBy(col("tok")).agg(count(lit(1)).as("dft"))
+      .write.mode("overwrite").parquet(s"$store/dfreq")
+    hist.select(size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("nd"), sum(col("dl")).as("tt"))
+      .write.mode("overwrite").parquet(s"$store/stats")
+    // --- refresh: batch tokenized; history only through the store
+    val bhits = toks(batch).where(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok")).agg(count(lit(1)).as("tf"))
+    val hhits = spark.read.parquet(s"$store/postings")
+      .where(col("tok").isin(terms: _*))
+    val hdf = spark.read.parquet(s"$store/dfreq")
+      .where(col("tok").isin(terms: _*))
+      .select(col("tok"), col("dft").as("dft_h"))
+    val bdf = bhits.groupBy(col("tok")).agg(count(lit(1)).as("dft_b"))
+    val dfreq = hdf.join(bdf, Seq("tok"), "full_outer")
+      .select(col("tok"),
+        (coalesce(col("dft_h"), lit(0L)) + coalesce(col("dft_b"), lit(0L))).as("dft"))
+    val bstats = batch.select(size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("nd_b"), sum(col("dl")).as("tt_b"))
+    val corpus = spark.read.parquet(s"$store/stats").crossJoin(bstats)
+      .select((col("nd") + col("nd_b")).as("nd"), (col("tt") + col("tt_b")).as("tt"))
+    graft.llm.Lexical.bm25Score(
+      hhits.unionByName(bhits), dfreq, corpus, "doc_id", topK = 20)
+  }
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_token_stats", q34 _, Some(q34Sql)),
     ("q35_lang_id_confusion", q35 _, Some(q35Sql)),
@@ -1265,6 +1322,10 @@ object Text {
     ("q145_k_anonymity", q145 _, Some(q145Sql)),
     ("q148_fd_audit", q148 _, Some(q148Sql)),
     ("q152_skipgram_pairs", q152 _, Some(q152Sql)),
-    ("q158_rrf_fusion", q158 _, Some(q158Sql))
+    ("q158_rrf_fusion", q158 _, Some(q158Sql)),
+    // oracle = q90's full-corpus BM25: merged sufficient statistics
+    // must reproduce the from-scratch ranking exactly (q122's
+    // reuse-the-batch-oracle precedent)
+    ("q159_bm25_incremental", q159 _, Some(q90Sql))
   )
 }

@@ -41,7 +41,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q152_skipgram_pairs", // 1-row vocab-size broadcast into the negative-draw modulus
     "q149_sq8_rerank", // SQ8 candidate gen scans every corpus CODE per query (q115's shape)
     "q154_matryoshka_recall", // both sides are the declared-quadratic exact baseline (q134's shape)
-    "q158_rrf_fusion") // inherits q66/q90's 1-row corpus-stat broadcasts
+    "q158_rrf_fusion", // inherits q66/q90's 1-row corpus-stat broadcasts
+    "q159_bm25_incremental") // 1-row (N,T) stats merge + q90's corpus broadcast
 
   test("no declared query plans a cartesian product; BNLJ only where intended") {
     // streaming queries execute on materialization, not plan-inspectable
