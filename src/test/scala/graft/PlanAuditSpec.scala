@@ -117,6 +117,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"pruned read returned $rows day rows, direct scan has $expectedDays")
   }
 
+  test("q159: query terms push down to the postings-store scan") {
+    // the incremental-index claim rests on this: a refresh must read
+    // only the query terms' posting rows, not the whole store — the
+    // `tok IN (...)` predicate has to reach the parquet scan
+    val plan = SparkEntry.queries("q159_bm25_incremental")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("In(tok"),
+      s"expected In(tok, ...) in PushedFilters over the postings store")
+  }
+
   test("q79: the decile is rank arithmetic, not a single-partition NTILE window") {
     // NTILE OVER (ORDER BY ...) funnels all of orders through one
     // partition; q79 must instead derive the tile from GlobalRank's
