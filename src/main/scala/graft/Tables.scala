@@ -69,10 +69,36 @@ object Tables {
       }
     }
     native.getOrElse {
-      spark.read.schema(eventsRawSchema).parquet(p)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.schema(eventsRawSchema).parquet(p)
+      val (d, m) = rawTsUnit(spark, p, raw)
+      raw.withColumn("ts", timestamp_micros(expr(s"ts div $d * $m")))
     }.select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
+
+  /** Epoch-unit inference for a RAW int64 `ts` column, by magnitude:
+    * seconds ≈ 1.7e9, millis ≈ 1.7e12, micros ≈ 1.7e15, nanos ≈ 1.7e18
+    * — four orders of magnitude apart, unambiguous for any date between
+    * 1973 and 2255. Returns `(div, mul)` such that
+    * `ts div d * m` is microseconds. The round-7 incident (testdata
+    * silently moved ns → µs while the loader divided by 1000, folding
+    * thirty 2024 days onto one 1970 day) is why the unit is PROBED,
+    * never assumed; probed once per path per process (one max-scan).
+    */
+  private val probedRawUnits =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  private[graft] def rawTsUnit(spark: SparkSession, p: String,
+                               raw: DataFrame): (Long, Long) =
+    probedRawUnits.computeIfAbsent(p, { _ =>
+      val probe = raw.agg(max(abs(col("ts")))).head()
+      if (probe.isNullAt(0)) (1000L, 1L) // empty table: ns (historical)
+      else probe.getLong(0) match {
+        case v if v >= 100000000000000000L => (1000L, 1L)   // ns → µs
+        case v if v >= 100000000000000L => (1L, 1L)         // µs
+        case v if v >= 100000000000L => (1L, 1000L)         // ms → µs
+        case _ => (1L, 1000000L)                            // s → µs
+      }
+    })
 
   /** Register every test table as a temp view named after the table. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

@@ -77,10 +77,17 @@ object EventStreams {
         reader.schema(s).parquet(dir)
           .withColumn("ts", col("ts").cast(TimestampType))
       case None =>
+        val (d, m) = rawUnit(spark, src)
         reader.schema(rawEventSchema).parquet(dir)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .withColumn("ts", timestamp_micros(expr(s"ts div $d * $m")))
     }
   }
+
+  /** [[Tables.rawTsUnit]] probed against the batch view of the stream
+    * source — the raw-long fallback never assumes an epoch unit. */
+  private def rawUnit(spark: SparkSession, src: String): (Long, Long) =
+    Tables.rawTsUnit(spark, src,
+      spark.read.schema(rawEventSchema).parquet(src))
 
   def source(spark: SparkSession, sfDir: String): DataFrame = {
     val src = Tables.path(sfDir, "events")
@@ -141,9 +148,12 @@ object EventStreams {
               .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
               .withColumn("ts", col("ts").cast(s("ts").dataType))
           case None =>
-            val ns = 4102444800L * 1000000000L
-            Seq((-(2L * k - 1), ns, -1L, "click", 0.0, "{}"),
-                (-(2L * k), ns, -1L, "view", 0.0, "{}"))
+            // 2100-01-01 epoch seconds, expressed in the source's own
+            // probed raw unit (units/second = 1e6·d/m)
+            val (dv, ml) = rawUnit(spark, src)
+            val sentinelTs = 4102444800L * (1000000L * dv / ml)
+            Seq((-(2L * k - 1), sentinelTs, -1L, "click", 0.0, "{}"),
+                (-(2L * k), sentinelTs, -1L, "view", 0.0, "{}"))
               .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         }
         sentinel.coalesce(1).write.mode("overwrite").parquet(out.toString)

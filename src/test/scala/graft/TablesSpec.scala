@@ -54,6 +54,27 @@ class TablesSpec extends AnyFunSuite {
       java.time.Instant.parse("2024-03-05T12:34:56.654321Z"))
   }
 
+  test("fallback path: raw int64 ts in ns/µs/ms/s all infer their unit") {
+    // the loader must never assume an epoch unit for a raw long ts —
+    // magnitude probing (Tables.rawTsUnit) maps each to the same instant
+    val instantUs = 1709642096654321L // 2024-03-05T12:34:56.654321Z
+    val cases = Seq(
+      ("ns", instantUs * 1000L, "2024-03-05T12:34:56.654321Z"),
+      ("us", instantUs, "2024-03-05T12:34:56.654321Z"),
+      ("ms", instantUs / 1000L, "2024-03-05T12:34:56.654Z"),
+      ("s", instantUs / 1000000L, "2024-03-05T12:34:56Z"))
+    cases.foreach { case (unit, rawTs, want) =>
+      val dir = Files.createTempDirectory(s"graft-events-raw-$unit").toString
+      Seq((1L, rawTs, 7L, "view", 1.5, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val got = Tables.load(spark, dir, "events").collect()
+      assert(got.length == 1)
+      assert(got(0).getTimestamp(1).toInstant == java.time.Instant.parse(want),
+        s"unit $unit: got ${got(0).getTimestamp(1).toInstant}, want $want")
+    }
+  }
+
   test("fallback path: TIMESTAMP(NANOS) fixture arrives µs-truncated") {
     val dir = new java.io.File(
       getClass.getResource("/fixtures/events_ns").toURI).getAbsolutePath
