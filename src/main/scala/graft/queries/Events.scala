@@ -833,6 +833,72 @@ object Events {
       |            AND d NOT BETWEEN lo AND hi THEN 1 ELSE 0 END) AS BIGINT) AS n_embargo
       |FROM c GROUP BY fold ORDER BY fold""".stripMargin
 
+  // ---------------------------------------------------------------- q161
+  /** Temporal-holdout evaluation of a first-order Markov next-event
+    * model: transition counts are learned on the first 24 days, the
+    * prediction for each source type is the argmax target (ties →
+    * lexicographic), and accuracy is measured on the held-out tail —
+    * the train-on-past / evaluate-on-future regime every sequence
+    * model must be scored under (evaluating on the training window,
+    * or splitting randomly, leaks — the q150 purged-fold concern in
+    * its simplest form). All counts integer; accuracy is one exact
+    * integer ratio per row.
+    *
+    * Scale: one lag window per user partition (q93's shape), one
+    * cardinality-bounded (prev, cur) count, a broadcast |types|-row
+    * prediction table, and a (prev)-keyed eval groupBy.
+    */
+  def q161(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = ev(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val minDay = e.agg(min(to_date(col("ts"))).as("d0"))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = e.crossJoin(broadcast(minDay))
+      .withColumn("d", datediff(to_date(col("ts")), col("d0")))
+      .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+      .where(col("prev").isNotNull)
+      .select(col("prev"), col("event_type").as("cur"), col("d"))
+    val train = pairs.where(col("d") < 24)
+      .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cnt"))
+    val pred = train
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("prev")).orderBy(col("cnt").desc, col("cur"))))
+      .where(col("rn") === 1)
+      .select(col("prev"), col("cur").as("predicted"))
+    pairs.where(col("d") >= 24)
+      .join(broadcast(pred), Seq("prev"), "left")
+      .groupBy(col("prev"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("cur") === col("predicted"), 1).otherwise(0))
+          .cast(LongType).as("n_correct"))
+      .withColumn("accuracy",
+        round(col("n_correct") / col("n_test").cast("double"), 6))
+      .orderBy(col("prev"))
+  }
+
+  val q161Sql: String =
+    """WITH d0 AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+      |seq AS (
+      |  SELECT user_id, event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+      |    DATE_DIFF('day', d0, CAST(ts AS DATE)) AS d
+      |  FROM events CROSS JOIN d0),
+      |pairs AS (SELECT prev, event_type AS cur, d FROM seq WHERE prev IS NOT NULL),
+      |train AS (SELECT prev, cur, COUNT(*) AS cnt FROM pairs WHERE d < 24 GROUP BY 1, 2),
+      |pred AS (
+      |  SELECT prev, cur AS predicted FROM (
+      |    SELECT prev, cur,
+      |      ROW_NUMBER() OVER (PARTITION BY prev ORDER BY cnt DESC, cur) AS rn
+      |    FROM train) WHERE rn = 1)
+      |SELECT p.prev, CAST(COUNT(*) AS BIGINT) AS n_test,
+      |  CAST(SUM(CASE WHEN p.cur = r.predicted THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+      |  ROUND(SUM(CASE WHEN p.cur = r.predicted THEN 1 ELSE 0 END) /
+      |        CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+      |FROM pairs p LEFT JOIN pred r USING (prev)
+      |WHERE p.d >= 24 GROUP BY p.prev ORDER BY p.prev""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_events_json_stats", q23 _, Some(q23Sql)),
     ("q24_events_daily_window", q24 _, Some(q24Sql)),
@@ -853,6 +919,7 @@ object Events {
     ("q117_partition_pruning", q117 _, Some(q117Sql)),
     ("q132_asof_custom_exec", q132 _, Some(q38Sql)),
     ("q146_multitouch_attribution", q146 _, Some(q146Sql)),
-    ("q150_purged_time_split", q150 _, Some(q150Sql))
+    ("q150_purged_time_split", q150 _, Some(q150Sql)),
+    ("q161_markov_holdout_eval", q161 _, Some(q161Sql))
   )
 }

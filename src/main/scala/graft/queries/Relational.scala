@@ -786,6 +786,108 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  // ---------------------------------------------------------------- q160
+  /** Neyman-allocated stratified sampling: a fixed budget of 100 rows
+    * is split across the `l_returnflag` strata proportionally to
+    * N_h·σ_h (the variance-optimal allocation for estimating a mean —
+    * high-variance strata earn more samples than proportional
+    * allocation would give), integerized with the largest-remainder
+    * (Hamilton) rule (q100/q146's exact-apportionment machinery) and
+    * drawn deterministically as the lowest-hash rows per stratum.
+    * Output per stratum: population, σ, allocation, and checksums of
+    * the drawn sample — bit-reproducible end to end.
+    *
+    * Determinism discipline: σ via q72's decimal-exact moment sums →
+    * identical doubles in both engines; Hamilton remainders compared
+    * on round(·,6) values; the draw orders on a pure integer hash.
+    * Scale: one moments pass, one 3-row allocation (unpartitioned
+    * windows bounded by stratum cardinality, not data), one top-n_h
+    * per-stratum window on the hash — all shuffles keyed by stratum.
+    */
+  def q160(spark: SparkSession, sfDir: String): DataFrame = {
+    val budget = 100
+    val li = t(spark, sfDir, "lineitem")
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("y"),
+        col("l_orderkey"), col("l_linenumber"))
+    val stats = li.groupBy(col("g")).agg(
+        count(lit(1)).as("n_pop"),
+        expr("CAST(COUNT(*) AS DOUBLE)").as("dn"),
+        expr("CAST(SUM(CAST(y AS DECIMAL(38,4))) AS DOUBLE)").as("dsy"),
+        expr("CAST(SUM(CAST(y * y AS DECIMAL(38,4))) AS DOUBLE)").as("dsyy"))
+      .withColumn("sigma", expr("sqrt((dsyy - dsy * dsy / dn) / dn)"))
+      .withColumn("w", expr("CAST(round(dn * sigma, 6) AS DOUBLE)"))
+    val wtot = stats.agg(
+      expr("CAST(SUM(CAST(round(w, 6) AS DECIMAL(38,6))) AS DOUBLE)").as("wtot"))
+    val whole = Window.partitionBy(lit(1))
+    val alloc = stats.crossJoin(broadcast(wtot))
+      .withColumn("share", lit(budget) * col("w") / col("wtot"))
+      .withColumn("base", floor(col("share")).cast("long"))
+      .withColumn("rem", col("share") - col("base"))
+      .withColumn("rk", row_number().over(Window.orderBy(col("rem").desc, col("g"))))
+      .withColumn("tot_base", sum(col("base")).over(whole))
+      .withColumn("alloc",
+        col("base") + when(col("rk") <= lit(budget) - col("tot_base"), 1L).otherwise(0L))
+      .select(col("g"), col("n_pop"), round(col("sigma"), 4).as("sigma_r"),
+        col("alloc"))
+    val drawn = li
+      .withColumn("h", pmod(
+        col("l_orderkey") * lit(2654435761L) + col("l_linenumber") * lit(97L),
+        lit(2147483647L)))
+      .withColumn("srn", row_number().over(Window.partitionBy(col("g"))
+        .orderBy(col("h"), col("l_orderkey"), col("l_linenumber"))))
+      .join(broadcast(alloc), "g")
+      .where(col("srn") <= col("alloc"))
+      .groupBy(col("g")).agg(
+        count(lit(1)).as("n_sel"),
+        sum(col("l_orderkey") * lit(100L) + col("l_linenumber"))
+          .cast("long").as("sel_key_sum"),
+        Num.dsum(col("y"), 2).as("sel_y_sum"))
+    alloc.join(drawn, "g")
+      .select(col("g"), col("n_pop"), col("sigma_r"), col("alloc"),
+        col("n_sel"), col("sel_key_sum"), col("sel_y_sum"))
+      .orderBy(col("g"))
+  }
+
+  val q160Sql: String =
+    s"""WITH stats AS (
+       |  SELECT l_returnflag AS g, CAST(COUNT(*) AS BIGINT) AS n_pop,
+       |    CAST(COUNT(*) AS DOUBLE) AS dn,
+       |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS dsy,
+       |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS dsyy
+       |  FROM lineitem GROUP BY l_returnflag),
+       |sig AS (
+       |  SELECT g, n_pop, dn, sqrt((dsyy - dsy * dsy / dn) / dn) AS sigma,
+       |    CAST(round(dn * sqrt((dsyy - dsy * dsy / dn) / dn), 6) AS DOUBLE) AS w
+       |  FROM stats),
+       |wt AS (SELECT CAST(SUM(CAST(round(w, 6) AS DECIMAL(38,6))) AS DOUBLE) AS wtot FROM sig),
+       |al AS (
+       |  SELECT g, n_pop, sigma, base, rem,
+       |    ROW_NUMBER() OVER (ORDER BY rem DESC, g) AS rk,
+       |    SUM(base) OVER () AS tot_base
+       |  FROM (
+       |    SELECT g, n_pop, sigma,
+       |      CAST(floor(100 * w / wtot) AS BIGINT) AS base,
+       |      100 * w / wtot - floor(100 * w / wtot) AS rem
+       |    FROM sig CROSS JOIN wt)),
+       |alloc AS (
+       |  SELECT g, n_pop, ROUND(sigma, 4) AS sigma_r,
+       |    base + CASE WHEN rk <= 100 - tot_base THEN 1 ELSE 0 END AS alloc
+       |  FROM al),
+       |drawn AS (
+       |  SELECT l_returnflag AS g, l_orderkey, l_linenumber, l_extendedprice,
+       |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY
+       |      (l_orderkey * 2654435761 + l_linenumber * 97) % 2147483647,
+       |      l_orderkey, l_linenumber) AS srn
+       |  FROM lineitem),
+       |sel AS (
+       |  SELECT d.g, CAST(COUNT(*) AS BIGINT) AS n_sel,
+       |    CAST(SUM(d.l_orderkey * 100 + d.l_linenumber) AS BIGINT) AS sel_key_sum,
+       |    ${Num.dsumSql("d.l_extendedprice", 2)} AS sel_y_sum
+       |  FROM drawn d JOIN alloc a USING (g) WHERE d.srn <= a.alloc
+       |  GROUP BY d.g)
+       |SELECT g, n_pop, sigma_r, alloc, n_sel, sel_key_sum, sel_y_sum
+       |FROM alloc JOIN sel USING (g) ORDER BY g""".stripMargin
+
   val q72Sql: String =
     """WITH comp AS (
       |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
@@ -868,6 +970,7 @@ object Relational {
     ("q64_merge_upsert", q64 _, Some(q64Sql)),
     ("q71_correlated_subquery", q71 _, Some(q71Sql)),
     ("q72_corr_covar", q72 _, Some(q72Sql)),
+    ("q160_neyman_sample", q160 _, Some(q160Sql)),
     ("q105_window_distribution", q105 _, Some(q105Sql))
   )
 }

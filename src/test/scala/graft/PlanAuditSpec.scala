@@ -42,7 +42,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q149_sq8_rerank", // SQ8 candidate gen scans every corpus CODE per query (q115's shape)
     "q154_matryoshka_recall", // both sides are the declared-quadratic exact baseline (q134's shape)
     "q158_rrf_fusion", // inherits q66/q90's 1-row corpus-stat broadcasts
-    "q159_bm25_incremental") // 1-row (N,T) stats merge + q90's corpus broadcast
+    "q159_bm25_incremental", // 1-row (N,T) stats merge + q90's corpus broadcast
+    "q160_neyman_sample", // 1-row weight-total broadcast into the apportionment (q100's shape)
+    "q161_markov_holdout_eval") // 1-row min-day broadcast onto the event scan
 
   test("no declared query plans a cartesian product; BNLJ only where intended") {
     // streaming queries execute on materialization, not plan-inspectable
