@@ -829,10 +829,23 @@ object Relational {
         col("base") + when(col("rk") <= lit(budget) - col("tot_base"), 1L).otherwise(0L))
       .select(col("g"), col("n_pop"), round(col("sigma"), 4).as("sigma_r"),
         col("alloc"))
-    val drawn = li
+    // two-phase draw: a stratum-keyed window alone would sort each
+    // whole stratum in ONE task (|strata| = 3 ⇒ 3 tasks at any data
+    // size — a guaranteed straggler at scale). Phase 1 takes the
+    // per-(stratum, salt) top-budget rows — correct because any
+    // stratum's final allocation ≤ budget, so every global winner
+    // survives its salt bucket — leaving ≤ 32·budget rows per stratum
+    // for the exact phase-2 window.
+    val salts = 32
+    val prelim = li
       .withColumn("h", pmod(
         col("l_orderkey") * lit(2654435761L) + col("l_linenumber") * lit(97L),
         lit(2147483647L)))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy(col("g"), pmod(col("h"), lit(salts)))
+          .orderBy(col("h"), col("l_orderkey"), col("l_linenumber"))))
+      .where(col("prn") <= budget)
+    val drawn = prelim
       .withColumn("srn", row_number().over(Window.partitionBy(col("g"))
         .orderBy(col("h"), col("l_orderkey"), col("l_linenumber"))))
       .join(broadcast(alloc), "g")
