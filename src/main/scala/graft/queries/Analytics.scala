@@ -932,7 +932,7 @@ object Analytics {
     spark.read.option("mergeSchema", "true")
       .parquet(s"$base/batch1", s"$base/batch2")
       .groupBy(coalesce(col("o_prio"), lit("<pre-evolution>")).as("prio"))
-      .agg(count(lit(1)).as("n"), Num.dsum(col("o_totalprice"), 2).as("sum_price"))
+      .agg(count(lit(1)).as("n"), Num.dsum(col("o_totalprice"), 4).as("sum_price"))
       .orderBy(col("prio"))
   }
 
@@ -940,7 +940,7 @@ object Analytics {
     s"""SELECT
        |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
        |       ELSE '<pre-evolution>' END AS prio,
-       |  COUNT(*) AS n, ${Num.dsumSql("o_totalprice", 2)} AS sum_price
+       |  COUNT(*) AS n, ${Num.dsumSql("o_totalprice", 4)} AS sum_price
        |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin
 
   // ---------------------------------------------------------------- q157

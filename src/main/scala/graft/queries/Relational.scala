@@ -836,25 +836,32 @@ object Relational {
     // stratum's final allocation ≤ budget, so every global winner
     // survives its salt bucket — leaving ≤ 32·budget rows per stratum
     // for the exact phase-2 window.
+    // Tie-break note: (l_orderkey, l_linenumber) is NOT unique in the
+    // synthetic lineitem (the sf0.1 parity sweep caught a duplicate
+    // pair with differing prices straddling the draw boundary), so the
+    // ordering includes the value column to stay total — remaining
+    // ties are full-row duplicates, where either pick yields identical
+    // output.
     val salts = 32
+    val drawOrder = Seq(col("h"), col("l_orderkey"), col("l_linenumber"), col("y"))
     val prelim = li
       .withColumn("h", pmod(
         col("l_orderkey") * lit(2654435761L) + col("l_linenumber") * lit(97L),
         lit(2147483647L)))
       .withColumn("prn", row_number().over(
         Window.partitionBy(col("g"), pmod(col("h"), lit(salts)))
-          .orderBy(col("h"), col("l_orderkey"), col("l_linenumber"))))
+          .orderBy(drawOrder: _*)))
       .where(col("prn") <= budget)
     val drawn = prelim
       .withColumn("srn", row_number().over(Window.partitionBy(col("g"))
-        .orderBy(col("h"), col("l_orderkey"), col("l_linenumber"))))
+        .orderBy(drawOrder: _*)))
       .join(broadcast(alloc), "g")
       .where(col("srn") <= col("alloc"))
       .groupBy(col("g")).agg(
         count(lit(1)).as("n_sel"),
         sum(col("l_orderkey") * lit(100L) + col("l_linenumber"))
           .cast("long").as("sel_key_sum"),
-        Num.dsum(col("y"), 2).as("sel_y_sum"))
+        Num.dsum(col("y"), 4).as("sel_y_sum"))
     alloc.join(drawn, "g")
       .select(col("g"), col("n_pop"), col("sigma_r"), col("alloc"),
         col("n_sel"), col("sel_key_sum"), col("sel_y_sum"))
@@ -890,12 +897,12 @@ object Relational {
        |  SELECT l_returnflag AS g, l_orderkey, l_linenumber, l_extendedprice,
        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY
        |      (l_orderkey * 2654435761 + l_linenumber * 97) % 2147483647,
-       |      l_orderkey, l_linenumber) AS srn
+       |      l_orderkey, l_linenumber, l_extendedprice) AS srn
        |  FROM lineitem),
        |sel AS (
        |  SELECT d.g, CAST(COUNT(*) AS BIGINT) AS n_sel,
        |    CAST(SUM(d.l_orderkey * 100 + d.l_linenumber) AS BIGINT) AS sel_key_sum,
-       |    ${Num.dsumSql("d.l_extendedprice", 2)} AS sel_y_sum
+       |    ${Num.dsumSql("d.l_extendedprice", 4)} AS sel_y_sum
        |  FROM drawn d JOIN alloc a USING (g) WHERE d.srn <= a.alloc
        |  GROUP BY d.g)
        |SELECT g, n_pop, sigma_r, alloc, n_sel, sel_key_sum, sel_y_sum

@@ -52,9 +52,14 @@ object Streaming {
     run(spark, sfDir, "stream_sessions", EventStreams.sessionStats)
       .orderBy(col("user_id"), col("session_start_s"))
 
-  /** Session-window semantics: an event at exactly gap seconds after
-    * the previous one starts a NEW session (Spark sessions are
-    * end-exclusive), hence the `>= 1800` split below; end = last+gap.
+  /** Session-window semantics: an event at EXACTLY gap seconds after
+    * the previous one MERGES into the session — Spark's merge
+    * condition is start ≤ previous end (empirically pinned in
+    * `StreamingSuite`: two events 1800 s apart form ONE session
+    * [t, t+3600); the sf0.1 corpus contains such a pair, which is how
+    * the earlier `>= 1800` split here was caught). Hence `> 1800`
+    * below — the same convention as the batch twin q25 — and
+    * end = last+gap.
     */
   val q42Sql: String =
     s"""WITH e AS (
@@ -64,7 +69,7 @@ object Streaming {
        |flagged AS (
        |  SELECT user_id, value, ts_s,
        |    CASE WHEN LAG(ts_s) OVER w IS NULL
-       |         OR ts_s - LAG(ts_s) OVER w >= 1800 THEN 1 ELSE 0 END AS new_session
+       |         OR ts_s - LAG(ts_s) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s)),
        |sessions AS (
        |  SELECT user_id, value, ts_s,
