@@ -1292,6 +1292,65 @@ object Text {
       hhits.unionByName(bhits), dfreq, corpus, "doc_id", topK = 20)
   }
 
+  // ---------------------------------------------------------------- q162
+  /** Tokenizer quality per language: fertility (subword tokens per
+    * whitespace word) and compression (non-space characters per token)
+    * of the corpus-trained BPE (q112's merges applied by q120's
+    * encoder) — the standard pair of metrics for judging whether a
+    * tokenizer serves every language equally; high-fertility languages
+    * pay more sequence length for the same text, which is a real
+    * training-cost and context-budget skew at 100 TB.
+    *
+    * All counts are integers; each output ratio is one exact
+    * integer-over-integer division rounded once. Scale rides q120's
+    * shape: encoding is per *distinct word* then broadcast back.
+    */
+  def q162(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val merges = graft.llm.Vocab.bpeMerges(d, "text", numMerges = 4)
+    val perDocTok = graft.llm.Vocab.bpeEncode(d, "doc_id", "text", merges)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+    d.select(col("doc_id"), col("lang"),
+        size(filter(split(col("text"), " "), w => length(w) > 0))
+          .cast("long").as("n_words"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("n_chars"))
+      .join(perDocTok, "doc_id")
+      .groupBy(col("lang"))
+      .agg(sum(col("n_words")).as("n_words"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_tokens"), col("n_chars"),
+        round(col("n_tokens") / col("n_words").cast("double"), 6).as("fertility"),
+        round(col("n_chars") / col("n_tokens").cast("double"), 6)
+          .as("chars_per_token"))
+      .orderBy(col("lang"))
+  }
+
+  val q162Sql: String =
+    s"""WITH $bpeCorpusCte,
+       |${bpeRoundsCtes(4, applyLast = true)},
+       |wordsubs AS (
+       |  SELECT replace(sym, ' ', '') AS word, string_split(sym, ' ') AS subs FROM w4),
+       |toks AS (
+       |  SELECT doc_id, t.word AS word FROM (
+       |    SELECT doc_id, unnest([{'wpos': i, 'word': s[i]} for i in range(1, len(s) + 1)]) AS t
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents))
+       |  WHERE length(t.word) > 0),
+       |tok AS (
+       |  SELECT doc_id, CAST(SUM(len(subs)) AS BIGINT) AS n_tok
+       |  FROM toks JOIN wordsubs USING (word) GROUP BY doc_id),
+       |meta AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS BIGINT) AS n_words,
+       |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars
+       |  FROM documents)
+       |SELECT lang, CAST(SUM(n_words) AS BIGINT) AS n_words,
+       |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       |  ROUND(SUM(n_tok) / CAST(SUM(n_words) AS DOUBLE), 6) AS fertility,
+       |  ROUND(SUM(n_chars) / CAST(SUM(n_tok) AS DOUBLE), 6) AS chars_per_token
+       |FROM meta JOIN tok USING (doc_id) GROUP BY lang ORDER BY lang""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_token_stats", q34 _, Some(q34Sql)),
     ("q35_lang_id_confusion", q35 _, Some(q35Sql)),
@@ -1326,6 +1385,7 @@ object Text {
     // oracle = q90's full-corpus BM25: merged sufficient statistics
     // must reproduce the from-scratch ranking exactly (q122's
     // reuse-the-batch-oracle precedent)
-    ("q159_bm25_incremental", q159 _, Some(q90Sql))
+    ("q159_bm25_incremental", q159 _, Some(q90Sql)),
+    ("q162_tokenizer_fertility", q162 _, Some(q162Sql))
   )
 }
