@@ -1351,6 +1351,67 @@ object Text {
        |  ROUND(SUM(n_chars) / CAST(SUM(n_tok) AS DOUBLE), 6) AS chars_per_token
        |FROM meta JOIN tok USING (doc_id) GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q163
+  /** Collocation mining by PMI lift: rank bigrams by
+    * P(ab) / (P(a)·P(b)) = c(ab)·N_tok² / (N_big·c(a)·c(b)) — the
+    * log-free rational form of pointwise mutual information (the
+    * ranking is order-isomorphic to PMI since log is monotone), with a
+    * min-count floor of 5 against the low-frequency PMI explosion.
+    * This is the phrase-vocabulary induction step (word2vec's phrase
+    * pass, tokenizer multi-word entries): q89 scores DOCUMENTS by
+    * average bigram probability; this scores BIGRAMS by association.
+    *
+    * Every factor is an exact integer (numerators stay < 2⁶³ up to
+    * ~10⁸-token corpora at the min-count floor; beyond that the same
+    * ratio runs in DECIMAL(38,0)); one double division per bigram,
+    * rounded once. Shuffles: bigram count, unigram count, two 1-row
+    * total broadcasts, TakeOrdered top-20.
+    */
+  def q163(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val toks = d.select(split(col("text"), " ").as("s"))
+    val bigrams = toks.select(explode(expr(
+        "zip_with(slice(s, 1, size(s) - 1), slice(s, 2, size(s) - 1), " +
+          "(a, b) -> struct(a, b))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val uni = d.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val nTok = uni.agg(sum(col("cw")).as("n_tok"))
+    val big = bigrams.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    val nBig = big.agg(sum(col("c_ab")).as("n_big"))
+    big.where(col("c_ab") >= 5)
+      .join(broadcast(uni.select(col("w").as("a"), col("cw").as("ca"))), "a")
+      .join(broadcast(uni.select(col("w").as("b"), col("cw").as("cb"))), "b")
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBig))
+      .withColumn("lift", round(
+        (col("c_ab") * col("n_tok") * col("n_tok")).cast("double") /
+          (col("n_big") * col("ca") * col("cb")).cast("double"), 6))
+      .select(col("a"), col("b"), col("c_ab"), col("lift"))
+      .orderBy(col("lift").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  val q163Sql: String =
+    """WITH s AS (SELECT string_split(text, ' ') AS s FROM documents),
+      |bg AS (
+      |  SELECT string_split(g, ' ')[1] AS a, string_split(g, ' ')[2] AS b FROM (
+      |    SELECT unnest([s[i] || ' ' || s[i+1] for i in range(1, len(s))]) AS g
+      |    FROM s WHERE len(s) >= 2)),
+      |uni AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cw FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w),
+      |ntk AS (SELECT CAST(SUM(cw) AS BIGINT) AS n_tok FROM uni),
+      |big AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab FROM bg GROUP BY a, b),
+      |nbg AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_big FROM big)
+      |SELECT g.a, g.b, g.c_ab,
+      |  ROUND(CAST(g.c_ab * t.n_tok * t.n_tok AS DOUBLE) /
+      |        CAST(n.n_big * ua.cw * ub.cw AS DOUBLE), 6) AS lift
+      |FROM big g
+      |JOIN uni ua ON ua.w = g.a JOIN uni ub ON ub.w = g.b
+      |CROSS JOIN ntk t CROSS JOIN nbg n
+      |WHERE g.c_ab >= 5
+      |ORDER BY lift DESC, g.a, g.b LIMIT 20""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_token_stats", q34 _, Some(q34Sql)),
     ("q35_lang_id_confusion", q35 _, Some(q35Sql)),
@@ -1386,6 +1447,7 @@ object Text {
     // must reproduce the from-scratch ranking exactly (q122's
     // reuse-the-batch-oracle precedent)
     ("q159_bm25_incremental", q159 _, Some(q90Sql)),
-    ("q162_tokenizer_fertility", q162 _, Some(q162Sql))
+    ("q162_tokenizer_fertility", q162 _, Some(q162Sql)),
+    ("q163_collocation_lift", q163 _, Some(q163Sql))
   )
 }

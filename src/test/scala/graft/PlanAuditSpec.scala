@@ -44,7 +44,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q158_rrf_fusion", // inherits q66/q90's 1-row corpus-stat broadcasts
     "q159_bm25_incremental", // 1-row (N,T) stats merge + q90's corpus broadcast
     "q160_neyman_sample", // 1-row weight-total broadcast into the apportionment (q100's shape)
-    "q161_markov_holdout_eval") // 1-row min-day broadcast onto the event scan
+    "q161_markov_holdout_eval", // 1-row min-day broadcast onto the event scan
+    "q163_collocation_lift") // two 1-row corpus-total broadcasts into the lift
 
   test("no declared query plans a cartesian product; BNLJ only where intended") {
     // streaming queries execute on materialization, not plan-inspectable
