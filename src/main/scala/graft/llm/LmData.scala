@@ -44,11 +44,11 @@ object LmData {
           .as(Seq("off", "ex")))
       .select(col(idCol), (col("off") + context + 1).cast("long").as("pos"),
         col("ex.context").as("context"), col("ex.target").as("target"))
-    val vocab = df.select(explode(split(col(textCol), " ")).as("w"))
+    val vocabCounts = df.select(explode(split(col(textCol), " ")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .select(col("w"), (row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("c").desc, col("w"))) - 1).cast("long").as("rank"))
+    val vocab = graft.operators.GlobalRank
+      .withGlobalRank(vocabCounts, Seq(col("c").desc, col("w")), "rank")
+      .select(col("w"), (col("rank") - 1).cast("long").as("rank"))
     val vsize = vocab.agg(count(lit(1)).as("v"))
     val pos = exs.select(col(idCol), col("pos"), col("context"),
       col("target").as("word"), lit(1).as("label"))

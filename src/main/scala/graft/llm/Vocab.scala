@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions._
   *
   * `build` ranks distinct tokens by (frequency desc, token asc); the
   * deterministic tie-break makes ids reproducible across runs and
-  * engines. The ranking window is a single partition over the
-  * VOCABULARY (distinct tokens, which a natural-language corpus keeps
-  * in the millions regardless of corpus size — Heaps' law), not over
-  * the corpus; the corpus-sized work (token counting) is a partial-
+  * engines. The ranking runs through [[graft.operators.GlobalRank]] —
+  * fully partition-parallel (range-repartition + per-partition
+  * row_number + prefix-sum offsets), so a web-corpus vocabulary
+  * (Heaps'-law 10⁷–10⁸ distinct tokens) never funnels through one
+  * partition; the corpus-sized work (token counting) is a partial-
   * aggregated group-by. `encode` is a broadcast join of that small
   * vocab onto the exploded token stream — map-side at any corpus
   * scale.
@@ -21,12 +22,14 @@ import org.apache.spark.sql.functions._
 object Vocab {
 
   /** (token, freq, token_id) ranked 1..|V|. */
-  def build(df: DataFrame, textCol: String, sep: String = " "): DataFrame =
-    df.select(explode(split(col(textCol), sep)).as("tok"))
+  def build(df: DataFrame, textCol: String, sep: String = " "): DataFrame = {
+    val counts = df.select(explode(split(col(textCol), sep)).as("tok"))
       .where(col("tok") =!= "")
       .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
-      .withColumn("token_id",
-        row_number().over(Window.orderBy(col("freq").desc, col("tok"))))
+    graft.operators.GlobalRank
+      .withGlobalRank(counts, Seq(col("freq").desc, col("tok")), "token_id")
+      .withColumn("token_id", col("token_id").cast("int"))
+  }
 
   /** (idCol, pos, token_id) — one row per token occurrence, positions
     * 0-based within the document. */
@@ -147,11 +150,12 @@ object Vocab {
     }
     val wordSubs = words
       .select(col("word"), col("freq"), split(symFinal, " ").as("subs"))
-    val ids = wordSubs
+    val subCounts = wordSubs
       .select(col("freq"), explode(col("subs")).as("subword"))
       .groupBy(col("subword")).agg(sum(col("freq")).as("sfreq"))
-      .withColumn("subword_id",
-        row_number().over(Window.orderBy(col("sfreq").desc, col("subword"))))
+    val ids = graft.operators.GlobalRank
+      .withGlobalRank(subCounts, Seq(col("sfreq").desc, col("subword")), "subword_id")
+      .withColumn("subword_id", col("subword_id").cast("int"))
       .select(col("subword"), col("subword_id"))
     val stream = df
       .select(col(idCol),

@@ -1135,12 +1135,12 @@ object Text {
     * `transform` over the token array emits both directions of each
     * window pair with no self-join (a positions self-join would be
     * per-doc quadratic in window size × length); the only shuffles are
-    * the pair-count and vocab-count groupBys. The vocab ranking window
-    * is unpartitioned but Heaps-law-bounded (vocab, not corpus), and
-    * the rank→negative join broadcasts the vocab.
+    * the pair-count and vocab-count groupBys. The vocab ranking runs
+    * through [[graft.operators.GlobalRank]] — partition-parallel, no
+    * single-partition window even at web-corpus vocab sizes — and the
+    * rank→negative join broadcasts the vocab.
     */
   def q152(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val d = docs(spark, sfDir)
     val toks = d.select(split(col("text"), " ").as("s"))
     val pairs = toks.select(explode(expr(
@@ -1153,10 +1153,11 @@ object Text {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("center"), col("context"))
       .limit(50)
-    val vocab = d.select(explode(split(col("text"), " ")).as("tok"))
+    val vocabCounts = d.select(explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("freq").desc, col("tok"))) - 1)
+    val vocab = graft.operators.GlobalRank
+      .withGlobalRank(vocabCounts, Seq(col("freq").desc, col("tok")), "rank")
+      .withColumn("rank", (col("rank") - 1).cast("int"))
       .select(col("tok"), col("rank"))
     val vocabSize = vocab.agg(count(lit(1)).as("vs"))
     top.crossJoin(broadcast(vocabSize))

@@ -143,6 +143,45 @@ class PlanAuditSpec extends AnyFunSuite {
       "expected the data-sized window to be partitioned by __pid")
   }
 
+  test("no declared query plans an unpartitioned data-sized window") {
+    // the complement of the BNLJ gate: `row_number() OVER (ORDER BY …)`
+    // with no PARTITION BY funnels the whole input through ONE
+    // partition — correct at sf0.1, a cliff at web-corpus scale (the
+    // Vocab.build class of bug, removed in round 9 via GlobalRank).
+    // Structural exemptions, both partition-count/limit-bounded by
+    // construction:
+    //   (a) GlobalRank's own offsets window — orders by __pid, runs
+    //       over one row per range partition, never data rows;
+    //   (b) windows whose input sits above a GlobalLimit (q103's
+    //       post-limit rank: ≤ limit rows remain).
+    // Everything else must be named below with a written justification.
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LogicalPlan, Window => LWindow}
+    val boundedAllowed = Map(
+      "q86_concurrency_sweep" -> "carry-in prefix sum over per-day bucket aggregates (time-span-bounded, not row-count-bounded)",
+      "q100_weighted_allocation" -> "window over per-language strata (|langs|, not corpus)",
+      "q158_rrf_fusion" -> "rank windows over the topK=20 fused candidates, not the corpus",
+      "q160_neyman_sample" -> "apportionment window over per-stratum rows (|strata|, not corpus)")
+    val skip = Set("q40_stream_daily_window", "q41_stream_sliding_window",
+      "q42_stream_session_window", "q43_stream_dedup_daily",
+      "q69_stream_stream_join", "q76_stream_static_join",
+      "q84_stream_upsert_snapshot")
+    def pidOnly(w: LWindow): Boolean =
+      w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
+        w.orderSpec.forall(_.child.references.forall(_.name == "__pid"))
+    def aboveLimit(p: LogicalPlan): Boolean =
+      p.collectFirst { case _: GlobalLimit => () }.isDefined
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => skip(n) || boundedAllowed.contains(n) }
+      .flatMap { case (name, fn) =>
+        fn(spark, sfDir).queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty && !pidOnly(w) &&
+            !aboveLimit(w.child) =>
+            s"$name: unpartitioned window over ${w.orderSpec.map(_.sql).mkString(", ")}"
+        }
+      }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("column pruning reaches the scan (spot checks)") {
     def readSchema(name: String): String = {
       val plan = SparkEntry.queries(name)(spark, sfDir)
