@@ -57,6 +57,11 @@ object Tables {
   private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     val p = path(sfDir, "events")
     val native = scala.util.Try(spark.read.parquet(p)).toOption.flatMap { df =>
+      // a natively-readable file without a ts column is a testdata-drop
+      // change this loader can't paper over — fail loudly, don't fall
+      // through to the raw-int64 path (which would also miss it)
+      require(df.schema.fieldNames.contains("ts"),
+        s"events at $p has no 'ts' column; schema: ${df.schema.simpleString}")
       df.schema("ts").dataType match {
         case TimestampType => Some(df)
         // parquet isAdjustedToUTC=false infers as NTZ; the session TZ is

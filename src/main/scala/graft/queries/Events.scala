@@ -899,6 +899,61 @@ object Events {
       |FROM pairs p LEFT JOIN pred r USING (prev)
       |WHERE p.d >= 24 GROUP BY p.prev ORDER BY p.prev""".stripMargin
 
+  // ---------------------------------------------------------------- q164
+  /** q132's custom-exec as-of join with a TOLERANCE bound (pandas
+    * `merge_asof` tolerance, QuestDB ASOF ... TOLERANCE): each
+    * purchase matches its last strictly-prior view of the same user
+    * ONLY if that view is at most 48 hours stale — staler matches
+    * null-pad exactly like no-match rows. This is the staleness
+    * contract of feature-store point-in-time joins (a feature older
+    * than the freshness SLA must not leak into training rows).
+    *
+    * Exercises the one `AsOfJoinExec` feature q132 doesn't: the
+    * emit-time tolerance check inside the forward merge (monotone in
+    * the sort order, so the merge never rewinds — still O(|L|+|R|)
+    * per co-partition). The oracle reproduces the semantics through a
+    * structurally different plan: q38's union+window last-prior-view
+    * pass with the staleness predicate applied at emit.
+    */
+  def q164(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = ev(spark, sfDir)
+      .where(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        date_trunc("second", col("ts")).cast("long").as("ts_s"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_s"))
+    val views = e.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_event_id"),
+        col("ts_s").as("view_ts_s"))
+    graft.plans.AsOf.join(purchases, views,
+        Seq("user_id"), Seq("v_user"),
+        Seq("ts_s", "event_id"), Seq("view_ts_s", "view_event_id"),
+        tolerance = Some(172800L))
+      .select(col("user_id"), col("event_id"), col("view_event_id"),
+        (col("ts_s") - col("view_ts_s")).as("gap_s"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val q164Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s
+      |  FROM events WHERE event_type IN ('view', 'purchase')),
+      |w AS (
+      |  SELECT user_id, event_id, event_type, ts_s,
+      |    last_value(CASE WHEN event_type = 'view'
+      |               THEN struct_pack(ts_s := ts_s, event_id := event_id) END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_view
+      |  FROM e)
+      |SELECT user_id, event_id,
+      |  CASE WHEN ts_s - prior_view.ts_s <= 172800
+      |       THEN prior_view.event_id END AS view_event_id,
+      |  CASE WHEN ts_s - prior_view.ts_s <= 172800
+      |       THEN ts_s - prior_view.ts_s END AS gap_s
+      |FROM w WHERE event_type = 'purchase'
+      |ORDER BY user_id, event_id""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_events_json_stats", q23 _, Some(q23Sql)),
     ("q24_events_daily_window", q24 _, Some(q24Sql)),
@@ -920,6 +975,7 @@ object Events {
     ("q132_asof_custom_exec", q132 _, Some(q38Sql)),
     ("q146_multitouch_attribution", q146 _, Some(q146Sql)),
     ("q150_purged_time_split", q150 _, Some(q150Sql)),
-    ("q161_markov_holdout_eval", q161 _, Some(q161Sql))
+    ("q161_markov_holdout_eval", q161 _, Some(q161Sql)),
+    ("q164_asof_tolerance", q164 _, Some(q164Sql))
   )
 }

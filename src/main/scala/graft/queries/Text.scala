@@ -1362,11 +1362,13 @@ object Text {
     * pass, tokenizer multi-word entries): q89 scores DOCUMENTS by
     * average bigram probability; this scores BIGRAMS by association.
     *
-    * Every factor is an exact integer (numerators stay < 2⁶³ up to
-    * ~10⁸-token corpora at the min-count floor; beyond that the same
-    * ratio runs in DECIMAL(38,0)); one double division per bigram,
-    * rounded once. Shuffles: bigram count, unigram count, two 1-row
-    * total broadcasts, TakeOrdered top-20.
+    * Every factor is an exact integer; the products run in
+    * DECIMAL(38,0) (Spark) / HUGEINT (oracle) so c(ab)·N_tok² cannot
+    * wrap int64 even at web-corpus token counts (non-ANSI Spark wraps
+    * silently where DuckDB raises — exact wide arithmetic keeps the
+    * two engines honest with each other); one double division per
+    * bigram, rounded once. Shuffles: bigram count, unigram count, two
+    * 1-row total broadcasts, TakeOrdered top-20.
     */
   def q163(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
@@ -1385,8 +1387,10 @@ object Text {
       .join(broadcast(uni.select(col("w").as("b"), col("cw").as("cb"))), "b")
       .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBig))
       .withColumn("lift", round(
-        (col("c_ab") * col("n_tok") * col("n_tok")).cast("double") /
-          (col("n_big") * col("ca") * col("cb")).cast("double"), 6))
+        (col("c_ab").cast("decimal(38,0)") * col("n_tok") * col("n_tok"))
+          .cast("double") /
+          (col("n_big").cast("decimal(38,0)") * col("ca") * col("cb"))
+            .cast("double"), 6))
       .select(col("a"), col("b"), col("c_ab"), col("lift"))
       .orderBy(col("lift").desc, col("a"), col("b"))
       .limit(20)
@@ -1405,8 +1409,8 @@ object Text {
       |big AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab FROM bg GROUP BY a, b),
       |nbg AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_big FROM big)
       |SELECT g.a, g.b, g.c_ab,
-      |  ROUND(CAST(g.c_ab * t.n_tok * t.n_tok AS DOUBLE) /
-      |        CAST(n.n_big * ua.cw * ub.cw AS DOUBLE), 6) AS lift
+      |  ROUND(CAST(CAST(g.c_ab AS HUGEINT) * t.n_tok * t.n_tok AS DOUBLE) /
+      |        CAST(CAST(n.n_big AS HUGEINT) * ua.cw * ub.cw AS DOUBLE), 6) AS lift
       |FROM big g
       |JOIN uni ua ON ua.w = g.a JOIN uni ub ON ub.w = g.b
       |CROSS JOIN ntk t CROSS JOIN nbg n
