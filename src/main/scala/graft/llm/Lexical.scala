@@ -108,6 +108,82 @@ object Lexical {
       .limit(topK)
   }
 
+  // ------------------------------------------------ BM25 index store
+
+  /** Tokenize `df` and APPEND it to the BM25 index store at
+    * `storePath` — three substores, all additive sufficient
+    * statistics: `postings/` (idCol, dl, tok, tf), `dfreq/` (tok, dft)
+    * fragments, `stats/` 1-row (nd, tt) fragments. A refresh writes
+    * one fragment set per batch and never rewrites history (the
+    * banded-signature-store contract); [[bm25StoreSearch]] sums
+    * fragments at read time, so an un-compacted and a
+    * [[compactBm25Store]]-compacted store answer identically.
+    * Contract: each document enters the store exactly once — postings
+    * rows are unique per (id, tok) across fragments by construction.
+    */
+  def appendBm25Batch(df: DataFrame, idCol: String, textCol: String,
+                      storePath: String): Unit = {
+    val postings = df.select(col(idCol), split(col(textCol), " ").as("t"))
+      .select(col(idCol), size(col("t")).cast("long").as("dl"),
+        explode(col("t")).as("tok"))
+      .groupBy(col(idCol), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    postings.write.mode("append").parquet(s"$storePath/postings")
+    postings.groupBy(col("tok")).agg(count(lit(1)).as("dft"))
+      .write.mode("append").parquet(s"$storePath/dfreq")
+    df.select(size(split(col(textCol), " ")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("nd"), sum(col("dl")).as("tt"))
+      .write.mode("append").parquet(s"$storePath/stats")
+  }
+
+  /** BM25 top-k served straight from an [[appendBm25Batch]] store:
+    * only the query terms' posting rows are read (`tok IN (...)`
+    * reaches the parquet scan as a pushed filter), df fragments merge
+    * by per-term addition, (N, T) fragments by summation — history
+    * text is never rescanned. Output: (idCol, n_terms, score), the
+    * same contract as [[bm25Search]]. */
+  def bm25StoreSearch(spark: org.apache.spark.sql.SparkSession,
+                      storePath: String, idCol: String,
+                      terms: Seq[String], topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val hits = spark.read.parquet(s"$storePath/postings")
+      .where(col("tok").isin(terms: _*))
+    val dfreq = spark.read.parquet(s"$storePath/dfreq")
+      .where(col("tok").isin(terms: _*))
+      .groupBy(col("tok")).agg(sum(col("dft")).as("dft"))
+    val corpus = spark.read.parquet(s"$storePath/stats")
+      .agg(sum(col("nd")).as("nd"), sum(col("tt")).as("tt"))
+    bm25Score(hits, dfreq, corpus, idCol, topK)
+  }
+
+  /** Write-then-swap compaction for a BM25 store —
+    * [[TextDedup.compactSignatureStore]]'s retrieval counterpart.
+    * Per-batch fragments otherwise accumulate forever (a term's df
+    * spreads over as many rows as batches that saw it; stats over one
+    * row per batch): df fragments merge by per-term addition, stats
+    * to a single row, and postings rewrite range-partitioned and
+    * sorted by term so the query-term pushdown prunes files AND row
+    * groups. Each substore is fully written to a sibling path first,
+    * then swapped in — a crash mid-compaction leaves the original
+    * intact. Not safe under concurrent readers (run between refresh
+    * cycles; at 100 TB the swap is a catalog/view flip instead).
+    * Search results are pinned unchanged by `Bm25StoreSpec`. */
+  def compactBm25Store(spark: org.apache.spark.sql.SparkSession,
+                       storePath: String, outFiles: Int = 1): Unit = {
+    TextDedup.compactSwap(spark, s"$storePath/postings",
+      spark.read.parquet(s"$storePath/postings")
+        .repartitionByRange(outFiles, col("tok"))
+        .sortWithinPartitions("tok"))
+    TextDedup.compactSwap(spark, s"$storePath/dfreq",
+      spark.read.parquet(s"$storePath/dfreq")
+        .groupBy(col("tok")).agg(sum(col("dft")).as("dft"))
+        .repartition(outFiles))
+    TextDedup.compactSwap(spark, s"$storePath/stats",
+      spark.read.parquet(s"$storePath/stats")
+        .agg(sum(col("nd")).as("nd"), sum(col("tt")).as("tt"))
+        .repartition(1))
+  }
+
   /** Exact phrase matching via the positional posting list — the
     * inverted-index phrase query. Tokens explode with their position;
     * only the phrase's own terms survive the (pushed-down) `IN`

@@ -676,7 +676,7 @@ object TextDedup {
                             outFiles: Int = 1): Unit = {
     val store = readStore(spark, storePath)
     compactSwap(spark, storePath,
-      store.dropDuplicates(store.columns.head), outFiles)
+      store.dropDuplicates(store.columns.head).repartition(outFiles))
   }
 
   /** [[compactSignatureStore]]'s exact-dedup counterpart: merges
@@ -686,13 +686,17 @@ object TextDedup {
                        outFiles: Int = 1): Unit =
     compactSwap(spark, storePath,
       readStore(spark, storePath)
-        .groupBy(col("text_sha")).agg(min(col("keep_id")).as("keep_id")),
-      outFiles)
+        .groupBy(col("text_sha")).agg(min(col("keep_id")).as("keep_id"))
+        .repartition(outFiles))
 
-  private def compactSwap(spark: SparkSession, storePath: String,
-                          compacted: DataFrame, outFiles: Int): Unit = {
+  /** Write-then-swap: `compacted` (already shaped into its final
+    * partitioning/order by the caller) is fully written to a sibling
+    * path first, then atomically renamed over the store — a crash
+    * mid-compaction leaves the original intact. */
+  private[llm] def compactSwap(spark: SparkSession, storePath: String,
+                               compacted: DataFrame): Unit = {
     val tmp = storePath + ".compacting"
-    compacted.repartition(outFiles).write.mode("overwrite").parquet(tmp)
+    compacted.write.mode("overwrite").parquet(tmp)
     val fs = new org.apache.hadoop.fs.Path(storePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(storePath), true)

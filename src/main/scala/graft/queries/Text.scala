@@ -1237,21 +1237,24 @@ object Text {
        |FROM u GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
 
   // ---------------------------------------------------------------- q159
-  /** INCREMENTAL inverted-index maintenance for BM25: history (75% of
-    * docs, `doc_id % 4 != 0`) was indexed in a previous run into three
-    * persisted artifacts — full postings (tok, doc_id, dl, tf),
-    * per-term document frequencies, and the (N, total-tokens) corpus
-    * stats. The refresh tokenizes ONLY the new batch and merges:
-    * postings union, df sums, (N, T) sums — every BM25 input is an
-    * additive sufficient statistic, so the merged top-20 equals the
-    * full-corpus recompute bit-for-bit, which is exactly what the
-    * oracle (q90's full-corpus SQL) checks.
+  /** INCREMENTAL inverted-index maintenance for BM25 through the
+    * [[graft.llm.Lexical]] store API: history (75% of docs,
+    * `doc_id % 4 != 0`) entered the store as two appended batches in
+    * previous runs, the store was then COMPACTED between cycles
+    * ([[graft.llm.Lexical.compactBm25Store]] — df fragments merged by
+    * per-term addition, (N, T) to one row, postings rewritten sorted
+    * by term), and the refresh appends ONLY the new batch. Every BM25
+    * input is an additive sufficient statistic, so the served top-20
+    * equals the full-corpus recompute bit-for-bit, which is exactly
+    * what the oracle (q90's full-corpus SQL) checks — across appends
+    * AND across the compaction boundary.
     *
     * Scale: at 100 TB the postings store IS the searchable asset; a
-    * refresh costs one tokenize pass over the batch plus a pruned read
-    * of the query terms' posting rows (predicate pushdown on `tok`) —
-    * history text is never rescanned. The only quadratic-free shuffles
-    * are per-term groupBys.
+    * refresh costs one tokenize pass over the batch plus an appended
+    * fragment set, a query reads only its terms' posting rows
+    * (predicate pushdown on `tok`, plan-asserted), and compaction
+    * bounds fragment accumulation with a write-then-swap rewrite —
+    * history text is never rescanned by any of the three.
     */
   def q159(spark: SparkSession, sfDir: String): DataFrame = {
     val terms = Seq("spark", "vector", "customer")
@@ -1259,38 +1262,21 @@ object Text {
     val hist = d.where(pmod(col("doc_id"), lit(4)) =!= 0)
     val batch = d.where(pmod(col("doc_id"), lit(4)) === 0)
     val store = graft.Tables.scratchDir(spark, "bm25idx", sfDir)
-    def toks(src: org.apache.spark.sql.DataFrame) =
-      src.select(col("doc_id"), split(col("text"), " ").as("t"))
-        .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
-          explode(col("t")).as("tok"))
-    // --- index build (the previous run's persisted state)
-    toks(hist).groupBy(col("doc_id"), col("dl"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
-      .write.mode("overwrite").parquet(s"$store/postings")
-    spark.read.parquet(s"$store/postings")
-      .groupBy(col("tok")).agg(count(lit(1)).as("dft"))
-      .write.mode("overwrite").parquet(s"$store/dfreq")
-    hist.select(size(split(col("text"), " ")).cast("long").as("dl"))
-      .agg(count(lit(1)).as("nd"), sum(col("dl")).as("tt"))
-      .write.mode("overwrite").parquet(s"$store/stats")
-    // --- refresh: batch tokenized; history only through the store
-    val bhits = toks(batch).where(col("tok").isin(terms: _*))
-      .groupBy(col("doc_id"), col("dl"), col("tok")).agg(count(lit(1)).as("tf"))
-    val hhits = spark.read.parquet(s"$store/postings")
-      .where(col("tok").isin(terms: _*))
-    val hdf = spark.read.parquet(s"$store/dfreq")
-      .where(col("tok").isin(terms: _*))
-      .select(col("tok"), col("dft").as("dft_h"))
-    val bdf = bhits.groupBy(col("tok")).agg(count(lit(1)).as("dft_b"))
-    val dfreq = hdf.join(bdf, Seq("tok"), "full_outer")
-      .select(col("tok"),
-        (coalesce(col("dft_h"), lit(0L)) + coalesce(col("dft_b"), lit(0L))).as("dft"))
-    val bstats = batch.select(size(split(col("text"), " ")).cast("long").as("dl"))
-      .agg(count(lit(1)).as("nd_b"), sum(col("dl")).as("tt_b"))
-    val corpus = spark.read.parquet(s"$store/stats").crossJoin(bstats)
-      .select((col("nd") + col("nd_b")).as("nd"), (col("tt") + col("tt_b")).as("tt"))
-    graft.llm.Lexical.bm25Score(
-      hhits.unionByName(bhits), dfreq, corpus, "doc_id", topK = 20)
+    // fresh store per invocation: appends are not idempotent, so a
+    // re-run (bench warm-up, repeated Verify) must not double-index
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(store), true)
+    // previous runs' persisted state: history as two appended batches
+    graft.llm.Lexical.appendBm25Batch(
+      hist.where(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text", store)
+    graft.llm.Lexical.appendBm25Batch(
+      hist.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text", store)
+    // maintenance between refresh cycles
+    graft.llm.Lexical.compactBm25Store(spark, store)
+    // the refresh: tokenize ONLY the new batch, append its fragments
+    graft.llm.Lexical.appendBm25Batch(batch, "doc_id", "text", store)
+    graft.llm.Lexical.bm25StoreSearch(spark, store, "doc_id", terms, topK = 20)
   }
 
   // ---------------------------------------------------------------- q162
