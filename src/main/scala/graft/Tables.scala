@@ -26,10 +26,52 @@ object Tables {
     * never cross-contaminate results within a session.
     */
   def scratchDir(spark: SparkSession, kind: String, sfDir: String): String = {
+    cleanStaleScratch(spark)
     val ds = new java.io.File(sfDir).getAbsolutePath
       .replaceAll("[^A-Za-z0-9._-]", "_")
     s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_" +
       s"${spark.sparkContext.applicationId}_$ds"
+  }
+
+  /** How long a scratch store from another session may sit untouched
+    * before [[cleanStaleScratch]] reclaims it. Long enough that any
+    * live session (whose stores are being written/read continuously)
+    * is never at risk; short enough that repeated rounds don't grow
+    * the machine's tmpdir without bound. */
+  private[graft] val scratchMaxAgeMs: Long = 6L * 3600 * 1000
+
+  private val scratchCleaned = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private[graft] def resetScratchCleanerForTest(): Unit =
+    scratchCleaned.set(false)
+
+  /** Best-effort reclamation of PRIOR sessions' scratch stores: keyed
+    * directories under tmpdir matching `graft_*` whose applicationId
+    * is not this session's and whose tree hasn't been touched within
+    * [[scratchMaxAgeMs]]. Runs once per JVM, never throws (a store
+    * vanishing under a concurrent deleter is fine), and never touches
+    * this session's own stores — their names embed the live
+    * applicationId. */
+  private[graft] def cleanStaleScratch(spark: SparkSession): Unit = {
+    if (!scratchCleaned.compareAndSet(false, true)) return
+    val appId = spark.sparkContext.applicationId
+    val now = System.currentTimeMillis()
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    def newestMtime(f: java.io.File): Long =
+      if (f.isDirectory)
+        (f.lastModified() +: Option(f.listFiles()).getOrElse(Array.empty)
+          .map(newestMtime(_)).toSeq).max
+      else f.lastModified()
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    try Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_") &&
+        !f.getName.contains(appId))
+      .filter(f => now - newestMtime(f) > scratchMaxAgeMs)
+      .foreach(f => try rm(f) catch { case _: Exception => () })
+    catch { case _: Exception => () }
   }
 
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"

@@ -118,3 +118,47 @@ class TestdataCanarySpec extends AnyFunSuite {
     assert(agg.getInt(2) == 2024 && agg.getInt(3) == 2024)
   }
 }
+
+/** Pins the scratch-store lifecycle: prior sessions' stale stores are
+  * reclaimed on first `scratchDir` call; anything recently touched or
+  * belonging to the live session survives.
+  */
+class ScratchCleanupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.hive
+
+  private def mkStore(name: String, ageMs: Long): java.io.File = {
+    val d = new java.io.File(System.getProperty("java.io.tmpdir"), name)
+    d.mkdirs()
+    val f = new java.io.File(d, "part-00000.parquet")
+    java.nio.file.Files.writeString(f.toPath, "x")
+    val t = System.currentTimeMillis() - ageMs
+    f.setLastModified(t); d.setLastModified(t)
+    d
+  }
+
+  test("stale prior-session stores are removed; fresh and live ones kept") {
+    val stale = mkStore("graft_teststore_app-dead-1_ds",
+      Tables.scratchMaxAgeMs + 60000)
+    val fresh = mkStore("graft_teststore_app-dead-2_ds", 60000)
+    val live = mkStore(
+      s"graft_teststore_${spark.sparkContext.applicationId}_ds",
+      Tables.scratchMaxAgeMs + 60000) // even old: own appId is immune
+    try {
+      Tables.resetScratchCleanerForTest()
+      Tables.scratchDir(spark, "probe", "/root/testdata/sf0.001")
+      assert(!stale.exists(), "stale prior-session store must be reclaimed")
+      assert(fresh.exists(), "recently-touched store must survive")
+      assert(live.exists(), "live session's store must survive")
+      // once per JVM: a second call must not rescan (recreate stale,
+      // call again, expect it untouched)
+      val stale2 = mkStore("graft_teststore_app-dead-3_ds",
+        Tables.scratchMaxAgeMs + 60000)
+      Tables.scratchDir(spark, "probe", "/root/testdata/sf0.001")
+      assert(stale2.exists(), "cleaner must run once per JVM")
+      stale2.listFiles().foreach(_.delete()); stale2.delete()
+    } finally Seq(fresh, live).foreach { d =>
+      Option(d.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+      d.delete()
+    }
+  }
+}

@@ -20,6 +20,21 @@ for f in glob.glob(f"{sf_dir}/*.parquet"):
     name = os.path.basename(f)[:-len(".parquet")]
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
 
+# Timestamp-unit probe (one footer read): the events ts column has
+# silently changed parquet logical types across testdata drops (ns →
+# µs). The Spark loader probes at runtime and TestdataCanarySpec pins
+# the real data; this is the harness-side tripwire that catches drift
+# BEFORE a full parity run burns on collapsed timestamps.
+try:
+    t, lo, hi = con.sql(
+        "SELECT any_value(typeof(ts)), year(min(ts)), year(max(ts)) FROM events"
+    ).fetchone()
+    if "TIMESTAMP" not in t.upper() or not (2000 <= lo <= 2100 and 2000 <= hi <= 2100):
+        print(f"WARNING events.ts drift: type={t} year range {lo}..{hi} — "
+              "check Tables.loadEvents' unit probe before trusting results")
+except Exception as e:
+    print(f"WARNING events.ts probe failed: {e}")
+
 oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
 n_pass = n_fail = 0
 for name, sql in sorted(oracles.items()):
