@@ -9,11 +9,20 @@ For each query in <verifyOutDir>/oracle_sql.json:
   - sort columns by name, compare row-by-row values (with a tiny float
     tolerance report so we can see WHERE a hash compare would diverge)
 """
-import sys, json, glob, os
+import sys, json, glob, os, threading
 import duckdb
 import math
 
-sf_dir, out_dir = sys.argv[1], sys.argv[2]
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+opts = dict(a[2:].split("=", 1) for a in sys.argv[1:] if a.startswith("--"))
+sf_dir, out_dir = args[0], args[1]
+# --skip=sub1,sub2 : skip queries whose name contains any substring
+#   (scale probes: the declared-quadratic oracle baselines are O(n²)
+#   in DuckDB too and dominate wall-clock far beyond their value)
+# --timeout=SECS   : per-oracle-query wall clock; on expiry the DuckDB
+#   query is interrupted and the query reported TIMEOUT (not a fail)
+skip_subs = [s for s in opts.get("skip", "").split(",") if s]
+timeout_s = float(opts["timeout"]) if "timeout" in opts else None
 
 con = duckdb.connect()
 for f in glob.glob(f"{sf_dir}/*.parquet"):
@@ -36,25 +45,17 @@ except Exception as e:
     print(f"WARNING events.ts probe failed: {e}")
 
 oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
-n_pass = n_fail = 0
-for name, sql in sorted(oracles.items()):
+n_pass = n_fail = n_skip = 0
+
+
+def compare(name, sql):
+    """Returns a result line; raises duckdb.InterruptException on timeout."""
     spark_dir = f"{out_dir}/{name}"
-    if not os.path.isdir(spark_dir):
-        print(f"FAIL {name}: no spark output dir")
-        n_fail += 1
-        continue
-    try:
-        got = con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'")
-        want = con.sql(sql)
-    except Exception as e:
-        print(f"FAIL {name}: {e}")
-        n_fail += 1
-        continue
+    got = con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'")
+    want = con.sql(sql)
     gcols, wcols = sorted(got.columns), sorted(want.columns)
     if [c.lower() for c in gcols] != [c.lower() for c in wcols]:
-        print(f"FAIL {name}: columns differ spark={gcols} oracle={wcols}")
-        n_fail += 1
-        continue
+        return f"FAIL {name}: columns differ spark={gcols} oracle={wcols}"
     # Type-drift gate: Python compares int128 == int64 as True, so a
     # value compare can pass while the driver's hash compare (which
     # renders types) fails. DuckDB promotes uncast SUM(BIGINT) to
@@ -63,46 +64,60 @@ for name, sql in sorted(oracles.items()):
     # Spark column isn't DECIMAL too).
     gtypes = {c.lower(): str(t) for c, t in zip(got.columns, got.types)}
     wtypes = {c.lower(): str(t) for c, t in zip(want.columns, want.types)}
-    drift = []
     for c in (c.lower() for c in wcols):
         ot, gt = wtypes[c], gtypes[c]
-        if "HUGEINT" in ot:
-            drift.append((c, ot, gt))
-        elif ot.startswith("DECIMAL") and not gt.startswith("DECIMAL"):
-            drift.append((c, ot, gt))
-    if drift:
-        c, ot, gt = drift[0]
-        print(f"FAIL {name}: oracle type drift col {c}: oracle={ot} "
-              f"spark={gt} (cast the oracle output, e.g. CAST(SUM(..) AS BIGINT))")
-        n_fail += 1
-        continue
+        if "HUGEINT" in ot or (ot.startswith("DECIMAL")
+                               and not gt.startswith("DECIMAL")):
+            return (f"FAIL {name}: oracle type drift col {c}: oracle={ot} "
+                    f"spark={gt} (cast the oracle output, e.g. "
+                    f"CAST(SUM(..) AS BIGINT))")
     grows = got.select(", ".join(f'"{c}"' for c in gcols)).fetchall()
     wrows = want.select(", ".join(f'"{c}"' for c in wcols)).fetchall()
     if len(grows) != len(wrows):
-        print(f"FAIL {name}: rowcount spark={len(grows)} oracle={len(wrows)}")
-        n_fail += 1
-        continue
-    bad = None
+        return f"FAIL {name}: rowcount spark={len(grows)} oracle={len(wrows)}"
     for i, (g, w) in enumerate(zip(grows, wrows)):
         for j, (a, b) in enumerate(zip(g, w)):
             if a == b:
                 continue
-            if isinstance(a, float) and isinstance(b, float):
-                if (math.isnan(a) and math.isnan(b)):
-                    continue
-                bad = (i, gcols[j], a, b, abs(a - b))
-                break
-            bad = (i, gcols[j], a, b, None)
-            break
-        if bad:
-            break
-    if bad:
-        i, c, a, b, d = bad
-        print(f"FAIL {name}: row {i} col {c}: spark={a!r} oracle={b!r}"
-              + (f" absdiff={d:.3e}" if d is not None else ""))
+            if isinstance(a, float) and isinstance(b, float) \
+                    and math.isnan(a) and math.isnan(b):
+                continue
+            d = (f" absdiff={abs(a - b):.3e}"
+                 if isinstance(a, float) and isinstance(b, float) else "")
+            return f"FAIL {name}: row {i} col {gcols[j]}: spark={a!r} oracle={b!r}{d}"
+    return f"PASS {name} ({len(grows)} rows)"
+
+
+for name, sql in sorted(oracles.items()):
+    if any(s in name for s in skip_subs):
+        print(f"SKIP {name}")
+        n_skip += 1
+        continue
+    if not os.path.isdir(f"{out_dir}/{name}"):
+        print(f"FAIL {name}: no spark output dir")
         n_fail += 1
-    else:
-        print(f"PASS {name} ({len(grows)} rows)")
+        continue
+    timed_out = []
+    timer = threading.Timer(
+        timeout_s, lambda: (timed_out.append(1), con.interrupt())) \
+        if timeout_s else None
+    if timer:
+        timer.start()
+    try:
+        line = compare(name, sql)
+    except Exception as e:
+        line = (f"TIMEOUT {name} (> {timeout_s:.0f}s oracle)" if timed_out
+                else f"FAIL {name}: {e}")
+    finally:
+        if timer:
+            timer.cancel()
+    print(line, flush=True)
+    if line.startswith("PASS"):
         n_pass += 1
-print(f"\n{n_pass} pass, {n_fail} fail, {len(oracles)} total")
+    elif line.startswith("TIMEOUT"):
+        n_skip += 1
+    else:
+        n_fail += 1
+print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} skipped/timeout, "
+      f"{len(oracles)} total")
 sys.exit(1 if n_fail else 0)
