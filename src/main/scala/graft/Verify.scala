@@ -20,12 +20,17 @@ object Verify {
       rm(root)
     }
     root.mkdirs()
-    // optional comma-separated name-substring filter for fast local
-    // parity iteration (the driver never sets it — full run)
+    // optional comma-separated name-substring filters for fast local
+    // parity iteration (the driver never sets either — full run).
+    // ONLY includes; SKIP excludes (scale probes drop the declared-
+    // quadratic baselines whose all-pairs shape is O(n²) by design).
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val skip = sys.env.get("SPARK_GRAFT_VERIFY_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
     def selected(name: String): Boolean =
-      only.forall(_.exists(name.contains))
+      only.forall(_.exists(name.contains)) && !skip.exists(name.contains)
     SparkEntry.queries.foreach { case (name, fn) =>
       if (selected(name))
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
