@@ -925,6 +925,76 @@ object Similarity {
        |  FROM ex) WHERE rn <= 3
        |ORDER BY va, rn""".stripMargin
 
+  // ---------------------------------------------------------------- q165
+  /** IVF-pruned SQ8 search + exact rerank
+    * ([[graft.llm.VectorSearch.sq8IvfRerank]]) — the composed
+    * production tier behind q149's all-pairs baseline: the q57 coarse
+    * quantizer (per-label centroids, nprobe=2) prunes the code scan
+    * to each query's two nearest inverted lists, the SQ8 byte-code
+    * dot ranks only those lists' codes, and the exact cosine reranks
+    * the surviving top-10. The sf1 scale probe measured the
+    * unpruned baseline at 467 s (its cost is corpus², every vector
+    * being a query); this tier's scan is nprobe/nlist of that and
+    * flat per query once nlist scales ∝ √N. Output shape matches
+    * q149/q31 for direct recall comparison.
+    */
+  def q165(spark: SparkSession, sfDir: String): DataFrame =
+    graft.llm.VectorSearch
+      .sq8IvfRerank(emb(spark, sfDir), "vec_id", "embedding", "label",
+        m = 10, k = 3, nprobe = 2)
+      .select(col("va"), col("rn"), col("vb"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("va"), col("rn"))
+
+  val q165Sql: String =
+    s"""WITH dims AS (
+       |  SELECT vec_id, label, t.i, CAST(embedding[t.i + 1] AS DOUBLE) AS x
+       |  FROM embeddings CROSS JOIN range(0, 64) t(i)),
+       |cents AS (
+       |  SELECT label, i,
+       |    CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS c
+       |  FROM dims GROUP BY label, i),
+       |d2 AS (
+       |  SELECT d.vec_id, c.label,
+       |    CAST(SUM(CAST((x - c) * (x - c) AS DECIMAL(38,12))) AS DOUBLE) AS d2
+       |  FROM dims d JOIN cents c USING (i) GROUP BY d.vec_id, c.label),
+       |assign AS (
+       |  SELECT vec_id, label,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, label) AS arn
+       |  FROM d2),
+       |st AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM dims GROUP BY i),
+       |qd AS (
+       |  SELECT vec_id, d.i,
+       |    CASE WHEN mx = mn THEN 0
+       |         ELSE CAST(floor((x - mn) / (mx - mn) * 255.0 + 0.5) AS BIGINT) END AS q
+       |  FROM dims d JOIN st USING (i)),
+       |sc AS (
+       |  SELECT p.vec_id AS va, h.vec_id AS vb, SUM(a.q * b.q) AS score
+       |  FROM assign p JOIN assign h
+       |    ON p.label = h.label AND h.arn = 1 AND p.arn <= 2
+       |    AND p.vec_id <> h.vec_id
+       |  JOIN qd a ON a.vec_id = p.vec_id
+       |  JOIN qd b ON b.vec_id = h.vec_id AND b.i = a.i
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT va, vb FROM (
+       |    SELECT va, vb,
+       |      ROW_NUMBER() OVER (PARTITION BY va ORDER BY score DESC, vb) AS crn
+       |    FROM sc) WHERE crn <= 10),
+       |nrm AS (
+       |  SELECT vec_id, embedding, sqrt(${dotSqlDuck("embedding", "embedding")}) AS nrm
+       |  FROM embeddings CROSS JOIN range(0, 64) t(i) GROUP BY vec_id, embedding),
+       |ex AS (
+       |  SELECT c.va, c.vb,
+       |    (${dotSqlDuck("x.embedding", "y.embedding")}) / (ANY_VALUE(x.nrm) * ANY_VALUE(y.nrm)) AS cos
+       |  FROM cand c JOIN nrm x ON x.vec_id = c.va JOIN nrm y ON y.vec_id = c.vb
+       |  CROSS JOIN range(0, 64) t(i)
+       |  GROUP BY c.va, c.vb)
+       |SELECT va, rn, vb, ROUND(cos, 6) AS cos FROM (
+       |  SELECT va, vb, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rn
+       |  FROM ex) WHERE rn <= 3
+       |ORDER BY va, rn""".stripMargin
+
   // ---------------------------------------------------------------- q151
   /** Weighted majority-vote label aggregation with annotator
     * reliability (one deterministic round of the Dawid–Skene EM
@@ -1083,6 +1153,7 @@ object Similarity {
     ("q147_incremental_kmeans", q147 _, Some(q147Sql)),
     ("q149_sq8_rerank", q149 _, Some(q149Sql)),
     ("q151_label_vote", q151 _, Some(q151Sql)),
-    ("q154_matryoshka_recall", q154 _, Some(q154Sql))
+    ("q154_matryoshka_recall", q154 _, Some(q154Sql)),
+    ("q165_ivf_sq8_search", q165 _, Some(q165Sql))
   )
 }

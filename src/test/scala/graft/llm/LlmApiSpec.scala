@@ -301,6 +301,35 @@ class LlmApiSpec extends AnyFunSuite {
     assert(one.size <= two.size)
   }
 
+  test("IVF-pruned SQ8 rerank: all-lists probe equals the unpruned baseline; " +
+    "pruned neighbors come only from probed lists") {
+    val nlist = embs.select("label").distinct().count().toInt
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("va", "rn", "vb").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // probe EVERY list → the candidate set degenerates to all pairs, so
+    // the composed tier must reproduce the baseline bit-for-bit
+    val full = rows(VectorSearch.sq8Rerank(embs, "vec_id", "embedding", m = 10, k = 3))
+    val all = rows(VectorSearch.sq8IvfRerank(embs, "vec_id", "embedding", "label",
+      m = 10, k = 3, nprobe = nlist))
+    assert(all == full, "nprobe = nlist must equal the unpruned SQ8 baseline")
+    // with a real prune, every returned neighbor's HOME list must be one
+    // of its query's probed lists — the defining IVF containment
+    val assign = VectorSearch.ivfAssign(embs, "vec_id", "embedding", "label", 2)
+    val probed = assign.collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val home = assign.where(col("rn") === 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val pruned = rows(VectorSearch.sq8IvfRerank(embs, "vec_id", "embedding", "label",
+      m = 10, k = 3, nprobe = 2))
+    assert(pruned.nonEmpty)
+    pruned.foreach { case (va, _, vb) =>
+      assert(probed(va).contains(home(vb)),
+        s"neighbor $vb of $va lives outside the probed lists")
+    }
+  }
+
   test("multi-probe ANN strictly improves recall over one probe") {
     def pairSet(probes: Int) =
       VectorSearch.thresholdPairs(embs, "vec_id", "embedding", minCos = 0.0,
