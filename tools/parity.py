@@ -25,6 +25,12 @@ skip_subs = [s for s in opts.get("skip", "").split(",") if s]
 timeout_s = float(opts["timeout"]) if "timeout" in opts else None
 
 con = duckdb.connect()
+# Cap DuckDB's memory so a pathological oracle (e.g. a recursive-CTE
+# transitive closure over duplicate-dense scale-up data) spills or
+# errors instead of OOM-killing the whole box — the sf1 probe lost a
+# 90-minute run exactly this way. DuckDB's 80%-of-RAM default does not
+# reliably bound recursive CTE materialization.
+con.execute(f"SET memory_limit='{opts.get('mem', '48GB')}'")
 for f in glob.glob(f"{sf_dir}/*.parquet"):
     name = os.path.basename(f)[:-len(".parquet")]
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
