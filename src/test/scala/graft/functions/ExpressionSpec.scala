@@ -154,4 +154,32 @@ class ExpressionSpec extends AnyFunSuite {
       s"SELECT vector_dot_scaled(${sqlArr(a)}, ${sqlArr(b)})").head().getLong(0)
     assert(codegen == interpreted)
   }
+
+  test("long_vector_dot: codegen equals interpreted equals the SQL fold") {
+    GraftFunctions.ensureRegistered(spark)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    // SQ8-shaped mixed data incl. zeros and the 255 extreme
+    val a = Array.tabulate(64)(i => ((i * 37 + 11) % 256).toLong)
+    val b = Array.tabulate(64)(i => ((i * 91 + 5) % 256).toLong)
+    val expected = a.zip(b).map { case (x, y) => x * y }.sum
+    val interpreted = LongVectorDot(
+      Literal.create(ArrayData.toArrayData(a), ArrayType(LongType)),
+      Literal.create(ArrayData.toArrayData(b), ArrayType(LongType))).eval(null)
+    assert(interpreted == expected)
+    val sqlArr = (x: Array[Long]) => x.map(v => s"${v}L").mkString("array(", ",", ")")
+    val codegen = spark.sql(
+      s"SELECT long_vector_dot(${sqlArr(a)}, ${sqlArr(b)})").head().getLong(0)
+    assert(codegen == expected)
+    // the declarative fold it replaced produces the identical value
+    val fold = spark.sql(
+      s"""SELECT aggregate(zip_with(${sqlArr(a)}, ${sqlArr(b)},
+         |  (x, y) -> x * y), 0L, (acc, v) -> acc + v)""".stripMargin)
+      .head().getLong(0)
+    assert(fold == expected)
+    // zip-to-shorter length contract
+    assert(spark.sql("SELECT long_vector_dot(array(2L, 3L, 9L), array(5L, 7L))")
+      .head().getLong(0) == 31L)
+  }
 }
