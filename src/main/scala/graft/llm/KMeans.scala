@@ -45,8 +45,10 @@ object KMeans {
   private def assignExpr(sv: Column, cents: Seq[(Int, Array[Long])]): Column = {
     val centArr = array(cents.map { case (_, m) => array(m.map(lit).toIndexedSeq: _*) }: _*)
     val cidArr = array(cents.map { case (cid, _) => lit(cid) }: _*)
-    val d2s = transform(centArr, m =>
-      aggregate(zip_with(sv, m, (a, b) => (a - b) * (a - b)), lit(0L), _ + _))
+    // codegen'd native L2 ([[graft.functions.LongVectorL2]]) — the
+    // zip_with/aggregate fold it replaced ran interpreted per
+    // (vector, centroid) pair; callers register via ensureRegistered
+    val d2s = transform(centArr, m => call_function("long_vector_l2", sv, m))
     val best = array_min(d2s)
     struct(
       element_at(cidArr, array_position(d2s, best).cast("int")).as("cid"),
@@ -62,6 +64,7 @@ object KMeans {
   def train(df: DataFrame, idCol: String, vecCol: String,
             k: Int = 8, passes: Int = 2): Seq[(Int, Array[Long])] = {
     require(k >= 1 && passes >= 1, "k and passes must be >= 1")
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     val sv = df.select(col(idCol), quantize(col(vecCol)).as("sv"))
 
     // deterministic seed: the k smallest ids' vectors, cid = rank.
@@ -91,10 +94,12 @@ object KMeans {
   /** In-row assignment of every row to its nearest centroid in a
     * caller-provided codebook: (idCol, cid int, d2 long). */
   def assignWith(df: DataFrame, idCol: String, vecCol: String,
-                 cents: Seq[(Int, Array[Long])]): DataFrame =
+                 cents: Seq[(Int, Array[Long])]): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     df.select(col(idCol), quantize(col(vecCol)).as("sv"))
       .select(col(idCol), assignExpr(col("sv"), cents).as("a"))
       .select(col(idCol), col("a.cid").as("cid"), col("a.d2").as("d2"))
+  }
 
   /** Runs `passes` assignment passes (centroids update between passes,
     * not after the last). Returns one row per input row:

@@ -182,4 +182,28 @@ class ExpressionSpec extends AnyFunSuite {
     assert(spark.sql("SELECT long_vector_dot(array(2L, 3L, 9L), array(5L, 7L))")
       .head().getLong(0) == 31L)
   }
+
+  test("long_vector_l2: codegen equals interpreted equals the SQL fold") {
+    GraftFunctions.ensureRegistered(spark)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    // 1e-6-lattice-shaped mixed-sign data (the KMeans.quantize range)
+    val a = Array.tabulate(64)(i => ((i * 773 - 31) % 2000000).toLong)
+    val b = Array.tabulate(64)(i => ((i * 911 + 17) % 2000000 * (if (i % 2 == 0) -1 else 1)).toLong)
+    val expected = a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val interpreted = LongVectorL2(
+      Literal.create(ArrayData.toArrayData(a), ArrayType(LongType)),
+      Literal.create(ArrayData.toArrayData(b), ArrayType(LongType))).eval(null)
+    assert(interpreted == expected)
+    val sqlArr = (x: Array[Long]) => x.map(v => s"${v}L").mkString("array(", ",", ")")
+    val codegen = spark.sql(
+      s"SELECT long_vector_l2(${sqlArr(a)}, ${sqlArr(b)})").head().getLong(0)
+    assert(codegen == expected)
+    val fold = spark.sql(
+      s"""SELECT aggregate(zip_with(${sqlArr(a)}, ${sqlArr(b)},
+         |  (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)""".stripMargin)
+      .head().getLong(0)
+    assert(fold == expected)
+  }
 }
