@@ -44,26 +44,45 @@ object Quality {
     * one a consistency problem, and at 100 TB they have different
     * owners.
     *
-    * Each check is one key-only left-anti join (fact shuffles its key
-    * column, the dimension its distinct key — never whole rows) plus
-    * one aggregation pass over the fact; checks are independent and
-    * their single-row results union. Output: constraint_name, n_rows,
-    * n_null_keys, n_orphans, passed — ordered by name.
+    * Scale shape: edges are grouped by fact table (plan semantics, so
+    * repeated loads of the same table coalesce) and each fact is
+    * scanned ONCE — every one of its dimensions' distinct keys is
+    * broadcast-left-joined onto that single key-only scan and all of
+    * its edges' counters come out of one aggregation pass. The
+    * previous per-edge shape scanned each fact twice per edge (an
+    * anti-join pass plus a count pass): 14 scans for the 7-edge
+    * TPC-H-ish audit vs 5 now, and on a 100 TB lake the nightly gate
+    * is exactly as expensive as one pass over each fact. A dimension
+    * too big to broadcast degrades to a shuffled join on that edge
+    * without changing the single-scan shape. Output: constraint_name,
+    * n_rows, n_null_keys, n_orphans, passed — ordered by name.
     */
   def referentialIntegrity(checks: Seq[FkCheck]): DataFrame = {
     require(checks.nonEmpty, "need at least one FK check")
-    checks.map { c =>
-      val orphans = c.fact.where(col(c.factKey).isNotNull)
-        .select(col(c.factKey).as("__k"))
-        .join(c.dim.select(col(c.dimKey).as("__k")).distinct(),
-          Seq("__k"), "left_anti")
-        .agg(count(lit(1)).as("n_orphans"))
-      c.fact.agg(count(lit(1)).as("n_rows"),
-          count(when(col(c.factKey).isNull, 1)).as("n_null_keys"))
-        .crossJoin(orphans)
-        .select(lit(c.name).as("constraint_name"), col("n_rows"),
-          col("n_null_keys"), col("n_orphans"),
-          (col("n_orphans") === 0 && col("n_null_keys") === 0).as("passed"))
+    val byFact = checks.zipWithIndex
+      .groupBy { case (c, _) => c.fact.queryExecution.analyzed.semanticHash() }
+    byFact.values.map { group =>
+      val fact = group.head._1.fact
+      // one key-only scan; each edge contributes a broadcast dim join
+      val keys = fact.select(group.map { case (c, i) =>
+        col(c.factKey).as(s"__k$i") }: _*)
+      val joined = group.foldLeft(keys) { case (df, (c, i)) =>
+        df.join(
+          broadcast(c.dim.select(col(c.dimKey).as(s"__dk$i")).distinct()),
+          col(s"__k$i") === col(s"__dk$i"), "left")
+      }
+      val aggs = count(lit(1)).as("n_rows") +: group.flatMap { case (_, i) =>
+        Seq(count(when(col(s"__k$i").isNull, 1)).as(s"__null$i"),
+          count(when(col(s"__k$i").isNotNull && col(s"__dk$i").isNull, 1))
+            .as(s"__orph$i"))
+      }
+      val one = joined.agg(aggs.head, aggs.tail: _*)
+      one.select(explode(array(group.map { case (c, i) =>
+          struct(lit(c.name).as("constraint_name"), col("n_rows"),
+            col(s"__null$i").as("n_null_keys"), col(s"__orph$i").as("n_orphans"),
+            (col(s"__orph$i") === 0 && col(s"__null$i") === 0).as("passed"))
+        }: _*)).as("r"))
+        .select(col("r.*"))
     }.reduce(_ unionByName _).orderBy(col("constraint_name"))
   }
 

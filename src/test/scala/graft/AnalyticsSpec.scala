@@ -399,12 +399,17 @@ class AnalyticsSpec extends AnyFunSuite {
       .toDF("fk") // 7 dangles, one null, 1 resolves twice
     val dim = Seq(1L, 2L).toDF("pk")
     val clean = Seq(Some(2L)).toDF("fk")
+    // two edges on the SAME fact (one even on the same column) pin the
+    // group-by-fact single-scan path alongside the independent fact
+    val dim2 = Seq(7L).toDF("pk2")
     val got = graft.operators.Quality.referentialIntegrity(Seq(
       FkCheck("fact.fk->dim", fact, "fk", dim, "pk"),
+      FkCheck("fact.fk->dim2", fact, "fk", dim2, "pk2"),
       FkCheck("clean.fk->dim", clean, "fk", dim, "pk")))
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
     assert(got("fact.fk->dim") == ((4L, 1L, 1L, false)))
+    assert(got("fact.fk->dim2") == ((4L, 1L, 2L, false)))
     assert(got("clean.fk->dim") == ((1L, 0L, 0L, true)))
   }
 
