@@ -206,7 +206,7 @@ object TextDedup {
       .dropDuplicates("d1", "d2")
     cand
       .withColumn("est_sim",
-        expr("size(filter(zip_with(sig1, sig2, (x, y) -> x = y), b -> b))") / k.toDouble)
+        expr("long_vector_eq_count(sig1, sig2)") / k.toDouble)
       .withColumn("inter", size(array_intersect(col("hs1"), col("hs2"))))
       .withColumn("jac", col("inter") / (col("sz1") + col("sz2") - col("inter")))
       .select(col("d1"), col("d2"), col("est_sim"), col("jac"))
@@ -417,7 +417,7 @@ object TextDedup {
       .dropDuplicates("d_hist", "d_new")
     cand
       .withColumn("est_sim",
-        expr("size(filter(zip_with(sig1, sig2, (x, y) -> x = y), b -> b))") / k.toDouble)
+        expr("long_vector_eq_count(sig1, sig2)") / k.toDouble)
       .withColumn("inter", size(array_intersect(col("hs1"), col("hs2"))))
       .withColumn("jac", col("inter") / (col("sz1") + col("sz2") - col("inter")))
       .select(col("d_hist"), col("d_new"), col("est_sim"), col("jac"))
@@ -483,7 +483,7 @@ object TextDedup {
       .dropDuplicates("d_hist", "d_new")
     cand
       .withColumn("est_sim",
-        expr("size(filter(zip_with(sig1, sig2, (x, y) -> x = y), b -> b))") / k.toDouble)
+        expr("long_vector_eq_count(sig1, sig2)") / k.toDouble)
       .withColumn("inter", size(array_intersect(col("hs1"), col("hs2"))))
       .withColumn("jac", col("inter") / (col("sz1") + col("sz2") - col("inter")))
       .select(col("d_hist"), col("d_new"), col("est_sim"), col("jac"))

@@ -206,4 +206,19 @@ class ExpressionSpec extends AnyFunSuite {
       .head().getLong(0)
     assert(fold == expected)
   }
+
+  test("long_vector_eq_count equals the filter/zip_with form on signature data") {
+    GraftFunctions.ensureRegistered(spark)
+    // minhash-shaped signatures with engineered agreements
+    val a = Array.tabulate(12)(i => (i * 1009L) % 97)
+    val b = Array.tabulate(12)(i => if (i % 3 == 0) (i * 1009L) % 97 else (i * 1013L) % 89)
+    val expected = a.zip(b).count { case (x, y) => x == y }
+    val sqlArr = (x: Array[Long]) => x.map(v => s"${v}L").mkString("array(", ",", ")")
+    val native = spark.sql(
+      s"SELECT long_vector_eq_count(${sqlArr(a)}, ${sqlArr(b)})").head().getInt(0)
+    val declarative = spark.sql(
+      s"""SELECT size(filter(zip_with(${sqlArr(a)}, ${sqlArr(b)},
+         |  (x, y) -> x = y), v -> v))""".stripMargin).head().getInt(0)
+    assert(native == expected && declarative == expected)
+  }
 }
