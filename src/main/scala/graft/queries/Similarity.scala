@@ -995,6 +995,72 @@ object Similarity {
        |  FROM ex) WHERE rn <= 3
        |ORDER BY va, rn""".stripMargin
 
+  // ---------------------------------------------------------------- q166
+  /** IVF search through a k-means-TRAINED coarse quantizer
+    * ([[graft.llm.KMeans.assign]] k=8 feeding
+    * [[graft.llm.VectorSearch.ivfSearch]] as its `labelCol`) — the
+    * composition the sf1 scale probe called for: q57/q165 quantize on
+    * the 10 data labels, which fixes nlist at the label cardinality
+    * and leaves the per-list scan asymptotically linear in the corpus;
+    * here the quantizer is an unsupervised codebook whose size is a
+    * deploy-time knob, so nlist can grow ∝ √N with the corpus (the
+    * standard IVF sizing) with zero operator changes — `ivfSearch`
+    * takes the assignment column and never asks where it came from.
+    *
+    * Scale shape: k-means adds one in-row assignment pass per Lloyd
+    * round (centroid literals, no shuffle) on top of q57's plan; the
+    * search itself keeps ivfSearch's one list_id-keyed shuffle.
+    * Output shape matches q57 for direct comparison.
+    */
+  def q166(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val cid = graft.llm.KMeans
+      .assign(e, "vec_id", "embedding", k = 8, passes = 2)
+      .select(col("vec_id"), col("cid"))
+    graft.llm.VectorSearch
+      .ivfSearch(e.join(cid, "vec_id"), "vec_id", "embedding", "cid",
+        k = 3, nprobe = 2)
+      .select(col("va"), col("rn"), col("nn"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("va"), col("rn"))
+  }
+
+  val q166Sql: String =
+    s"""WITH $kmeansCtes,
+       |kdims AS (
+       |  SELECT e.vec_id, a.cid, t.i, CAST(e.embedding[t.i + 1] AS DOUBLE) AS x
+       |  FROM embeddings e JOIN a2 a USING (vec_id)
+       |  CROSS JOIN range(0, 64) t(i)),
+       |kcents AS (
+       |  SELECT cid, i,
+       |    CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS c
+       |  FROM kdims GROUP BY cid, i),
+       |kd2 AS (
+       |  SELECT d.vec_id, c.cid,
+       |    CAST(SUM(CAST((x - c) * (x - c) AS DECIMAL(38,12))) AS DOUBLE) AS d2
+       |  FROM kdims d JOIN kcents c USING (i) GROUP BY d.vec_id, c.cid),
+       |kassign AS (
+       |  SELECT vec_id, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS arn
+       |  FROM kd2),
+       |nrm AS (
+       |  SELECT vec_id, embedding, sqrt(${dotSqlDuck("embedding", "embedding")}) AS nrm
+       |  FROM embeddings CROSS JOIN range(0, 64) t(i) GROUP BY vec_id, embedding),
+       |pairs AS (
+       |  SELECT p.vec_id AS va, h.vec_id AS vb,
+       |    (${dotSqlDuck("a.embedding", "b.embedding")}) / (ANY_VALUE(a.nrm) * ANY_VALUE(b.nrm)) AS cos
+       |  FROM kassign p JOIN kassign h
+       |    ON p.cid = h.cid AND h.arn = 1 AND p.arn <= 2
+       |    AND p.vec_id <> h.vec_id
+       |  JOIN nrm a ON a.vec_id = p.vec_id JOIN nrm b ON b.vec_id = h.vec_id
+       |  CROSS JOIN range(0, 64) t(i)
+       |  GROUP BY p.vec_id, h.vec_id),
+       |ranked AS (
+       |  SELECT va, vb, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rn
+       |  FROM pairs)
+       |SELECT va, CAST(rn AS INT) AS rn, vb AS nn, ROUND(cos, 6) AS cos
+       |FROM ranked WHERE rn <= 3 ORDER BY va, rn""".stripMargin
+
   // ---------------------------------------------------------------- q151
   /** Weighted majority-vote label aggregation with annotator
     * reliability (one deterministic round of the Dawid–Skene EM
@@ -1154,6 +1220,7 @@ object Similarity {
     ("q149_sq8_rerank", q149 _, Some(q149Sql)),
     ("q151_label_vote", q151 _, Some(q151Sql)),
     ("q154_matryoshka_recall", q154 _, Some(q154Sql)),
-    ("q165_ivf_sq8_search", q165 _, Some(q165Sql))
+    ("q165_ivf_sq8_search", q165 _, Some(q165Sql)),
+    ("q166_ivf_kmeans_search", q166 _, Some(q166Sql))
   )
 }

@@ -330,6 +330,42 @@ class LlmApiSpec extends AnyFunSuite {
     }
   }
 
+  test("k-means-quantizer IVF: all-clusters probe equals brute force; " +
+    "pruned neighbors come only from probed clusters") {
+    val k = 6
+    val cid = KMeans.assign(embs, "vec_id", "embedding", k = k, passes = 2)
+      .select(col("vec_id"), col("cid"))
+    val withCid = embs.join(cid, "vec_id")
+    val nlist = withCid.select("cid").distinct().count().toInt
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("va", "rn", "nn").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // probe EVERY cluster → candidates degenerate to all pairs, so the
+    // quantized index must reproduce the exact search bit-for-bit —
+    // the quantizer column's origin (labels vs k-means) is irrelevant
+    // to ivfSearch, which is the composition point of q166
+    val exact = rows(VectorSearch.cosineTopK(embs, "vec_id", "embedding", k = 3)
+      .withColumnRenamed("vb", "nn"))
+    val all = rows(VectorSearch.ivfSearch(withCid, "vec_id", "embedding", "cid",
+      k = 3, nprobe = nlist))
+    assert(all == exact, "nprobe = nlist must equal the brute-force baseline")
+    // with a real prune, every neighbor's HOME cluster must be one of
+    // its query's probed clusters — the defining IVF containment
+    val assign = VectorSearch.ivfAssign(withCid, "vec_id", "embedding", "cid", 2)
+    val probed = assign.collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val home = assign.where(col("rn") === 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val pruned = rows(VectorSearch.ivfSearch(withCid, "vec_id", "embedding", "cid",
+      k = 3, nprobe = 2))
+    assert(pruned.nonEmpty)
+    pruned.foreach { case (va, _, nn) =>
+      assert(probed(va).contains(home(nn)),
+        s"neighbor $nn of $va lives outside the probed clusters")
+    }
+  }
+
   test("multi-probe ANN strictly improves recall over one probe") {
     def pairSet(probes: Int) =
       VectorSearch.thresholdPairs(embs, "vec_id", "embedding", minCos = 0.0,
