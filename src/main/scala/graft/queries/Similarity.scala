@@ -1142,6 +1142,64 @@ object Similarity {
       |FROM obs JOIN wmaj USING (vec_id) JOIN wts USING (a)
       |GROUP BY a ORDER BY annotator""".stripMargin
 
+  // ---------------------------------------------------------------- q167
+  /** Fleiss' kappa over q151's synthetic annotator stream
+    * ([[graft.operators.Agreement.fleissKappa]]) — the
+    * chance-corrected inter-annotator agreement that decides whether
+    * crowd labels are trainable at all, BEFORE q151's weighted vote
+    * decides which label to keep. Five deterministic annotators with
+    * 10%–50% hash-derived error rates label every embedding; the
+    * operator reduces the stream to exact integer cell counts and
+    * evaluates P_o, P_e, κ with one rounding per output.
+    *
+    * Scale design: one (item, label)-keyed shuffle, then
+    * categories-sized and 1-row aggregates — no window, no per-item
+    * state; the synthetic labeling itself is an in-row ×5 explode.
+    */
+  def q167(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val obs = emb(spark, sfDir)
+      .select(col("vec_id"), col("label").cast(LongType).as("label"),
+        explode(sequence(lit(0), lit(4))).as("a"))
+      .withColumn("err",
+        pmod(col("vec_id") * lit(1103515245L) + col("a") * lit(12345L), lit(100L)))
+      .withColumn("shift",
+        pmod(col("vec_id") * lit(69069L) + col("a") * lit(363L), lit(9L)) + 1)
+      .withColumn("obs",
+        when(col("err") < (col("a") + 1) * 10,
+          pmod(col("label") + col("shift"), lit(10L)))
+          .otherwise(col("label")))
+      .select(col("vec_id"), col("obs"))
+    graft.operators.Agreement.fleissKappa(obs, "vec_id", "obs", nRaters = 5)
+  }
+
+  val q167Sql: String =
+    """WITH base AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label, CAST(t.a AS INT) AS a
+      |  FROM embeddings CROSS JOIN (SELECT UNNEST(range(0, 5)) AS a) t),
+      |obs AS (
+      |  SELECT vec_id, a,
+      |    CASE WHEN (vec_id * 1103515245 + a * 12345) % 100 < (a + 1) * 10
+      |         THEN (label + 1 + (vec_id * 69069 + a * 363) % 9) % 10
+      |         ELSE label END AS obs
+      |  FROM base),
+      |cells AS (SELECT vec_id, obs, COUNT(*) AS nij FROM obs GROUP BY vec_id, obs),
+      |istats AS (
+      |  SELECT CAST(SUM(nij * nij) AS DOUBLE) AS sum_sq,
+      |         CAST(SUM(nij) AS DOUBLE) AS t_obs
+      |  FROM cells),
+      |cstats AS (
+      |  SELECT CAST(SUM(CAST(cj AS HUGEINT) * cj) AS DOUBLE) AS sum_cj2,
+      |         COUNT(*) AS n_cats
+      |  FROM (SELECT obs, SUM(nij) AS cj FROM cells GROUP BY obs))
+      |SELECT CAST(t_obs / 5 AS BIGINT) AS n_items,
+      |  CAST(n_cats AS INT) AS n_cats,
+      |  ROUND((sum_sq - t_obs) / (t_obs * 4.0), 6) AS po,
+      |  ROUND(sum_cj2 / (t_obs * t_obs), 6) AS pe,
+      |  ROUND(((sum_sq - t_obs) / (t_obs * 4.0) - sum_cj2 / (t_obs * t_obs))
+      |        / (1.0 - sum_cj2 / (t_obs * t_obs)), 6) AS kappa
+      |FROM istats CROSS JOIN cstats""".stripMargin
+
   // ---------------------------------------------------------------- q154
   /** Matryoshka truncation evaluation: recall@3 of brute-force search
     * on the FIRST 16 of 64 dimensions against the full-dimension
@@ -1221,6 +1279,7 @@ object Similarity {
     ("q151_label_vote", q151 _, Some(q151Sql)),
     ("q154_matryoshka_recall", q154 _, Some(q154Sql)),
     ("q165_ivf_sq8_search", q165 _, Some(q165Sql)),
-    ("q166_ivf_kmeans_search", q166 _, Some(q166Sql))
+    ("q166_ivf_kmeans_search", q166 _, Some(q166Sql)),
+    ("q167_fleiss_kappa", q167 _, Some(q167Sql))
   )
 }
