@@ -45,7 +45,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q159_bm25_incremental", // 1-row (N,T) stats merge + q90's corpus broadcast
     "q160_neyman_sample", // 1-row weight-total broadcast into the apportionment (q100's shape)
     "q161_markov_holdout_eval", // 1-row min-day broadcast onto the event scan
-    "q163_collocation_lift") // two 1-row corpus-total broadcasts into the lift
+    "q163_collocation_lift", // two 1-row corpus-total broadcasts into the lift
+    "q167_fleiss_kappa") // 1-row item-stats x 1-row category-stats crossjoin
 
   test("no declared query plans a cartesian product; BNLJ only where intended") {
     // streaming queries execute on materialization, not plan-inspectable
