@@ -789,6 +789,42 @@ object Text {
        |SELECT 'jsonl', lang, n_docs, sum_chars, sum_hash FROM a
        |ORDER BY fmt, lang""".stripMargin
 
+  // ---------------------------------------------------------------- q168
+  /** XML roundtrip ([[graft.sources.TextFormats.writeXml]] /
+    * `readXml` — Spark 4's built-in XML source): q114's contract
+    * extended to the remaining interchange format a pipeline meets at
+    * its edges (feed drops, sitemap-style exports). Documents are
+    * written as gzip `<doc>` elements, read back with the explicit
+    * schema, and aggregated per lang with the content-hash sum, so
+    * entity escaping, whitespace handling and numeric parsing must
+    * all be byte-lossless — the oracle computes the same aggregate
+    * straight from parquet.
+    */
+  def q168(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.TextFormats
+    val d = docs(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    val base = graft.Tables.scratchDir(spark, "fmtxml", sfDir)
+    TextFormats.writeXml(d, s"$base/xml")
+    TextFormats.readXml(spark, s"$base/xml", TextFormats.documentsSchema)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(GraftFunctions.polyHash("text")).as("sum_hash"))
+      .select(lit("xml").as("fmt"), col("lang"), col("n_docs"),
+        col("sum_chars"), col("sum_hash"))
+      .orderBy(col("lang"))
+  }
+
+  val q168Sql: String =
+    s"""WITH h AS (
+       |  SELECT lang, n_chars,
+       |    ${graft.functions.PolyHash.duckdbSql("text")} AS ph FROM documents)
+       |SELECT 'xml' AS fmt, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(SUM(ph) AS BIGINT) AS sum_hash
+       |FROM h GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---------------------------------------------------------------- q120
   /** BPE encode ([[graft.llm.Vocab.bpeEncode]]): tokenize the corpus
     * into subwords with the merges q112 learns (four rounds here) —
@@ -1424,6 +1460,7 @@ object Text {
     ("q100_weighted_allocation", q100 _, Some(q100Sql)),
     ("q112_bpe_merges", q112 _, Some(q112Sql)),
     ("q114_lineformat_roundtrip", q114 _, Some(q114Sql)),
+    ("q168_xml_roundtrip", q168 _, Some(q168Sql)),
     ("q120_bpe_encode", q120 _, Some(q120Sql)),
     ("q127_temperature_mixture", q127 _, Some(q127Sql)),
     ("q128_tokenize_pack", q128 _, Some(q128Sql)),

@@ -50,6 +50,24 @@ object TextFormats {
       .option("ignoreTrailingWhiteSpace", "false")
       .csv(path)
 
+  /** XML (Spark 4's built-in source, the spark-xml connector merged
+    * upstream): one `<doc>` element per row. Entity escaping makes the
+    * encoding lossless for arbitrary text (`&`, `<`, `>`, quotes), but
+    * two defaults must be overridden or payload bytes silently change:
+    * the reader trims element whitespace (`ignoreSurroundingSpaces`
+    * defaults true) and both sides apply a value parser — the explicit
+    * schema pins the types instead. */
+  def writeXml(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").format("xml")
+      .option("rowTag", "doc").option("compression", "gzip")
+      .save(path)
+
+  def readXml(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.format("xml").schema(schema)
+      .option("rowTag", "doc")
+      .option("ignoreSurroundingSpaces", "false")
+      .load(path)
+
   /** ORC — the other self-describing columnar format a warehouse hands
     * over; schema travels in the file like parquet's footer, so the
     * explicit-schema contract is satisfied by the format itself. */

@@ -43,6 +43,9 @@ class TextFormatsSpec extends AnyFunSuite {
       case "csv" =>
         TextFormats.writeCsv(df, dir)
         TextFormats.readCsv(s, dir, schema)
+      case "xml" =>
+        TextFormats.writeXml(df, dir)
+        TextFormats.readXml(s, dir, schema)
     }
     val got = back.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
     assert(got == nasty.sortBy(_._1), s"$fmt roundtrip lost content")
@@ -50,6 +53,22 @@ class TextFormatsSpec extends AnyFunSuite {
 
   test("JSONL roundtrip is byte-exact on adversarial strings") { roundtrip("jsonl") }
   test("CSV roundtrip is byte-exact on adversarial strings") { roundtrip("csv") }
+
+  test("XML roundtrip is byte-exact on adversarial strings incl. markup") {
+    val s = spark
+    import s.implicits._
+    // XML-specific hazards on top of the shared set: entity characters
+    // and element-like payloads must come back through entity escaping
+    val xmlNasty = nasty ++ Seq(
+      (11L, """ampersand & and entities &amp; &lt;"""),
+      (12L, """angle <brackets> and </closing> tags"""),
+      (13L, """a <doc> inside the payload</doc>"""))
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmt_xml").toString
+    TextFormats.writeXml(xmlNasty.toDF("id", "text"), dir)
+    val got = TextFormats.readXml(s, dir, schema)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got == xmlNasty.sortBy(_._1), "xml roundtrip lost content")
+  }
 
   test("ORC roundtrip is byte-exact on adversarial strings") {
     val s = spark
