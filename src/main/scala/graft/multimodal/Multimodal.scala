@@ -422,9 +422,107 @@ object Multimodal {
       |  CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids
       |FROM hsh GROUP BY phash ORDER BY phash""".stripMargin
 
+  /** Nearest-neighbor resize of REAL decoded images to `num/den` of
+    * each axis (floor, min 1 px) — the thumbnail/preprocessing verb of
+    * an image-training pipeline, next to decode (q108) and fingerprint
+    * (q138). The resized bitmap is MATERIALIZED (a `BufferedImage` a
+    * sink could re-encode), then reduced to per-channel sums so every
+    * resized pixel is value-checked. NN source mapping is the integer
+    * floor `sx = x'·w ÷ w'` — division-free to replay in SQL, and the
+    * standard O(1)-per-pixel resize a 100 TB media pass would run
+    * (area/bilinear kernels plug into the same partition pass).
+    *
+    * Same batched partition shape as [[extractFeatures]]: one decoder
+    * per partition, embarrassingly parallel, no shuffle.
+    */
+  def resizeStats(blobs: Dataset[MediaBlob], num: Int, den: Int,
+                  batchSize: Int = 64): DataFrame = {
+    require(num >= 1 && den >= 1, "resize ratio must be positive")
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { blob =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(blob.data))
+          require(img != null, s"undecodable image blob for doc ${blob.doc_id}")
+          val w = img.getWidth
+          val h = img.getHeight
+          val w2 = math.max(1, w * num / den)
+          val h2 = math.max(1, h * num / den)
+          val out = new java.awt.image.BufferedImage(
+            w2, h2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h2) {
+            val sy = y * h / h2
+            var x = 0
+            while (x < w2) {
+              out.setRGB(x, y, img.getRGB(x * w / w2, sy))
+              x += 1
+            }
+            y += 1
+          }
+          var sr = 0L; var sg = 0L; var sb = 0L
+          y = 0
+          while (y < h2) {
+            var x = 0
+            while (x < w2) {
+              val rgb = out.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff
+              sg += (rgb >> 8) & 0xff
+              sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          (blob.doc_id, w2, h2, sr, sg, sb)
+        }
+      }
+    }.toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
+  }
+
+  /** q169: PNG-encode → real decode → NN-resize to 2/3 of each axis →
+    * per-channel sums of the RESIZED bitmap. The oracle replays the
+    * checkerboard arithmetic through the same floor source-mapping, so
+    * the resize geometry and every surviving pixel are value-checked
+    * end to end through real compressed bytes.
+    */
+  def imageResize(spark: SparkSession, sfDir: String): DataFrame =
+    resizeStats(syntheticPngBlobs(spark, sfDir), num = 2, den = 3)
+      .select(col("doc_id"), col("width").cast("int").as("width"),
+        col("height").cast("int").as("height"),
+        col("sum_r"), col("sum_g"), col("sum_b"))
+      .orderBy(col("doc_id"))
+
+  val q169Sql: String =
+    """WITH g AS (
+      |  SELECT doc_id, 1 + doc_id % 16 AS w, 1 + doc_id % 8 AS h,
+      |    doc_id % 256 AS r0, (doc_id * 7) % 256 AS g0, (doc_id * 13) % 256 AS b0,
+      |    (doc_id * 3 + 1) % 256 AS r1, (doc_id * 5 + 2) % 256 AS g1,
+      |    (doc_id * 11 + 3) % 256 AS b1
+      |  FROM documents),
+      |r AS (
+      |  SELECT *, GREATEST(1, (w * 2) // 3) AS w2, GREATEST(1, (h * 2) // 3) AS h2
+      |  FROM g),
+      |px AS (
+      |  SELECT doc_id, w2, h2,
+      |    CASE WHEN ((x.i * w) // w2 + (y.i * h) // h2) % 2 = 0
+      |         THEN r0 ELSE r1 END AS pr,
+      |    CASE WHEN ((x.i * w) // w2 + (y.i * h) // h2) % 2 = 0
+      |         THEN g0 ELSE g1 END AS pg,
+      |    CASE WHEN ((x.i * w) // w2 + (y.i * h) // h2) % 2 = 0
+      |         THEN b0 ELSE b1 END AS pb
+      |  FROM r CROSS JOIN range(0, 10) x(i) CROSS JOIN range(0, 5) y(i)
+      |  WHERE x.i < w2 AND y.i < h2)
+      |SELECT doc_id, CAST(w2 AS INT) AS width, CAST(h2 AS INT) AS height,
+      |  CAST(SUM(pr) AS BIGINT) AS sum_r,
+      |  CAST(SUM(pg) AS BIGINT) AS sum_g,
+      |  CAST(SUM(pb) AS BIGINT) AS sum_b
+      |FROM px GROUP BY doc_id, w2, h2 ORDER BY doc_id""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q44_multimodal_features", featureTable _, Some(q44Sql)),
     ("q108_imageio_decode", imageDecode _, Some(q108Sql)),
     ("q121_wav_decode", audioDecode _, Some(q121Sql)),
-    ("q138_image_phash_dedup", imagePerceptualDedup _, Some(q138Sql)))
+    ("q138_image_phash_dedup", imagePerceptualDedup _, Some(q138Sql)),
+    ("q169_image_resize", imageResize _, Some(q169Sql)))
 }
