@@ -519,10 +519,76 @@ object Multimodal {
       |  CAST(SUM(pb) AS BIGINT) AS sum_b
       |FROM px GROUP BY doc_id, w2, h2 ORDER BY doc_id""".stripMargin
 
+  /** Stride resampling (decimation by `k`) of REAL decoded WAV audio —
+    * the audio analogue of [[resizeStats]]: keep every `k`-th PCM
+    * sample and emit exact statistics of the RESAMPLED signal (new
+    * rate = rate/k). Plain decimation is the deterministic skeleton a
+    * production resampler fills with an anti-aliasing polyphase filter
+    * — the partition pass, batch shape and output contract are
+    * identical, and the stride arithmetic is exactly replayable in
+    * SQL. Same batched partition pass, no shuffle.
+    */
+  def resampleStats(blobs: Dataset[MediaBlob], k: Int,
+                    batchSize: Int = 64): DataFrame = {
+    require(k >= 1, "decimation factor must be >= 1")
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { blob =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(blob.data))
+          val fmt = ais.getFormat
+          require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+              && fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1
+              && !fmt.isBigEndian,
+            s"doc ${blob.doc_id}: expected mono 16-bit little-endian PCM, got $fmt")
+          val pcm = ais.readAllBytes()
+          val n = pcm.length / 2
+          var sum = 0L; var sumAbs = 0L; var maxAbs = 0L; var n2 = 0
+          var i = 0
+          while (i < n) {
+            val s = ((pcm(2 * i + 1).toInt << 8) | (pcm(2 * i) & 0xff))
+            sum += s
+            val a = math.abs(s)
+            sumAbs += a
+            if (a > maxAbs) maxAbs = a
+            n2 += 1
+            i += k
+          }
+          (blob.doc_id, (fmt.getSampleRate / k).toInt, n2, sum, sumAbs, maxAbs)
+        }
+      }
+    }.toDF("doc_id", "sample_rate", "n_samples", "sum_s", "sum_abs", "max_abs")
+  }
+
+  /** q170: WAV-encode → real decode → decimate by 2 → exact resampled
+    * statistics. The oracle replays the sawtooth arithmetic over the
+    * strided index set, so the resampler's sample selection and every
+    * surviving sample value are checked through real RIFF/WAVE bytes.
+    */
+  def audioResample(spark: SparkSession, sfDir: String): DataFrame =
+    resampleStats(syntheticWavBlobs(spark, sfDir), k = 2)
+      .orderBy(col("doc_id"))
+
+  val q170Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id, 64 + doc_id % 128 AS n, 1 + doc_id % 7 AS k
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, n, ((i * k) % 2048) - 1024 AS v
+      |  FROM p CROSS JOIN range(0, 192) t(i) WHERE i < n AND i % 2 = 0)
+      |SELECT doc_id, CAST(4000 AS INT) AS sample_rate,
+      |  CAST(COUNT(*) AS INT) AS n_samples,
+      |  CAST(SUM(v) AS BIGINT) AS sum_s,
+      |  CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+      |  CAST(MAX(ABS(v)) AS BIGINT) AS max_abs
+      |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q44_multimodal_features", featureTable _, Some(q44Sql)),
     ("q108_imageio_decode", imageDecode _, Some(q108Sql)),
     ("q121_wav_decode", audioDecode _, Some(q121Sql)),
     ("q138_image_phash_dedup", imagePerceptualDedup _, Some(q138Sql)),
-    ("q169_image_resize", imageResize _, Some(q169Sql)))
+    ("q169_image_resize", imageResize _, Some(q169Sql)),
+    ("q170_audio_resample", audioResample _, Some(q170Sql)))
 }
