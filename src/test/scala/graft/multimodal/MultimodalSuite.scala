@@ -191,4 +191,41 @@ class MultimodalSuite extends AnyFunSuite {
     // the brighter color occupies the even-parity sampled cells: bit 0 set
     assert(got(1L).head == '1')
   }
+
+  test("resize at 1/1 is the identity: geometry and sums equal the decode") {
+    val s = spark
+    val blobs = Multimodal.syntheticPngBlobs(s, "/root/testdata/sf0.001")
+    val full = Multimodal.imageDecode(s, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val same = Multimodal.resizeStats(blobs, num = 1, den = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(same == full, "1/1 resize must reproduce the decoded image exactly")
+    // a real shrink reduces pixel count for every multi-pixel image
+    val shrunk = Multimodal.resizeStats(blobs, num = 1, den = 2)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1).toLong * r.getInt(2))).toMap
+    full.foreach { case (id, (w, h, _, _, _)) =>
+      assert(shrunk(id) <= w.toLong * h)
+      assert(shrunk(id) >= 1L)
+    }
+  }
+
+  test("resample at k=1 is the identity: stats equal the decode") {
+    val s = spark
+    val blobs = Multimodal.syntheticWavBlobs(s, "/root/testdata/sf0.001")
+    val full = Multimodal.audioDecode(s, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val same = Multimodal.resampleStats(blobs, k = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(same == full, "k=1 resample must reproduce the decoded stream exactly")
+    // k=2 halves the rate and keeps ceil(n/2) samples
+    val half = Multimodal.resampleStats(blobs, k = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    full.foreach { case (id, (rate, n, _, _, _)) =>
+      assert(half(id) == ((rate / 2, (n + 1) / 2)))
+    }
+  }
 }
