@@ -600,6 +600,127 @@ object Dedup {
        |FROM est JOIN hsh x ON x.doc_id = d_hist JOIN hsh y ON y.doc_id = d_new
        |ORDER BY d_hist, d_new""".stripMargin
 
+  // ---------------------------------------------------------------- q171
+  /** STREAMING incremental near-dup — the q109/q122 refresh cycle
+    * driven by an actual Structured Streaming `foreachBatch`
+    * ([[graft.llm.TextDedup.dedupBatchAndMaintain]]), promoted from
+    * suite-green (`StreamingSuite`) to oracle-green. The corpus
+    * arrives as two file-source micro-batches (history slice
+    * `doc_id % 4 != 0`, then the refresh slice — the file source
+    * orders batches by file mtime, `maxFilesPerTrigger=1`, the
+    * `sourceWithFlush` staging technique): each batch is deduped
+    * against the signature store AND against itself, survivors'
+    * signatures are appended idempotently (per-`batchId`
+    * subdirectories — the store IS the stream's state, shared with
+    * batch readers), and the duplicate pairs stream into a parquet
+    * sink. The oracle replays both micro-batches' band arithmetic:
+    * within-history pairs, history-SURVIVOR × refresh pairs (dup
+    * history docs must NOT be matchable — they never entered the
+    * store), and within-refresh pairs.
+    *
+    * Scale shape: per micro-batch only the batch's text is
+    * signatured; history participates as stored signature rows;
+    * pairs append to parquet (no driver-side state anywhere).
+    */
+  def q171(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val d = docs(spark, sfDir).select(col("doc_id"), col("text"))
+    val base = graft.Tables.scratchDir(spark, "sigstream", sfDir)
+    val hfs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val srcDir = s"$base/src"
+    hfs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
+    // stage one parquet FILE per micro-batch; strictly-ordered mtimes
+    // in the past pin batch order (the file source batches by mtime)
+    def stage(slice: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = s"$base/tmp_$name"
+      slice.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = hfs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*"))(0).getPath
+      val dest = new org.apache.hadoop.fs.Path(s"$srcDir/$name.parquet")
+      hfs.rename(part, dest)
+      hfs.setTimes(dest, mtime, -1)
+      hfs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    val now = System.currentTimeMillis()
+    stage(d.where(col("doc_id") % 4 =!= 0), "batch1", now - 60000)
+    stage(d.where(col("doc_id") % 4 === 0), "batch2", now - 30000)
+    val store = s"$base/store"
+    val pairsDir = s"$base/pairs"
+    val schema = StructType(Seq(StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = false)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.llm.TextDedup
+          .dedupBatchAndMaintain(batch, "doc_id", "text", store,
+            batchId = Some(bid))
+          .write.mode("append").parquet(pairsDir)
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val pairs =
+      if (hfs.exists(new org.apache.hadoop.fs.Path(pairsDir)))
+        spark.read.parquet(pairsDir)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("d_hist", LongType), StructField("d_new", LongType),
+          StructField("est_sim", org.apache.spark.sql.types.DoubleType),
+          StructField("jac", org.apache.spark.sql.types.DoubleType))))
+    pairs
+      .select(col("d_hist"), col("d_new"),
+        round(col("est_sim"), 6).as("est_sim"), round(col("jac"), 6).as("jac"))
+      .orderBy(col("d_hist"), col("d_new"))
+  }
+
+  val q171Sql: String =
+    s"""WITH ${shinglesSql(3)},
+       |hsh AS (SELECT doc_id,
+       |          list_distinct(list_transform(shingles, s -> ${PolyHash.duckdbSql("s")})) AS hs
+       |        FROM sh),
+       |hx AS (SELECT doc_id, unnest(hs) AS x FROM hsh),
+       |params AS (SELECT i, (i*7919 + 1) % $P AS a, (i*104729 + 12345) % $P AS b
+       |           FROM range(0, 12) t(i)),
+       |sig AS (SELECT doc_id, i, MIN((a*x + b) % $P) AS mh
+       |        FROM hx CROSS JOIN params GROUP BY doc_id, i),
+       |bandkey AS (SELECT doc_id, i // 3 AS band,
+       |              string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bkey
+       |            FROM sig GROUP BY doc_id, i // 3),
+       |c1 AS (SELECT DISTINCT a.doc_id AS d_hist, b.doc_id AS d_new
+       |       FROM bandkey a JOIN bandkey b
+       |       ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |       WHERE a.doc_id % 4 <> 0 AND b.doc_id % 4 <> 0),
+       |surv AS (SELECT doc_id FROM hsh
+       |         WHERE doc_id % 4 <> 0
+       |           AND doc_id NOT IN (SELECT d_new FROM c1)),
+       |c2a AS (SELECT DISTINCT a.doc_id AS d_hist, b.doc_id AS d_new
+       |        FROM bandkey a JOIN bandkey b
+       |        ON a.band = b.band AND a.bkey = b.bkey
+       |        WHERE a.doc_id IN (SELECT doc_id FROM surv)
+       |          AND b.doc_id % 4 = 0),
+       |c2b AS (SELECT DISTINCT a.doc_id AS d_hist, b.doc_id AS d_new
+       |        FROM bandkey a JOIN bandkey b
+       |        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |        WHERE a.doc_id % 4 = 0 AND b.doc_id % 4 = 0),
+       |allc AS (SELECT d_hist, d_new FROM c1
+       |         UNION SELECT d_hist, d_new FROM c2a
+       |         UNION SELECT d_hist, d_new FROM c2b),
+       |est AS (SELECT d_hist, d_new,
+       |          SUM(CASE WHEN m1.mh = m2.mh THEN 1 ELSE 0 END) / 12.0 AS est_sim
+       |        FROM allc
+       |        JOIN sig m1 ON m1.doc_id = d_hist
+       |        JOIN sig m2 ON m2.doc_id = d_new AND m1.i = m2.i
+       |        GROUP BY d_hist, d_new)
+       |SELECT d_hist, d_new, ROUND(est_sim, 6) AS est_sim,
+       |  ROUND(len(list_intersect(x.hs, y.hs)) /
+       |        CAST(len(x.hs) + len(y.hs)
+       |             - len(list_intersect(x.hs, y.hs)) AS DOUBLE), 6) AS jac
+       |FROM est JOIN hsh x ON x.doc_id = d_hist JOIN hsh y ON y.doc_id = d_new
+       |ORDER BY d_hist, d_new""".stripMargin
+
   // ---------------------------------------------------------------- q113
   /** Exact incremental dedup against the persisted content-hash store
     * ([[graft.llm.TextDedup.writeHashStore]] /
@@ -1049,6 +1170,7 @@ object Dedup {
     ("q104_snm_neardup", q104 _, Some(q104Sql)),
     ("q106_editdist_neighbors", q106 _, Some(q106Sql)),
     ("q109_dedup_against_history", q109 _, Some(q109Sql)),
+    ("q171_stream_neardup_maintain", q171 _, Some(q171Sql)),
     ("q111_winnow_overlap", q111 _, Some(q111Sql)),
     ("q113_exact_dedup_incremental", q113 _, Some(q113Sql)),
     ("q119_leakage_safe_split", q119 _, Some(q119Sql)),
