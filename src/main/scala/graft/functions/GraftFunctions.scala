@@ -22,6 +22,7 @@ object GraftFunctions {
     "long_vector_dot" -> (children => LongVectorDot(children(0), children(1))),
     "long_vector_l2" -> (children => LongVectorL2(children(0), children(1))),
     "long_vector_eq_count" -> (children => LongVectorEqCount(children(0), children(1))),
+    "decimal_l2" -> (children => DecimalL2(children(0), children(1))),
     "winnow_stats" -> (children => WinnowStats(children.head,
       children(1).eval().asInstanceOf[Int], children(2).eval().asInstanceOf[Int])),
     "winnow_set" -> (children => WinnowSet(children.head,
@@ -81,6 +82,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("long_vector_eq_count"),
       new ExpressionInfo(classOf[LongVectorEqCount].getName, "long_vector_eq_count"),
       (children: Seq[Expression]) => LongVectorEqCount(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("decimal_l2"),
+      new ExpressionInfo(classOf[DecimalL2].getName, "decimal_l2"),
+      (children: Seq[Expression]) => DecimalL2(children(0), children(1))))
     // the custom as-of planner operator (graft.plans.AsOfJoinPlan);
     // AsOf.join also self-registers via experimental.extraStrategies
     // for sessions built without spark.sql.extensions

@@ -207,6 +207,38 @@ class ExpressionSpec extends AnyFunSuite {
     assert(fold == expected)
   }
 
+  test("decimal_l2: codegen equals interpreted equals the decimal-SUM form") {
+    GraftFunctions.ensureRegistered(spark)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    // embedding-magnitude mixed-sign data, float vector vs double codebook
+    val x = Array.tabulate(64)(i => ((i * 773 - 3100) / 6400.0).toFloat)
+    val c = Array.tabulate(64)(i => (i * 911 % 97 - 48) / 970.0)
+    val interpreted = DecimalL2(
+      Literal.create(ArrayData.toArrayData(x), ArrayType(FloatType)),
+      Literal.create(ArrayData.toArrayData(c), ArrayType(DoubleType))).eval(null)
+      .asInstanceOf[Double]
+    val sqlX = x.map(v => s"CAST($v AS FLOAT)").mkString("array(", ",", ")")
+    val sqlC = c.map(v => s"CAST($v AS DOUBLE)").mkString("array(", ",", ")")
+    val codegen = spark.sql(s"SELECT decimal_l2($sqlX, $sqlC)").head().getDouble(0)
+    assert(codegen == interpreted)
+    // the decimal SUM it replaces (ivfAssign's original shuffled form)
+    // produces the identical double — per-term HALF_UP at scale 12,
+    // exact addition, one decimal→double conversion at the end
+    val sum = spark.sql(
+      s"""SELECT CAST(SUM(CAST((x - c) * (x - c) AS DECIMAL(38,12))) AS DOUBLE)
+         |FROM (SELECT CAST(xe AS DOUBLE) AS x, ce AS c
+         |      FROM (SELECT posexplode($sqlX) AS (i, xe)) a
+         |      JOIN (SELECT posexplode($sqlC) AS (j, ce)) b ON i = j)""".stripMargin)
+      .head().getDouble(0)
+    assert(sum == interpreted, s"native $interpreted != decimal SUM $sum")
+    // zip-to-shorter length contract
+    assert(spark.sql(
+      "SELECT decimal_l2(array(CAST(1.5 AS FLOAT), CAST(9 AS FLOAT)), array(CAST(0.5 AS DOUBLE)))")
+      .head().getDouble(0) == 1.0)
+  }
+
   test("long_vector_eq_count equals the filter/zip_with form on signature data") {
     GraftFunctions.ensureRegistered(spark)
     // minhash-shaped signatures with engineered agreements
