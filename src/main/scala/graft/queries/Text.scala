@@ -1439,6 +1439,92 @@ object Text {
       |WHERE g.c_ab >= 5
       |ORDER BY lift DESC, g.a, g.b LIMIT 20""".stripMargin
 
+  // --------------------------------------------------------------- q172
+  /** DSIR importance-weighted data selection (Xie et al., "Data
+    * Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023): score every document in the raw pool by how much
+    * its hashed-bigram distribution looks like a TARGET corpus (here
+    * the `lang = 'en'` slice — the paper's target is any trusted
+    * sample), then keep the top-scoring documents. The feature space
+    * is the paper's hashed n-gram trick: word bigrams hashed into
+    * B = 512 buckets, a bag-of-buckets Naive-Bayes model on each
+    * side, add-1 smoothing; a document's importance log-weight is
+    * Σ_buckets n_b · [ln p̂_target(b) − ln p̂_raw(b)] — exactly the
+    * log importance ratio the paper resamples by. Selection here is
+    * deterministic top-k with a doc-id tie-break (the paper's Gumbel
+    * perturbation is a sampling layer on the same weights).
+    *
+    * Scale design: the corpus is scanned once into bigram buckets
+    * (in-row poly_hash, no shuffle before the bucket aggregates);
+    * both distributions are B-row tables — broadcast however big the
+    * corpus; the per-document weight is one partial-aggregated
+    * group-by over (doc, bucket) joined against the broadcast λ
+    * table; top-k is TakeOrdered. Engine parity: all counts are
+    * exact integers, one double division + LN per bucket (the q19
+    * LN-round-6 precedent, here rounded at 9 then summed in exact
+    * DECIMAL so per-doc accumulation is order-independent — q90's
+    * idiom). Integer products (t+1)·(R+B) stay below 2⁶³ up to ~3e9
+    * corpus bigrams; beyond that widen to decimal as in q163.
+    */
+  def q172(spark: SparkSession, sfDir: String): DataFrame = {
+    val B = 512
+    val d = docs(spark, sfDir)
+    val bg = d.select(col("doc_id"), col("lang"), split(col("text"), " ").as("s"))
+      .where(size(col("s")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "zip_with(slice(s, 1, size(s) - 1), slice(s, 2, size(s) - 1), " +
+          "(a, b) -> concat(a, ' ', b))")).as("g"))
+      .select(col("doc_id"), col("lang"),
+        (GraftFunctions.polyHash("g") % B).as("b"))
+    val raw = bg.groupBy(col("b")).agg(count(lit(1)).as("r"))
+    val tgt = bg.where(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("t"))
+    val buckets = raw.join(tgt, Seq("b"), "left").na.fill(0L, Seq("t"))
+    val tot = buckets.agg(sum(col("r")).as("rr"), sum(col("t")).as("tt"))
+    val lam = buckets.crossJoin(broadcast(tot))
+      .withColumn("lam",
+        round(log(((col("t") + 1) * (col("rr") + B)).cast("double") /
+          ((col("r") + 1) * (col("tt") + B)).cast("double")), 9)
+          .cast("decimal(27,9)"))
+      .select(col("b"), col("lam"))
+    bg.groupBy(col("doc_id"), col("lang"), col("b")).agg(count(lit(1)).as("n"))
+      .join(broadcast(lam), "b")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).cast("int").as("n_buckets"),
+        // n narrowed to decimal(10,0): a bigint × decimal(27,9)
+        // product exceeds Spark's 38-digit cap and silently DROPS
+        // scale (per-term ~1e-6 rounding, observed at sf0.01);
+        // 10+27+1 = 38 keeps the product exact at scale 9. The scale-9
+        // decimal sum is then engine-exact and its double cast
+        // deterministic — no second rounding, which would sit a
+        // coin-flip from the …5e-7 half-boundary
+        sum(col("n").cast("decimal(10,0)") * col("lam"))
+          .cast("double").as("logw"))
+      .orderBy(col("logw").desc, col("doc_id"))
+      .limit(100)
+  }
+
+  val q172Sql: String = {
+    val ph = graft.functions.PolyHash.duckdbSql("g")
+    s"""WITH base AS (SELECT doc_id, lang, string_split(text, ' ') AS s FROM documents),
+       |bg AS (SELECT doc_id, lang, $ph % 512 AS b FROM (
+       |  SELECT doc_id, lang, unnest([s[i] || ' ' || s[i+1] for i in range(1, len(s))]) AS g
+       |  FROM base WHERE len(s) >= 2)),
+       |raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS r FROM bg GROUP BY b),
+       |tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS t FROM bg WHERE lang = 'en' GROUP BY b),
+       |bk AS (SELECT b, r, COALESCE(t, 0) AS t FROM raw LEFT JOIN tgt USING (b)),
+       |tot AS (SELECT CAST(SUM(r) AS BIGINT) AS rr, CAST(SUM(t) AS BIGINT) AS tt FROM bk),
+       |lam AS (SELECT b,
+       |  CAST(ROUND(LN(CAST((t + 1) * (rr + 512) AS DOUBLE) /
+       |               CAST((r + 1) * (tt + 512) AS DOUBLE)), 9) AS DECIMAL(27,9)) AS lam
+       |  FROM bk CROSS JOIN tot),
+       |db AS (SELECT doc_id, lang, b, CAST(COUNT(*) AS BIGINT) AS n FROM bg GROUP BY 1, 2, 3)
+       |SELECT doc_id, lang, CAST(COUNT(*) AS INT) AS n_buckets,
+       |  CAST(SUM(CAST(n AS DECIMAL(10,0)) * lam) AS DOUBLE) AS logw
+       |FROM db JOIN lam USING (b)
+       |GROUP BY doc_id, lang ORDER BY logw DESC, doc_id LIMIT 100""".stripMargin
+  }
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_token_stats", q34 _, Some(q34Sql)),
     ("q35_lang_id_confusion", q35 _, Some(q35Sql)),
@@ -1476,6 +1562,7 @@ object Text {
     // reuse-the-batch-oracle precedent)
     ("q159_bm25_incremental", q159 _, Some(q90Sql)),
     ("q162_tokenizer_fertility", q162 _, Some(q162Sql)),
-    ("q163_collocation_lift", q163 _, Some(q163Sql))
+    ("q163_collocation_lift", q163 _, Some(q163Sql)),
+    ("q172_dsir_sample", q172 _, Some(q172Sql))
   )
 }

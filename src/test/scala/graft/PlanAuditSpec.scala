@@ -46,7 +46,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q160_neyman_sample", // 1-row weight-total broadcast into the apportionment (q100's shape)
     "q161_markov_holdout_eval", // 1-row min-day broadcast onto the event scan
     "q163_collocation_lift", // two 1-row corpus-total broadcasts into the lift
-    "q167_fleiss_kappa") // 1-row item-stats x 1-row category-stats crossjoin
+    "q167_fleiss_kappa", // 1-row item-stats x 1-row category-stats crossjoin
+    "q172_dsir_sample") // 1-row corpus-totals broadcast into the bucket-lambda table
 
   test("no declared query plans a cartesian product; BNLJ only where intended") {
     // streaming queries execute on materialization, not plan-inspectable
