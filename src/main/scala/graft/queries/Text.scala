@@ -1525,6 +1525,92 @@ object Text {
        |GROUP BY doc_id, lang ORDER BY logw DESC, doc_id LIMIT 100""".stripMargin
   }
 
+  // --------------------------------------------------------------- q173
+  /** Stupid-Backoff bigram language-model scoring (Brants et al.,
+    * "Large Language Models in Machine Translation", EMNLP 2007) —
+    * the CCNet-style perplexity quality filter: train bigram/unigram
+    * counts on the TARGET slice (`lang = 'en'`, standing in for the
+    * trusted LM corpus), score every document in the pool by its mean
+    * per-transition log score, and surface the WORST-scoring
+    * documents — the filter's reject list. Per transition v→w:
+    * S = c(vw)/c(v) if the bigram was seen, else 0.4·c(w)/N if the
+    * unigram was, else 0.4²/N (two backoff penalties to the uniform
+    * floor) — Stupid Backoff's whole point is that these unnormalized
+    * rational scores need no discounting pass, which is why it scales
+    * to web corpora.
+    *
+    * Scale design: LM training is two count aggregations over one
+    * corpus scan; scoring joins transitions against the count tables
+    * BY KEY (v), (w), (v,w) — equi-joins Spark may broadcast at this
+    * vocab size but that shuffle-partition cleanly at web scale,
+    * unlike a driver-side LM dictionary. N is a 1-row broadcast.
+    * Engine parity: counts exact; each transition does the same
+    * double division chain in both engines, one LN rounded at 9, then
+    * exact DECIMAL accumulation so per-doc summation order is
+    * irrelevant (q172's idiom); the final mean divides the exact sum
+    * by the transition count in double — no second rounding.
+    */
+  def q173(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val toks = d.select(col("doc_id"), col("lang"), split(col("text"), " ").as("s"))
+    val trans = toks.where(size(col("s")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "zip_with(slice(s, 1, size(s) - 1), slice(s, 2, size(s) - 1), " +
+          "(a, b) -> struct(a AS v, b AS w))")).as("p"))
+      .select(col("doc_id"), col("lang"), col("p.v"), col("p.w"))
+    val uni = toks.where(col("lang") === "en")
+      .select(explode(col("s")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val big = trans.where(col("lang") === "en")
+      .groupBy(col("v"), col("w")).agg(count(lit(1)).as("cb"))
+    val tot = uni.agg(sum(col("cw")).as("nn"))
+    trans
+      .join(big, Seq("v", "w"), "left")
+      .join(uni.withColumnRenamed("w", "v").withColumnRenamed("cw", "cv"),
+        Seq("v"), "left")
+      .join(uni, Seq("w"), "left")
+      .na.fill(0L, Seq("cb", "cv", "cw"))
+      .crossJoin(broadcast(tot))
+      .withColumn("ls", round(log(
+        when(col("cb") > 0, col("cb").cast("double") / col("cv").cast("double"))
+          .when(col("cw") > 0,
+            lit(0.4) * col("cw").cast("double") / col("nn").cast("double"))
+          .otherwise(lit(0.4) * lit(0.4) / col("nn").cast("double"))), 9)
+        .cast("decimal(27,9)"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).cast("int").as("n_trans"),
+        // decimal-exact sum → double, THEN the mean division in
+        // double: one deterministic rounding per transition, none at
+        // the aggregate (q172's order-independence argument)
+        (sum(col("ls")).cast("double") / count(lit(1))).as("avg_logscore"))
+      .orderBy(col("avg_logscore").asc, col("doc_id"))
+      .limit(100)
+  }
+
+  val q173Sql: String =
+    """WITH base AS (SELECT doc_id, lang, string_split(text, ' ') AS s FROM documents),
+      |tr AS (SELECT doc_id, lang,
+      |  unnest([{'v': s[i], 'w': s[i+1]} for i in range(1, len(s))], recursive := true)
+      |  FROM base WHERE len(s) >= 2),
+      |uni AS (SELECT unnest(s) AS w FROM base WHERE lang = 'en'),
+      |uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cw FROM uni GROUP BY w),
+      |bc AS (SELECT v, w, CAST(COUNT(*) AS BIGINT) AS cb FROM tr WHERE lang = 'en' GROUP BY v, w),
+      |tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS nn FROM uc),
+      |scored AS (SELECT tr.doc_id, tr.lang,
+      |  CAST(ROUND(LN(CASE
+      |    WHEN COALESCE(bc.cb, 0) > 0 THEN CAST(bc.cb AS DOUBLE) / CAST(uv.cw AS DOUBLE)
+      |    WHEN COALESCE(uw.cw, 0) > 0 THEN 0.4 * CAST(uw.cw AS DOUBLE) / CAST(nn AS DOUBLE)
+      |    ELSE 0.4 * 0.4 / CAST(nn AS DOUBLE) END), 9) AS DECIMAL(27,9)) AS ls
+      |  FROM tr
+      |  LEFT JOIN bc ON tr.v = bc.v AND tr.w = bc.w
+      |  LEFT JOIN uc uv ON tr.v = uv.w
+      |  LEFT JOIN uc uw ON tr.w = uw.w
+      |  CROSS JOIN tot)
+      |SELECT doc_id, lang, CAST(COUNT(*) AS INT) AS n_trans,
+      |  CAST(SUM(ls) AS DOUBLE) / COUNT(*) AS avg_logscore
+      |FROM scored GROUP BY doc_id, lang
+      |ORDER BY avg_logscore ASC, doc_id LIMIT 100""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_token_stats", q34 _, Some(q34Sql)),
     ("q35_lang_id_confusion", q35 _, Some(q35Sql)),
@@ -1563,6 +1649,7 @@ object Text {
     ("q159_bm25_incremental", q159 _, Some(q90Sql)),
     ("q162_tokenizer_fertility", q162 _, Some(q162Sql)),
     ("q163_collocation_lift", q163 _, Some(q163Sql)),
-    ("q172_dsir_sample", q172 _, Some(q172Sql))
+    ("q172_dsir_sample", q172 _, Some(q172Sql)),
+    ("q173_lm_quality_filter", q173 _, Some(q173Sql))
   )
 }

@@ -47,7 +47,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q161_markov_holdout_eval", // 1-row min-day broadcast onto the event scan
     "q163_collocation_lift", // two 1-row corpus-total broadcasts into the lift
     "q167_fleiss_kappa", // 1-row item-stats x 1-row category-stats crossjoin
-    "q172_dsir_sample") // 1-row corpus-totals broadcast into the bucket-lambda table
+    "q172_dsir_sample", // 1-row corpus-totals broadcast into the bucket-lambda table
+    "q173_lm_quality_filter") // 1-row LM-token-total broadcast into the transition scoring
 
   test("no declared query plans a cartesian product; BNLJ only where intended") {
     // streaming queries execute on materialization, not plan-inspectable
