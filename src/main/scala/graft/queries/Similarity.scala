@@ -1061,6 +1061,67 @@ object Similarity {
        |SELECT va, CAST(rn AS INT) AS rn, vb AS nn, ROUND(cos, 6) AS cos
        |FROM ranked WHERE rn <= 3 ORDER BY va, rn""".stripMargin
 
+  // ---------------------------------------------------------------- q174
+  /** Binary-quantization (1-bit) search with Hamming candidate scan +
+    * exact rerank ([[graft.llm.VectorSearch.binaryHammingRerank]]) —
+    * the smallest-scan ANN tier completing the compression ladder:
+    * float32 (q31, 256 B/vec) → SQ8 (q149, 64 B) → PQ (q115, 8 B) →
+    * sign bits (16 B here as two 32-bit words, 8 B once packed into
+    * one word per 64 dims). Bit i = dimension i strictly above its
+    * corpus mean, decided in exact scaled-long arithmetic so both
+    * engines pack identical codes; candidates = top-10 by ascending
+    * Hamming distance (two XOR+popcount ops per pair), then only
+    * those 10 full vectors are reranked by exact cosine. Output shape
+    * matches q31/q149 for direct recall comparison.
+    */
+  def q174(spark: SparkSession, sfDir: String): DataFrame =
+    graft.llm.VectorSearch
+      .binaryHammingRerank(emb(spark, sfDir), "vec_id", "embedding", m = 10, k = 3)
+      .select(col("va"), col("rn"), col("vb"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("va"), col("rn"))
+
+  val q174Sql: String =
+    s"""WITH sv AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS sv
+       |  FROM embeddings),
+       |d AS (
+       |  SELECT vec_id, t.i, sv[t.i + 1] AS s
+       |  FROM sv CROSS JOIN range(0, 64) t(i)),
+       |st AS (SELECT i, SUM(s) AS tot, COUNT(*) AS n FROM d GROUP BY i),
+       |codes AS (
+       |  SELECT vec_id,
+       |    BIT_OR(CASE WHEN d.i < 32 AND d.s * st.n > st.tot
+       |           THEN (CAST(1 AS BIGINT) << CAST(d.i AS INTEGER))
+       |           ELSE CAST(0 AS BIGINT) END) AS c0,
+       |    BIT_OR(CASE WHEN d.i >= 32 AND d.s * st.n > st.tot
+       |           THEN (CAST(1 AS BIGINT) << CAST(d.i - 32 AS INTEGER))
+       |           ELSE CAST(0 AS BIGINT) END) AS c1
+       |  FROM d JOIN st USING (i) GROUP BY vec_id),
+       |ham AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb,
+       |    bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) AS ham
+       |  FROM codes a JOIN codes b ON a.vec_id <> b.vec_id),
+       |cand AS (
+       |  SELECT va, vb FROM (
+       |    SELECT va, vb,
+       |      ROW_NUMBER() OVER (PARTITION BY va ORDER BY ham, vb) AS crn
+       |    FROM ham) WHERE crn <= 10),
+       |nrm AS (
+       |  SELECT vec_id, embedding, sqrt(${dotSqlDuck("embedding", "embedding")}) AS nrm
+       |  FROM embeddings CROSS JOIN range(0, 64) t(i) GROUP BY vec_id, embedding),
+       |ex AS (
+       |  SELECT c.va, c.vb,
+       |    (${dotSqlDuck("x.embedding", "y.embedding")}) / (ANY_VALUE(x.nrm) * ANY_VALUE(y.nrm)) AS cos
+       |  FROM cand c JOIN nrm x ON x.vec_id = c.va JOIN nrm y ON y.vec_id = c.vb
+       |  CROSS JOIN range(0, 64) t(i)
+       |  GROUP BY c.va, c.vb)
+       |SELECT va, rn, vb, ROUND(cos, 6) AS cos FROM (
+       |  SELECT va, vb, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rn
+       |  FROM ex) WHERE rn <= 3
+       |ORDER BY va, rn""".stripMargin
+
   // ---------------------------------------------------------------- q151
   /** Weighted majority-vote label aggregation with annotator
     * reliability (one deterministic round of the Dawid–Skene EM
@@ -1280,6 +1341,7 @@ object Similarity {
     ("q154_matryoshka_recall", q154 _, Some(q154Sql)),
     ("q165_ivf_sq8_search", q165 _, Some(q165Sql)),
     ("q166_ivf_kmeans_search", q166 _, Some(q166Sql)),
-    ("q167_fleiss_kappa", q167 _, Some(q167Sql))
+    ("q167_fleiss_kappa", q167 _, Some(q167Sql)),
+    ("q174_binary_hamming_search", q174 _, Some(q174Sql))
   )
 }
