@@ -1122,6 +1122,103 @@ object Similarity {
        |  FROM ex) WHERE rn <= 3
        |ORDER BY va, rn""".stripMargin
 
+  // ---------------------------------------------------------------- q175
+  /** Incremental IVF+SQ8 index maintenance
+    * ([[graft.llm.VectorSearch.buildIvfSq8Store]] /
+    * `appendIvfSq8Batch` / `ivfSq8StoreSearch`) — the
+    * incremental-maintenance counterpart for the ANN pillar, closing
+    * the store family (exact-dedup q113, near-dup signatures q122,
+    * k-means stats q147, connected components q155, BM25 postings
+    * q159): history (80% of the corpus) builds a persisted index —
+    * coarse-quantizer codebook, SQ8 range stats, per-vector home list
+    * + byte codes — and the refresh batch (the other 20%) is absorbed
+    * against the FROZEN codebook (FAISS-style add-after-train): two
+    * tiny store reads, no history rescan, no re-coding. The search
+    * then runs the batch as queries over the merged index: byte-code
+    * candidate scan pruned to nprobe=2 lists, exact-cosine rerank of
+    * the top-10. The oracle recomputes the whole thing from the raw
+    * split — history-only codebook/stats, frozen-quantized codes for
+    * everyone (out-of-range batch values clamp to the code boundary),
+    * list-pruned scoring — pinning that the store lifecycle loses
+    * nothing vs a from-scratch rebuild. Output shape matches
+    * q149/q165 for direct comparison.
+    */
+  def q175(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val hist = e.where(pmod(col("vec_id"), lit(5)) =!= 0)
+    val batch = e.where(pmod(col("vec_id"), lit(5)) === 0)
+    val store = graft.Tables.scratchDir(spark, "ivfsq8", sfDir)
+    // fresh store per invocation: appends are not idempotent, so a
+    // re-run (bench warm-up, repeated Verify) must not double-index
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(store), true)
+    graft.llm.VectorSearch.buildIvfSq8Store(hist, "vec_id", "embedding",
+      "label", store)
+    graft.llm.VectorSearch.appendIvfSq8Batch(batch, "vec_id", "embedding",
+      store)
+    graft.llm.VectorSearch.ivfSq8StoreSearch(e, batch, "vec_id", "embedding",
+        store, m = 10, k = 3, nprobe = 2)
+      .select(col("va"), col("rn"), col("vb"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("va"), col("rn"))
+  }
+
+  val q175Sql: String =
+    s"""WITH dims AS (
+       |  SELECT vec_id, label, t.i, CAST(embedding[t.i + 1] AS DOUBLE) AS x
+       |  FROM embeddings CROSS JOIN range(0, 64) t(i)),
+       |cents AS (
+       |  SELECT label, i,
+       |    CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS c
+       |  FROM dims WHERE vec_id % 5 <> 0 GROUP BY label, i),
+       |st AS (
+       |  SELECT i, MIN(x) AS mn, MAX(x) AS mx
+       |  FROM dims WHERE vec_id % 5 <> 0 GROUP BY i),
+       |qd AS (
+       |  SELECT vec_id, d.i,
+       |    CASE WHEN mx = mn THEN 0
+       |         ELSE GREATEST(0, LEAST(255,
+       |              CAST(floor((x - mn) / (mx - mn) * 255.0 + 0.5) AS BIGINT))) END AS q
+       |  FROM dims d JOIN st USING (i)),
+       |d2 AS (
+       |  SELECT d.vec_id, c.label,
+       |    CAST(SUM(CAST((x - c) * (x - c) AS DECIMAL(38,12))) AS DOUBLE) AS d2
+       |  FROM dims d JOIN cents c USING (i) GROUP BY d.vec_id, c.label),
+       |assign AS (
+       |  SELECT vec_id, label,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, label) AS arn
+       |  FROM d2),
+       |home AS (SELECT vec_id AS vb, label AS list_id FROM assign WHERE arn = 1),
+       |probe AS (
+       |  SELECT vec_id AS va, label AS list_id
+       |  FROM assign WHERE arn <= 2 AND vec_id % 5 = 0),
+       |sc AS (
+       |  SELECT p.va, h.vb, SUM(a.q * b.q) AS score
+       |  FROM probe p JOIN home h USING (list_id)
+       |  JOIN qd a ON a.vec_id = p.va
+       |  JOIN qd b ON b.vec_id = h.vb AND b.i = a.i
+       |  WHERE p.va <> h.vb
+       |  GROUP BY p.va, h.vb),
+       |cand AS (
+       |  SELECT va, vb FROM (
+       |    SELECT va, vb,
+       |      ROW_NUMBER() OVER (PARTITION BY va ORDER BY score DESC, vb) AS crn
+       |    FROM sc) WHERE crn <= 10),
+       |nrm AS (
+       |  SELECT vec_id, embedding, sqrt(${dotSqlDuck("embedding", "embedding")}) AS nrm
+       |  FROM embeddings CROSS JOIN range(0, 64) t(i) GROUP BY vec_id, embedding),
+       |ex AS (
+       |  SELECT c.va, c.vb,
+       |    (${dotSqlDuck("x.embedding", "y.embedding")}) / (ANY_VALUE(x.nrm) * ANY_VALUE(y.nrm)) AS cos
+       |  FROM cand c JOIN nrm x ON x.vec_id = c.va JOIN nrm y ON y.vec_id = c.vb
+       |  CROSS JOIN range(0, 64) t(i)
+       |  GROUP BY c.va, c.vb)
+       |SELECT va, rn, vb, ROUND(cos, 6) AS cos FROM (
+       |  SELECT va, vb, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rn
+       |  FROM ex) WHERE rn <= 3
+       |ORDER BY va, rn""".stripMargin
+
   // ---------------------------------------------------------------- q151
   /** Weighted majority-vote label aggregation with annotator
     * reliability (one deterministic round of the Dawid–Skene EM
@@ -1342,6 +1439,7 @@ object Similarity {
     ("q165_ivf_sq8_search", q165 _, Some(q165Sql)),
     ("q166_ivf_kmeans_search", q166 _, Some(q166Sql)),
     ("q167_fleiss_kappa", q167 _, Some(q167Sql)),
-    ("q174_binary_hamming_search", q174 _, Some(q174Sql))
+    ("q174_binary_hamming_search", q174 _, Some(q174Sql)),
+    ("q175_ivf_store_incremental", q175 _, Some(q175Sql))
   )
 }
