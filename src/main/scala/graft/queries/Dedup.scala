@@ -1159,6 +1159,118 @@ object Dedup {
        |  ROUND(tp / NULLIF(tp + fn, 0), 6) AS rec
        |FROM agg ORDER BY threshold""".stripMargin
 
+  // ---------------------------------------------------------------- q176
+  /** Entity resolution across two customer registries
+    * ([[graft.operators.Linkage.blockedPairs]] + Fellegi–Sunter
+    * integer log-odds scoring): a synthetic "dirty" registry is
+    * derived in-query from `customer` by deterministic corruption
+    * (one name digit substituted, nation drift, segment drift,
+    * balance rounding — all pure integer arithmetic on the key, so
+    * both engines derive the identical registry), then linked back
+    * WITHOUT the key: two blocking passes (name suffix digits;
+    * mid-digits + nation) generate candidates through equi-joins
+    * only, and each candidate pair scores agreement per field — exact
+    * name +24 / levenshtein ≤ 1 +16 / ≤ 2 +8 / else −8; nation +6/−3;
+    * segment +4/−2; balance within 1.0 +5/−2 — classifying `match`
+    * (≥ 30) and `possible` (≥ 15). The structured-record counterpart
+    * of the text near-dup family; the multi-pass design means a
+    * corruption that breaks one pass's key is still caught by the
+    * other.
+    *
+    * Scale: no all-pairs anywhere — candidates are Σ_blocks |A|·|B|
+    * with digit-bounded block cardinality; scoring is an in-row
+    * integer sum (levenshtein on two 18-char strings); one distinct
+    * over key pairs. All comparisons integer or exact-IEEE, so scores
+    * are engine-identical.
+    */
+  def q176(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.load(spark, sfDir, "customer")
+    val dirty = c
+      .withColumn("h1",
+        pmod(col("c_custkey") * lit(1103515245L) + lit(12345L), lit(2147483648L)))
+      .select(
+        (col("c_custkey") + lit(1000000L)).as("b_key"),
+        expr(
+          """CASE WHEN h1 % 3 = 0 THEN
+            |  concat(substr(c_name, 1, CAST(9 + (h1 % 9) AS INT)),
+            |         CAST((h1 div 7) % 10 AS STRING),
+            |         substr(c_name, CAST(11 + (h1 % 9) AS INT)))
+            |ELSE c_name END""".stripMargin).as("b_name"),
+        expr("CASE WHEN h1 % 7 = 0 THEN CAST((c_nationkey + 1) % 25 AS INT) " +
+          "ELSE c_nationkey END").as("b_nation"),
+        expr("CASE WHEN h1 % 11 = 0 THEN 'AUTOMOBILE' ELSE c_mktsegment END")
+          .as("b_segment"),
+        expr("CASE WHEN h1 % 5 = 0 THEN round(c_acctbal) ELSE c_acctbal END")
+          .as("b_acctbal"))
+    val cand = graft.operators.Linkage.blockedPairs(
+      c, "c_custkey", dirty, "b_key",
+      Seq(
+        (substring(col("c_name"), 16, 3), substring(col("b_name"), 16, 3)),
+        (concat_ws("|", substring(col("c_name"), 13, 3),
+          col("c_nationkey").cast("string")),
+          concat_ws("|", substring(col("b_name"), 13, 3),
+            col("b_nation").cast("string")))))
+    cand
+      .join(c.select(col("c_custkey").as("a_key"), col("c_name"),
+        col("c_nationkey"), col("c_mktsegment"), col("c_acctbal")), "a_key")
+      .join(dirty, "b_key")
+      .withColumn("score",
+        when(col("c_name") === col("b_name"), 24)
+          .when(levenshtein(col("c_name"), col("b_name")) <= 1, 16)
+          .when(levenshtein(col("c_name"), col("b_name")) <= 2, 8)
+          .otherwise(-8)
+          + when(col("c_nationkey") === col("b_nation"), 6).otherwise(-3)
+          + when(col("c_mktsegment") === col("b_segment"), 4).otherwise(-2)
+          + when(abs(col("c_acctbal") - col("b_acctbal")) <= 1.0, 5).otherwise(-2))
+      .where(col("score") >= 15)
+      .select(col("a_key"), col("b_key"), col("score").cast("int").as("score"),
+        when(col("score") >= 30, "match").otherwise("possible").as("decision"))
+      .orderBy(col("a_key"), col("b_key"))
+  }
+
+  val q176Sql: String =
+    """WITH dirty AS (
+      |  SELECT c_custkey + 1000000 AS b_key,
+      |    (c_custkey * 1103515245 + 12345) % 2147483648 AS h1,
+      |    c_name, c_nationkey, c_mktsegment, c_acctbal
+      |  FROM customer),
+      |b AS (
+      |  SELECT b_key,
+      |    CASE WHEN h1 % 3 = 0 THEN
+      |      substr(c_name, 1, CAST(9 + (h1 % 9) AS INT)) ||
+      |      CAST((h1 // 7) % 10 AS VARCHAR) ||
+      |      substr(c_name, CAST(11 + (h1 % 9) AS INT))
+      |    ELSE c_name END AS b_name,
+      |    CASE WHEN h1 % 7 = 0 THEN CAST((c_nationkey + 1) % 25 AS INT)
+      |         ELSE c_nationkey END AS b_nation,
+      |    CASE WHEN h1 % 11 = 0 THEN 'AUTOMOBILE' ELSE c_mktsegment END AS b_segment,
+      |    CASE WHEN h1 % 5 = 0 THEN round(c_acctbal) ELSE c_acctbal END AS b_acctbal
+      |  FROM dirty),
+      |cand AS (
+      |  SELECT a.c_custkey AS a_key, bb.b_key
+      |  FROM customer a JOIN b bb
+      |    ON substr(a.c_name, 16, 3) = substr(bb.b_name, 16, 3)
+      |  UNION
+      |  SELECT a.c_custkey, bb.b_key
+      |  FROM customer a JOIN b bb
+      |    ON substr(a.c_name, 13, 3) = substr(bb.b_name, 13, 3)
+      |   AND a.c_nationkey = bb.b_nation),
+      |sc AS (
+      |  SELECT c.a_key, c.b_key,
+      |    (CASE WHEN a.c_name = bb.b_name THEN 24
+      |          WHEN levenshtein(a.c_name, bb.b_name) <= 1 THEN 16
+      |          WHEN levenshtein(a.c_name, bb.b_name) <= 2 THEN 8 ELSE -8 END
+      |     + CASE WHEN a.c_nationkey = bb.b_nation THEN 6 ELSE -3 END
+      |     + CASE WHEN a.c_mktsegment = bb.b_segment THEN 4 ELSE -2 END
+      |     + CASE WHEN abs(a.c_acctbal - bb.b_acctbal) <= 1.0 THEN 5 ELSE -2 END) AS score
+      |  FROM cand c
+      |  JOIN customer a ON a.c_custkey = c.a_key
+      |  JOIN b bb ON bb.b_key = c.b_key)
+      |SELECT a_key, b_key, CAST(score AS INT) AS score,
+      |  CASE WHEN score >= 30 THEN 'match' ELSE 'possible' END AS decision
+      |FROM sc WHERE score >= 15
+      |ORDER BY a_key, b_key""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q27_exact_dedup", q27 _, Some(q27Sql)),
     ("q28_ngram_jaccard_neardup", q28 _, Some(q28Sql)),
@@ -1180,6 +1292,7 @@ object Dedup {
     ("q126_pipeline_capstone", q126 _, Some(q126Sql)),
     ("q135_lsh_eval", q135 _, Some(q135Sql)),
     ("q155_cc_incremental", q155 _, Some(q155Sql)),
-    ("q156_cdc_chunk_dedup", q156 _, Some(q156Sql))
+    ("q156_cdc_chunk_dedup", q156 _, Some(q156Sql)),
+    ("q176_entity_resolution", q176 _, Some(q176Sql))
   )
 }
