@@ -954,6 +954,95 @@ object Events {
       |FROM w WHERE event_type = 'purchase'
       |ORDER BY user_id, event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q177
+  /** CUPED variance-reduced experiment readout (Deng et al., WSDM
+    * 2013): users are hash-assigned to two variants, the metric is
+    * each user's second-half-of-month spend and the covariate their
+    * first-half spend (both in exact integer cents from ONE scan —
+    * no join between periods), and the adjusted metric
+    * y − θ·(x − x̄) removes the pre-period component of the variance
+    * with θ = cov(x,y)/var(x) from the pooled integer sufficient
+    * statistics (n, Σx, Σy, Σx², Σxy — one 1-row aggregate). The
+    * standard experimentation-platform readout: same point estimate
+    * in expectation, tighter CI, here with every input to the double
+    * arithmetic an exact integer so both engines compute bit-equal
+    * means.
+    *
+    * Scale: one scan → per-user partial-aggregated shuffle; the
+    * sufficient-statistics row broadcasts back (q100's allowlisted
+    * 1-row shape); adjusted values re-aggregate per variant through
+    * an order-independent DECIMAL sum. θ guards the zero-variance
+    * corner (tiny fixtures) to 0.
+    */
+  def q177(spark: SparkSession, sfDir: String): DataFrame = {
+    val perUser = ev(spark, sfDir)
+      .withColumn("vc", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(dayofmonth(col("ts")) <= 15, col("vc")).otherwise(0L)).as("x"),
+        sum(when(dayofmonth(col("ts")) > 15, col("vc")).otherwise(0L)).as("y"))
+      .withColumn("variant", expr(
+        "CAST((((user_id * 1103515245 + 12345) % 2147483648) div 1024) % 2 AS INT)"))
+    val stats = perUser.agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(expr("CAST(x * x AS DECIMAL(38,0))")).as("sxx"),
+      sum(expr("CAST(x * y AS DECIMAL(38,0))")).as("sxy"))
+    perUser.crossJoin(broadcast(stats))
+      .withColumn("den", expr(
+        "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"))
+      .withColumn("theta", expr(
+        """CASE WHEN den = 0.0D THEN 0.0D ELSE
+          |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          |   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / den END""".stripMargin))
+      .withColumn("y_adj", expr(
+        "CAST(y AS DOUBLE) - theta * (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"),
+        round(expr("CAST(SUM(y) AS DOUBLE) / (100.0D * COUNT(*))"), 6).as("mean_raw"),
+        round(expr(
+          "CAST(SUM(CAST(y_adj AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) / 100.0D"), 6)
+          .as("mean_cuped"),
+        round(max(col("theta")), 6).as("theta"))
+      .orderBy(col("variant"))
+  }
+
+  val q177Sql: String =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |    SUM(CASE WHEN date_part('day', ts) <= 15
+      |        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS x,
+      |    SUM(CASE WHEN date_part('day', ts) > 15
+      |        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS y,
+      |    CAST((((user_id * 1103515245 + 12345) % 2147483648) // 1024) % 2 AS INT) AS variant
+      |  FROM events GROUP BY user_id),
+      |st AS (
+      |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+      |    SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy
+      |  FROM pu),
+      |adj AS (
+      |  SELECT pu.variant, pu.y,
+      |    CAST(pu.y AS DOUBLE) -
+      |      (CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0 THEN 0.0
+      |            ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END)
+      |      * (CAST(pu.x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS y_adj,
+      |    CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0 THEN 0.0
+      |         ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS theta
+      |  FROM pu CROSS JOIN st)
+      |SELECT variant, COUNT(*) AS n_users,
+      |  ROUND(CAST(SUM(y) AS DOUBLE) / (100.0 * COUNT(*)), 6) AS mean_raw,
+      |  ROUND(CAST(SUM(CAST(y_adj AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) / 100.0, 6) AS mean_cuped,
+      |  ROUND(MAX(theta), 6) AS theta
+      |FROM adj GROUP BY variant ORDER BY variant""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_events_json_stats", q23 _, Some(q23Sql)),
     ("q24_events_daily_window", q24 _, Some(q24Sql)),
@@ -976,6 +1065,7 @@ object Events {
     ("q146_multitouch_attribution", q146 _, Some(q146Sql)),
     ("q150_purged_time_split", q150 _, Some(q150Sql)),
     ("q161_markov_holdout_eval", q161 _, Some(q161Sql)),
-    ("q164_asof_tolerance", q164 _, Some(q164Sql))
+    ("q164_asof_tolerance", q164 _, Some(q164Sql)),
+    ("q177_cuped_experiment", q177 _, Some(q177Sql))
   )
 }
