@@ -1043,6 +1043,67 @@ object Events {
       |  ROUND(MAX(theta), 6) AS theta
       |FROM adj GROUP BY variant ORDER BY variant""".stripMargin
 
+  // ---------------------------------------------------------------- q178
+  /** Seasonal-lag anomaly detection on daily event volumes — the
+    * robust-statistics monitoring verb next to q75's per-value
+    * z-score: per event type, the residual of each day's count
+    * against its 7-day-lagged value (seasonal-naive forecast) is
+    * flagged when it exceeds 3× the series' median absolute
+    * deviation. MAD bands don't blow up when the anomaly itself
+    * inflates the spread — the property that makes this the standard
+    * pipeline-health check where mean/std breaks.
+    *
+    * Determinism: counts and residuals are integers; the two medians
+    * interpolate exact halves (both engines average the middle pair),
+    * so the 3·MAD threshold compare is exact-IEEE on both sides. The
+    * seasonal lag is an equi-join on (type, day−7), not a window.
+    *
+    * Scale: the raw scan reduces to (types × days) rows in one
+    * partially-aggregated shuffle; everything after is
+    * codebook-sized. Per-series rows stay bounded by the calendar
+    * window, series count scales horizontally.
+    */
+  def q178(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = ev(spark, sfDir)
+      .groupBy(col("event_type"), dayofmonth(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val prev = daily.select(col("event_type"), (col("day") + 7).as("day"),
+      col("cnt").as("prev_cnt"))
+    val res = daily.join(prev, Seq("event_type", "day"))
+      .withColumn("resid", col("cnt") - col("prev_cnt"))
+    val med = res.groupBy(col("event_type"))
+      .agg(expr("percentile(resid, 0.5D)").as("med"))
+    val mad = res.join(med, "event_type")
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(abs(resid - med), 0.5D)").as("mad"))
+    res.join(mad, "event_type")
+      .select(col("event_type"), col("day"), col("cnt"), col("prev_cnt"),
+        col("resid"), round(col("mad"), 6).as("mad"),
+        when(abs(col("resid")) > lit(3.0) * col("mad"), 1).otherwise(0)
+          .cast("int").as("flagged"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val q178Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_part('day', ts) AS INT) AS day,
+      |    COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |res AS (
+      |  SELECT d.event_type, d.day, d.cnt, p.cnt AS prev_cnt,
+      |    d.cnt - p.cnt AS resid
+      |  FROM daily d JOIN daily p
+      |    ON p.event_type = d.event_type AND p.day = d.day - 7),
+      |med AS (SELECT event_type, median(resid) AS med FROM res GROUP BY 1),
+      |madt AS (
+      |  SELECT r.event_type, median(abs(r.resid - m.med)) AS mad
+      |  FROM res r JOIN med m USING (event_type) GROUP BY 1)
+      |SELECT r.event_type, r.day, r.cnt, r.prev_cnt, r.resid,
+      |  ROUND(m.mad, 6) AS mad,
+      |  CAST(CASE WHEN abs(r.resid) > 3.0 * m.mad THEN 1 ELSE 0 END AS INT) AS flagged
+      |FROM res r JOIN madt m USING (event_type)
+      |ORDER BY r.event_type, r.day""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_events_json_stats", q23 _, Some(q23Sql)),
     ("q24_events_daily_window", q24 _, Some(q24Sql)),
@@ -1066,6 +1127,7 @@ object Events {
     ("q150_purged_time_split", q150 _, Some(q150Sql)),
     ("q161_markov_holdout_eval", q161 _, Some(q161Sql)),
     ("q164_asof_tolerance", q164 _, Some(q164Sql)),
-    ("q177_cuped_experiment", q177 _, Some(q177Sql))
+    ("q177_cuped_experiment", q177 _, Some(q177Sql)),
+    ("q178_seasonal_anomaly", q178 _, Some(q178Sql))
   )
 }
