@@ -1611,6 +1611,63 @@ object Text {
       |FROM scored GROUP BY doc_id, lang
       |ORDER BY avg_logscore ASC, doc_id LIMIT 100""".stripMargin
 
+  // ---------------------------------------------------------------- q179
+  /** Heaps'-law vocabulary-growth curve — the corpus diagnostic that
+    * tells a tokenizer/dedup pipeline how vocabulary scales with
+    * corpus size (V ∝ Tᵝ, Heaps 1978): the document stream is cut
+    * into ten deterministic deciles by id, and each checkpoint
+    * reports cumulative token occurrences and cumulative DISTINCT
+    * vocabulary — distinctness via each token's first-seen decile
+    * (one groupBy(token).min, never a running distinct), so the
+    * curve costs two aggregations regardless of corpus size. A
+    * flattening curve means new data stops paying vocabulary;
+    * a too-steep one flags OCR noise / boilerplate explosion.
+    *
+    * Scale: the token stream reduces to per-decile occurrence counts
+    * and a (token → first decile) table in one shuffle each; the
+    * cumulative step is a 10×10 triangle join over decile-sized
+    * aggregates (with the 1-row corpus-size broadcast — both
+    * allowlisted bounded shapes). All counts integer.
+    */
+  def q179(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val n = d.agg(max(col("doc_id")).as("mx")).select((col("mx") + 1).as("N"))
+    val tok = d.crossJoin(broadcast(n))
+      .withColumn("b", expr("CAST((doc_id * 10) div N AS INT)"))
+      .select(col("b"), explode(split(col("text"), " ")).as("w"))
+    val occ = tok.groupBy(col("b")).agg(count(lit(1)).as("occ"))
+    val fst = tok.groupBy(col("w")).agg(min(col("b")).as("fb"))
+      .groupBy(col("fb")).agg(count(lit(1)).as("nd"))
+    val ks = occ.select(col("b").as("k")).distinct()
+    val cumT = ks.join(broadcast(occ), col("b") <= col("k"))
+      .groupBy(col("k")).agg(sum(col("occ")).as("cum_tokens"))
+    val cumD = ks.join(broadcast(fst), col("fb") <= col("k"))
+      .groupBy(col("k")).agg(sum(col("nd")).as("cum_distinct"))
+    cumT.join(cumD, "k")
+      .select((col("k") + 1).as("checkpoint"), col("cum_tokens"),
+        col("cum_distinct"))
+      .orderBy(col("checkpoint"))
+  }
+
+  val q179Sql: String =
+    """WITH nn AS (SELECT MAX(doc_id) + 1 AS N FROM documents),
+      |tok AS (
+      |  SELECT CAST((doc_id * 10) // N AS INT) AS b,
+      |    unnest(string_split(text, ' ')) AS w
+      |  FROM documents CROSS JOIN nn),
+      |occ AS (SELECT b, COUNT(*) AS occ FROM tok GROUP BY b),
+      |fstb AS (SELECT MIN(b) AS fb FROM tok GROUP BY w),
+      |fst AS (SELECT fb, COUNT(*) AS nd FROM fstb GROUP BY fb),
+      |ks AS (SELECT DISTINCT b AS k FROM occ),
+      |ct AS (
+      |  SELECT k, CAST(SUM(o.occ) AS BIGINT) AS cum_tokens
+      |  FROM ks JOIN occ o ON o.b <= ks.k GROUP BY k),
+      |cd AS (
+      |  SELECT k, CAST(SUM(f.nd) AS BIGINT) AS cum_distinct
+      |  FROM ks JOIN fst f ON f.fb <= ks.k GROUP BY k)
+      |SELECT k + 1 AS checkpoint, cum_tokens, cum_distinct
+      |FROM ct JOIN cd USING (k) ORDER BY checkpoint""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_token_stats", q34 _, Some(q34Sql)),
     ("q35_lang_id_confusion", q35 _, Some(q35Sql)),
@@ -1650,6 +1707,7 @@ object Text {
     ("q162_tokenizer_fertility", q162 _, Some(q162Sql)),
     ("q163_collocation_lift", q163 _, Some(q163Sql)),
     ("q172_dsir_sample", q172 _, Some(q172Sql)),
-    ("q173_lm_quality_filter", q173 _, Some(q173Sql))
+    ("q173_lm_quality_filter", q173 _, Some(q173Sql)),
+    ("q179_heaps_curve", q179 _, Some(q179Sql))
   )
 }

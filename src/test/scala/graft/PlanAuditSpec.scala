@@ -50,7 +50,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q172_dsir_sample", // 1-row corpus-totals broadcast into the bucket-lambda table
     "q173_lm_quality_filter", // 1-row LM-token-total broadcast into the transition scoring
     "q174_binary_hamming_search", // Hamming candidate gen scans every 16-byte sign code per query (q149's shape)
-    "q177_cuped_experiment") // 1-row CUPED sufficient-statistics broadcast onto the per-user stream (q100's shape)
+    "q177_cuped_experiment", // 1-row CUPED sufficient-statistics broadcast onto the per-user stream (q100's shape)
+    "q179_heaps_curve") // 1-row corpus-size broadcast + 10x10 decile triangle join over decile aggregates
 
   test("no declared query plans a cartesian product; BNLJ only where intended") {
     // streaming queries execute on materialization, not plan-inspectable
