@@ -1668,6 +1668,89 @@ object Text {
       |SELECT k + 1 AS checkpoint, cum_tokens, cum_distinct
       |FROM ct JOIN cd USING (k) ORDER BY checkpoint""".stripMargin
 
+  // ---------------------------------------------------------------- q180
+  /** Zipf rank-frequency slope — q179's companion corpus diagnostic:
+    * least-squares fit of ln(count) against ln(rank) over the top
+    * 1000 tokens (Zipf 1949; slope ≈ −1 for natural text, flatter
+    * for template/boilerplate corpora, steeper after aggressive
+    * dedup). Portability: each ln is rounded once at scale 9 (the
+    * q172/q173 discipline), the regression sufficient statistics
+    * accumulate as exact DECIMALs (order-independent), and the final
+    * slope/intercept/r² arithmetic runs on doubles cast from those
+    * exact sums — bit-equal across engines.
+    *
+    * Scale: token counts partial-aggregate in one shuffle; top-1000
+    * is a TakeOrdered (map-side heaps, no global sort); the ranking
+    * window sits above the limit (≤ 1000 rows — the plan-audit
+    * gate's bounded exemption); the fit is a 1-row aggregate.
+    */
+  def q180(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = docs(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(1000)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("c").desc, col("w"))))
+      .withColumn("x", round(log(col("rnk").cast("double")), 9))
+      .withColumn("y", round(log(col("c").cast("double")), 9))
+    top.agg(
+        count(lit(1)).as("n"),
+        sum(expr("CAST(x AS DECIMAL(20,9))")).as("sx"),
+        sum(expr("CAST(y AS DECIMAL(20,9))")).as("sy"),
+        sum(expr("CAST(x * y AS DECIMAL(38,18))")).as("sxy"),
+        sum(expr("CAST(x * x AS DECIMAL(38,18))")).as("sxx"),
+        sum(expr("CAST(y * y AS DECIMAL(38,18))")).as("syy"))
+      .withColumn("dn", expr("CAST(n AS DOUBLE)"))
+      .withColumn("cxy", expr(
+        "dn * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"))
+      .withColumn("cxx", expr(
+        "dn * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"))
+      .withColumn("cyy", expr(
+        "dn * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"))
+      .select(
+        col("n").cast("long").as("n_tokens"),
+        round(expr("cxy / cxx"), 6).as("slope"),
+        round(expr(
+          "(CAST(sy AS DOUBLE) - (cxy / cxx) * CAST(sx AS DOUBLE)) / dn"), 6)
+          .as("intercept"),
+        round(expr("(cxy * cxy) / (cxx * cyy)"), 6).as("r2"))
+  }
+
+  val q180Sql: String =
+    """WITH cnt AS (
+      |  SELECT w, COUNT(*) AS c FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY w),
+      |top AS (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT 1000),
+      |xy AS (
+      |  SELECT ROUND(ln(CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w) AS DOUBLE)), 9) AS x,
+      |    ROUND(ln(CAST(c AS DOUBLE)), 9) AS y
+      |  FROM top),
+      |s AS (
+      |  SELECT COUNT(*) AS n,
+      |    SUM(CAST(x AS DECIMAL(20,9))) AS sx,
+      |    SUM(CAST(y AS DECIMAL(20,9))) AS sy,
+      |    SUM(CAST(x * y AS DECIMAL(38,18))) AS sxy,
+      |    SUM(CAST(x * x AS DECIMAL(38,18))) AS sxx,
+      |    SUM(CAST(y * y AS DECIMAL(38,18))) AS syy
+      |  FROM xy),
+      |d AS (
+      |  SELECT CAST(n AS BIGINT) AS n, CAST(n AS DOUBLE) AS dn,
+      |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cxy,
+      |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS cxx,
+      |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS cyy,
+      |    CAST(sx AS DOUBLE) AS dsx, CAST(sy AS DOUBLE) AS dsy
+      |  FROM s)
+      |SELECT n AS n_tokens,
+      |  ROUND(cxy / cxx, 6) AS slope,
+      |  ROUND((dsy - (cxy / cxx) * dsx) / dn, 6) AS intercept,
+      |  ROUND((cxy * cxy) / (cxx * cyy), 6) AS r2
+      |FROM d""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_token_stats", q34 _, Some(q34Sql)),
     ("q35_lang_id_confusion", q35 _, Some(q35Sql)),
@@ -1708,6 +1791,7 @@ object Text {
     ("q163_collocation_lift", q163 _, Some(q163Sql)),
     ("q172_dsir_sample", q172 _, Some(q172Sql)),
     ("q173_lm_quality_filter", q173 _, Some(q173Sql)),
-    ("q179_heaps_curve", q179 _, Some(q179Sql))
+    ("q179_heaps_curve", q179 _, Some(q179Sql)),
+    ("q180_zipf_fit", q180 _, Some(q180Sql))
   )
 }
