@@ -76,9 +76,11 @@ object DecimalL2Ops {
     while (i < n) {
       val xv = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
       val d = xv - y.getDouble(i)
-      acc += java.math.BigDecimal.valueOf(d * d)
+      // addExact: accumulator overflow must fail as loudly as the
+      // per-term longValueExact, not wrap to a silently wrong distance
+      acc = Math.addExact(acc, java.math.BigDecimal.valueOf(d * d)
         .setScale(12, java.math.RoundingMode.HALF_UP)
-        .unscaledValue().longValueExact()
+        .unscaledValue().longValueExact())
       i += 1
     }
     java.math.BigDecimal.valueOf(acc, 12).doubleValue()

@@ -48,15 +48,31 @@ object Agreement {
       .agg(sum(col("nij")).as("cj"))
       .agg(sum(expr("cast(cj as decimal(38,0)) * cj")).cast("double").as("sum_cj2"),
         count(lit(1)).as("n_cats"))
-    istats.crossJoin(cstats)
-      .withColumn("po", (col("sum_sq") - col("t_obs")) /
-        (col("t_obs") * lit((nRaters - 1).toDouble)))
+    // validate the caller's nRaters against the data IN-PLAN (no extra
+    // driver action): a single ragged item silently skews n_items and
+    // the P_o denominator, so it must fail loudly instead. The check
+    // is a 1-row min/max over per-item totals riding the same cells.
+    val itot = cells.groupBy(col(itemCol)).agg(sum(col("nij")).as("t"))
+      .agg(min(col("t")).cast("long").as("mn_t"),
+        max(col("t")).cast("long").as("mx_t"))
+    istats.crossJoin(cstats).crossJoin(itot)
+      .withColumn("po",
+        when(col("mn_t") === nRaters.toLong && col("mx_t") === nRaters.toLong,
+          (col("sum_sq") - col("t_obs")) /
+            (col("t_obs") * lit((nRaters - 1).toDouble)))
+          .otherwise(raise_error(concat(
+            lit(s"fleissKappa: per-item observation counts must all equal " +
+              s"nRaters=$nRaters; got range "),
+            col("mn_t"), lit(".."), col("mx_t")))))
       .withColumn("pe", col("sum_cj2") / (col("t_obs") * col("t_obs")))
       .select(
         (col("t_obs") / nRaters).cast("long").as("n_items"),
         col("n_cats").cast("int").as("n_cats"),
         round(col("po"), 6).as("po"),
         round(col("pe"), 6).as("pe"),
-        round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6).as("kappa"))
+        // single-category corpus ⇒ pe=1 ⇒ kappa undefined (0/0): NULL,
+        // not NaN
+        round(when(col("pe") < 1.0,
+          (col("po") - col("pe")) / (lit(1.0) - col("pe"))), 6).as("kappa"))
   }
 }

@@ -653,10 +653,17 @@ object Dedup {
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        graft.llm.TextDedup
+        val out = graft.llm.TextDedup
           .dedupBatchAndMaintain(batch, "doc_id", "text", store,
             batchId = Some(bid))
-          .write.mode("append").parquet(pairsDir)
+        // pairs sink is batchId-scoped like the signature store: a
+        // replayed micro-batch whose subdirectory already committed
+        // skips the write instead of double-appending its pairs
+        val sub = s"$pairsDir/batch_$bid"
+        val ok = new org.apache.hadoop.fs.Path(s"$sub/_SUCCESS")
+        if (!ok.getFileSystem(batch.sparkSession.sparkContext
+            .hadoopConfiguration).exists(ok))
+          out.write.mode("overwrite").parquet(sub)
         ()
       }
       .option("checkpointLocation", s"$base/ckpt")
@@ -665,7 +672,7 @@ object Dedup {
     q.awaitTermination()
     val pairs =
       if (hfs.exists(new org.apache.hadoop.fs.Path(pairsDir)))
-        spark.read.parquet(pairsDir)
+        spark.read.option("recursiveFileLookup", "true").parquet(pairsDir)
       else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("d_hist", LongType), StructField("d_new", LongType),
           StructField("est_sim", org.apache.spark.sql.types.DoubleType),

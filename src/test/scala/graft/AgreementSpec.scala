@@ -37,6 +37,23 @@ class AgreementSpec extends AnyFunSuite {
     assert(r.getAs[Double]("kappa") == -0.5)
   }
 
+  test("ragged per-item observation counts fail loudly") {
+    // item 0 has 3 observations, item 1 only 2 — nRaters=3 is a lie
+    val obs = Seq((0L, 0L), (0L, 1L), (0L, 0L), (1L, 0L), (1L, 1L))
+    val e = intercept[Exception] { kappaRow(obs, nRaters = 3) }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("fleissKappa")), e.getMessage)
+  }
+
+  test("single-category corpus gives pe = 1 and NULL kappa, not NaN") {
+    val obs = for (i <- 0L until 3L; _ <- 0 until 2) yield (i, 0L)
+    val r = kappaRow(obs, nRaters = 2)
+    assert(r.getAs[Double]("po") == 1.0)
+    assert(r.getAs[Double]("pe") == 1.0)
+    assert(r.isNullAt(r.fieldIndex("kappa")))
+  }
+
   test("hand-computed mixed case matches the closed form") {
     // 2 items, 2 raters: item 0 agrees (cat 0), item 1 splits (0 vs 1)
     // cells: n_00=2, n_10=1, n_11=1 → sum_sq = 6, T = 4

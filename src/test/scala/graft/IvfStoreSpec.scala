@@ -90,6 +90,50 @@ class IvfStoreSpec extends AnyFunSuite {
     assert(got(103L).forall(_ == 255L))
   }
 
+  test("batchId-scoped append is replay-idempotent; compaction preserves search") {
+    val store = freshStore("compact")
+    val h = hist.toDF("vec_id", "embedding", "label")
+    val b = batch.take(2).toDF("vec_id", "embedding", "label")
+    graft.llm.VectorSearch.buildIvfSq8Store(h, "vec_id", "embedding", "label", store)
+    graft.llm.VectorSearch.appendIvfSq8Batch(b, "vec_id", "embedding", store,
+      batchId = Some(7L))
+    // replayed micro-batch: the committed subdirectory skips the write
+    graft.llm.VectorSearch.appendIvfSq8Batch(b, "vec_id", "embedding", store,
+      batchId = Some(7L))
+    def codes() = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$store/codes")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      .sortBy(_._1).toSeq
+    val before = codes()
+    assert(before.map(_._1) === before.map(_._1).distinct,
+      "replayed append must not double-index")
+    assert(before.size === hist.size + 2)
+    val corpus = (hist ++ batch.take(2)).toDF("vec_id", "embedding", "label")
+    def search() = graft.llm.VectorSearch
+      .ivfSq8StoreSearch(corpus, b, "vec_id", "embedding", store,
+        m = 4, k = 2, nprobe = 2)
+      .selectExpr("va", "rn", "vb", "round(cos, 6) AS cos")
+      .orderBy("va", "rn")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val preCompact = search()
+    graft.llm.VectorSearch.compactIvfSq8Store(spark, store)
+    // compaction merged everything to root-level files...
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sub = fs.listStatus(new org.apache.hadoop.fs.Path(s"$store/codes"))
+      .filter(_.isDirectory)
+    assert(sub.isEmpty, "compaction must flatten per-batch subdirectories")
+    // ...with byte-identical rows and byte-identical search results
+    assert(codes() === before)
+    assert(search() === preCompact)
+    // a fresh append after compaction still lands and is searchable
+    val b2 = batch.drop(2).toDF("vec_id", "embedding", "label")
+    graft.llm.VectorSearch.appendIvfSq8Batch(b2, "vec_id", "embedding", store,
+      batchId = Some(8L))
+    assert(codes().size === before.size + 2)
+  }
+
   test("store search equals a plain-Scala replay of the frozen semantics") {
     val store = freshStore("search")
     val all = hist ++ batch.take(2) // keep in-range vectors for the replay
