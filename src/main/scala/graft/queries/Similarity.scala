@@ -1219,6 +1219,87 @@ object Similarity {
        |  FROM ex) WHERE rn <= 3
        |ORDER BY va, rn""".stripMargin
 
+  // ---------------------------------------------------------------- q181
+  /** IVF-pruned binary-Hamming search
+    * ([[graft.llm.VectorSearch.binaryHammingIvfRerank]]) — the
+    * production tier of the 1-bit ladder, composing q174's sign-bit
+    * quantization with the coarse quantizer exactly as q165 composed
+    * SQ8 with IVF: codes pack into ONE 64-bit word per vector (8 B —
+    * half of q174's two 32-bit words; bit 63 rides the BIGINT sign
+    * bit, which XOR/popcount treat as a flat bit in both engines),
+    * and the Hamming scan is pruned to the nprobe=2 nearest inverted
+    * lists instead of the whole corpus. Candidates = top-10 by
+    * ascending Hamming distance (ties toward the smaller id), then
+    * exact-cosine rerank of those 10. q174 stays as the declared
+    * corpus-wide baseline; output shape matches q165/q174 for direct
+    * recall comparison.
+    */
+  def q181(spark: SparkSession, sfDir: String): DataFrame =
+    graft.llm.VectorSearch
+      .binaryHammingIvfRerank(emb(spark, sfDir), "vec_id", "embedding",
+        "label", m = 10, k = 3, nprobe = 2)
+      .select(col("va"), col("rn"), col("vb"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("va"), col("rn"))
+
+  val q181Sql: String =
+    s"""WITH dims AS (
+       |  SELECT vec_id, label, t.i, CAST(embedding[t.i + 1] AS DOUBLE) AS x
+       |  FROM embeddings CROSS JOIN range(0, 64) t(i)),
+       |cents AS (
+       |  SELECT label, i,
+       |    CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS c
+       |  FROM dims GROUP BY label, i),
+       |d2 AS (
+       |  SELECT d.vec_id, c.label,
+       |    CAST(SUM(CAST((x - c) * (x - c) AS DECIMAL(38,12))) AS DOUBLE) AS d2
+       |  FROM dims d JOIN cents c USING (i) GROUP BY d.vec_id, c.label),
+       |assign AS (
+       |  SELECT vec_id, label,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, label) AS arn
+       |  FROM d2),
+       |sv AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS sv
+       |  FROM embeddings),
+       |d AS (
+       |  SELECT vec_id, t.i, sv[t.i + 1] AS s
+       |  FROM sv CROSS JOIN range(0, 64) t(i)),
+       |st AS (SELECT i, SUM(s) AS tot, COUNT(*) AS n FROM d GROUP BY i),
+       |codes AS (
+       |  SELECT vec_id,
+       |    BIT_OR(CASE WHEN d.s * st.n > st.tot
+       |           THEN CASE WHEN d.i = 63 THEN (-9223372036854775807 - 1)
+       |                ELSE (CAST(1 AS BIGINT) << CAST(d.i AS INTEGER)) END
+       |           ELSE CAST(0 AS BIGINT) END) AS code
+       |  FROM d JOIN st USING (i) GROUP BY vec_id),
+       |ham AS (
+       |  SELECT p.vec_id AS va, h.vec_id AS vb,
+       |    bit_count(xor(a.code, b.code)) AS ham
+       |  FROM assign p JOIN assign h
+       |    ON p.label = h.label AND h.arn = 1 AND p.arn <= 2
+       |    AND p.vec_id <> h.vec_id
+       |  JOIN codes a ON a.vec_id = p.vec_id
+       |  JOIN codes b ON b.vec_id = h.vec_id),
+       |cand AS (
+       |  SELECT va, vb FROM (
+       |    SELECT va, vb,
+       |      ROW_NUMBER() OVER (PARTITION BY va ORDER BY ham, vb) AS crn
+       |    FROM ham) WHERE crn <= 10),
+       |nrm AS (
+       |  SELECT vec_id, embedding, sqrt(${dotSqlDuck("embedding", "embedding")}) AS nrm
+       |  FROM embeddings CROSS JOIN range(0, 64) t(i) GROUP BY vec_id, embedding),
+       |ex AS (
+       |  SELECT c.va, c.vb,
+       |    (${dotSqlDuck("x.embedding", "y.embedding")}) / (ANY_VALUE(x.nrm) * ANY_VALUE(y.nrm)) AS cos
+       |  FROM cand c JOIN nrm x ON x.vec_id = c.va JOIN nrm y ON y.vec_id = c.vb
+       |  CROSS JOIN range(0, 64) t(i)
+       |  GROUP BY c.va, c.vb)
+       |SELECT va, rn, vb, ROUND(cos, 6) AS cos FROM (
+       |  SELECT va, vb, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rn
+       |  FROM ex) WHERE rn <= 3
+       |ORDER BY va, rn""".stripMargin
+
   // ---------------------------------------------------------------- q151
   /** Weighted majority-vote label aggregation with annotator
     * reliability (one deterministic round of the Dawid–Skene EM
@@ -1440,6 +1521,7 @@ object Similarity {
     ("q166_ivf_kmeans_search", q166 _, Some(q166Sql)),
     ("q167_fleiss_kappa", q167 _, Some(q167Sql)),
     ("q174_binary_hamming_search", q174 _, Some(q174Sql)),
-    ("q175_ivf_store_incremental", q175 _, Some(q175Sql))
+    ("q175_ivf_store_incremental", q175 _, Some(q175Sql)),
+    ("q181_ivf_hamming_search", q181 _, Some(q181Sql))
   )
 }
