@@ -570,6 +570,92 @@ object Multimodal {
     resampleStats(syntheticWavBlobs(spark, sfDir), k = 2)
       .orderBy(col("doc_id"))
 
+  /** Q15 windowed-sinc low-pass taps for decimation by 2: 17-tap
+    * Hann-windowed sinc at cutoff π/2, DC-normalized then rounded
+    * ONCE to the 2¹⁵ lattice (Σ = 32767) — fixed integer constants,
+    * identical literals in the partition pass and the oracle SQL, so
+    * the filter arithmetic is exactly replayable in any engine. Even
+    * offsets are sinc zeros by construction (the half-band property:
+    * nearly half the multiplies vanish). */
+  private[multimodal] val HalfBandTapsQ15: Array[Int] = Array(
+    0, -57, 0, 643, 0, -2400, 0, 10018, 16359,
+    10018, 0, -2400, 0, 643, 0, -57, 0)
+
+  /** Polyphase anti-aliasing decimation by `k` of REAL decoded WAV
+    * audio — the production filler for [[resampleStats]]'s documented
+    * stride skeleton: output sample j is the integer FIR convolution
+    * `y_j = ⌊(Σ_t H[t]·x[j·k + t − c] + 2¹⁴) / 2¹⁵⌋` (c = center tap,
+    * zero-padded at the boundaries, floor-div requantization back to
+    * sample scale), with `tapsQ15` a windowed-sinc low-pass rounded
+    * once to the Q15 integer lattice so every engine replays the
+    * arithmetic bit-for-bit — no float accumulation anywhere. Only
+    * the `n/k` output phases are computed (the polyphase identity:
+    * filter AFTER decimation indexing, never on discarded samples).
+    *
+    * Same batched partition pass as [[resampleStats]]: one decoder
+    * per partition, embarrassingly parallel, no shuffle; at 100 TB
+    * this is the map-side shape a vectorized-UDF audio pipeline
+    * takes, taps broadcast as plain task-closure constants.
+    */
+  def polyphaseResampleStats(blobs: Dataset[MediaBlob], k: Int,
+                             tapsQ15: Array[Int],
+                             batchSize: Int = 64): DataFrame = {
+    require(k >= 1, "decimation factor must be >= 1")
+    require(tapsQ15.length % 2 == 1, "taps must have a center (odd length)")
+    import blobs.sparkSession.implicits._
+    val taps = tapsQ15.clone()
+    val c = (taps.length - 1) / 2
+    blobs.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { blob =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(blob.data))
+          val fmt = ais.getFormat
+          require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+              && fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1
+              && !fmt.isBigEndian,
+            s"doc ${blob.doc_id}: expected mono 16-bit little-endian PCM, got $fmt")
+          val pcm = ais.readAllBytes()
+          val n = pcm.length / 2
+          def sample(i: Int): Long =
+            if (i < 0 || i >= n) 0L
+            else ((pcm(2 * i + 1).toInt << 8) | (pcm(2 * i) & 0xff)).toLong
+          var sum = 0L; var sumAbs = 0L; var maxAbs = 0L; var nOut = 0
+          var j = 0
+          while (j * k < n) {
+            var acc = 0L
+            var t = 0
+            while (t < taps.length) {
+              if (taps(t) != 0) acc += taps(t) * sample(j * k + t - c)
+              t += 1
+            }
+            val y = Math.floorDiv(acc + 16384L, 32768L)
+            sum += y
+            val a = math.abs(y)
+            sumAbs += a
+            if (a > maxAbs) maxAbs = a
+            nOut += 1
+            j += 1
+          }
+          (blob.doc_id, (fmt.getSampleRate / k).toInt, nOut, sum, sumAbs, maxAbs)
+        }
+      }
+    }.toDF("doc_id", "sample_rate", "n_samples", "sum_s", "sum_abs", "max_abs")
+  }
+
+  /** q182: WAV-encode → real decode → 17-tap half-band polyphase
+    * low-pass → decimate by 2 → exact resampled statistics — q170's
+    * documented skeleton filled with the anti-aliasing filter. The
+    * oracle replays the full FIR convolution over the sawtooth
+    * arithmetic (same Q15 tap literals, LEFT-JOIN zero padding,
+    * floor-div requantization), so every resampled sample value is
+    * checked through real RIFF/WAVE bytes.
+    */
+  def audioPolyphaseResample(spark: SparkSession, sfDir: String): DataFrame =
+    polyphaseResampleStats(syntheticWavBlobs(spark, sfDir), k = 2,
+      HalfBandTapsQ15)
+      .orderBy(col("doc_id"))
+
   val q170Sql: String =
     """WITH p AS (
       |  SELECT doc_id, 64 + doc_id % 128 AS n, 1 + doc_id % 7 AS k
@@ -584,11 +670,44 @@ object Multimodal {
       |  CAST(MAX(ABS(v)) AS BIGINT) AS max_abs
       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  val q182Sql: String = {
+    val tapList = HalfBandTapsQ15.mkString("[", ", ", "]")
+    s"""WITH p AS (
+       |  SELECT doc_id, 64 + doc_id % 128 AS n, 1 + doc_id % 7 AS kk
+       |  FROM documents),
+       |x AS (
+       |  SELECT doc_id, n, i, ((i * kk) % 2048) - 1024 AS v
+       |  FROM p CROSS JOIN range(0, 192) t(i) WHERE i < n),
+       |taps AS (
+       |  SELECT CAST(t.i AS BIGINT) AS t, CAST($tapList[t.i + 1] AS BIGINT) AS h
+       |  FROM range(0, ${HalfBandTapsQ15.length}) t(i)),
+       |o AS (
+       |  SELECT doc_id, n, t.j FROM p CROSS JOIN range(0, 96) t(j)
+       |  WHERE j * 2 < n),
+       |acc AS (
+       |  SELECT o.doc_id, o.j,
+       |    COALESCE(SUM(taps.h * x.v), 0) AS a
+       |  FROM o CROSS JOIN taps
+       |  LEFT JOIN x ON x.doc_id = o.doc_id AND x.i = o.j * 2 + taps.t - 8
+       |  WHERE taps.h <> 0
+       |  GROUP BY o.doc_id, o.j),
+       |y AS (
+       |  SELECT doc_id, CAST(floor((a + 16384) / 32768.0) AS BIGINT) AS y
+       |  FROM acc)
+       |SELECT doc_id, CAST(4000 AS INT) AS sample_rate,
+       |  CAST(COUNT(*) AS INT) AS n_samples,
+       |  CAST(SUM(y) AS BIGINT) AS sum_s,
+       |  CAST(SUM(ABS(y)) AS BIGINT) AS sum_abs,
+       |  CAST(MAX(ABS(y)) AS BIGINT) AS max_abs
+       |FROM y GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q44_multimodal_features", featureTable _, Some(q44Sql)),
     ("q108_imageio_decode", imageDecode _, Some(q108Sql)),
     ("q121_wav_decode", audioDecode _, Some(q121Sql)),
     ("q138_image_phash_dedup", imagePerceptualDedup _, Some(q138Sql)),
     ("q169_image_resize", imageResize _, Some(q169Sql)),
-    ("q170_audio_resample", audioResample _, Some(q170Sql)))
+    ("q170_audio_resample", audioResample _, Some(q170Sql)),
+    ("q182_audio_polyphase_resample", audioPolyphaseResample _, Some(q182Sql)))
 }
