@@ -1219,6 +1219,78 @@ object Similarity {
        |  FROM ex) WHERE rn <= 3
        |ORDER BY va, rn""".stripMargin
 
+  // ---------------------------------------------------------------- q183
+  /** STREAMING ANN index maintenance — q171's store-maintenance
+    * pattern applied to the q175 IVF+SQ8 index: history (vec_id % 5
+    * ≠ 0) builds the persisted index, then the refresh flow (the
+    * remaining 20%, staged as two mtime-ordered parquet files) is
+    * consumed as a file-source stream whose `foreachBatch` absorbs
+    * each micro-batch against the FROZEN codebook with the
+    * batchId-scoped idempotent append and runs the write-then-swap
+    * compaction INSIDE the loop — the store never sprawls more than
+    * one uncompacted batch. The cycle is self-healing under replay:
+    * a crash between append and checkpoint-commit replays the batch
+    * after compaction has flattened its `_SUCCESS` marker, so the
+    * re-append double-indexes — and the next compaction's
+    * first-row-wins vid dedup removes the duplicates again (codes
+    * are deterministic under the frozen codebook, so dropped rows
+    * are byte-identical). `IvfStoreSpec` pins exactly that cycle.
+    *
+    * After the drain, the absorbed batch runs as queries over the
+    * merged index. The final store is semantically identical to
+    * q175's single-append build — frozen history codebook/stats,
+    * history ∪ batch indexed — so the oracle IS q175's: the
+    * streaming lifecycle must lose nothing vs the batch one.
+    */
+  def q183(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType, StructField, StructType}
+    val e = emb(spark, sfDir)
+    val base = graft.Tables.scratchDir(spark, "ivfstream", sfDir)
+    val hfs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val srcDir = s"$base/src"
+    hfs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
+    def stage(slice: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = s"$base/tmp_$name"
+      slice.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = hfs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*"))(0).getPath
+      val dest = new org.apache.hadoop.fs.Path(s"$srcDir/$name.parquet")
+      hfs.rename(part, dest)
+      hfs.setTimes(dest, mtime, -1)
+      hfs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    val now = System.currentTimeMillis()
+    stage(e.where(pmod(col("vec_id"), lit(10)) === 0), "batch1", now - 60000)
+    stage(e.where(pmod(col("vec_id"), lit(10)) === 5), "batch2", now - 30000)
+    val store = s"$base/store"
+    graft.llm.VectorSearch.buildIvfSq8Store(
+      e.where(pmod(col("vec_id"), lit(5)) =!= 0), "vec_id", "embedding",
+      "label", store)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType), nullable = false),
+      StructField("label", IntegerType, nullable = false)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.llm.VectorSearch.appendIvfSq8Batch(batch, "vec_id",
+          "embedding", store, batchId = Some(bid))
+        graft.llm.VectorSearch.compactIvfSq8Store(batch.sparkSession, store)
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.llm.VectorSearch.ivfSq8StoreSearch(e,
+        e.where(pmod(col("vec_id"), lit(5)) === 0), "vec_id", "embedding",
+        store, m = 10, k = 3, nprobe = 2)
+      .select(col("va"), col("rn"), col("vb"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("va"), col("rn"))
+  }
+
   // ---------------------------------------------------------------- q181
   /** IVF-pruned binary-Hamming search
     * ([[graft.llm.VectorSearch.binaryHammingIvfRerank]]) — the
@@ -1522,6 +1594,9 @@ object Similarity {
     ("q167_fleiss_kappa", q167 _, Some(q167Sql)),
     ("q174_binary_hamming_search", q174 _, Some(q174Sql)),
     ("q175_ivf_store_incremental", q175 _, Some(q175Sql)),
-    ("q181_ivf_hamming_search", q181 _, Some(q181Sql))
+    ("q181_ivf_hamming_search", q181 _, Some(q181Sql)),
+    // same oracle as q175 by design: the streamed maintenance cycle
+    // must converge to the identical merged index
+    ("q183_stream_ivf_maintain", q183 _, Some(q175Sql))
   )
 }

@@ -134,6 +134,32 @@ class IvfStoreSpec extends AnyFunSuite {
     assert(codes().size === before.size + 2)
   }
 
+  test("replay after compaction self-heals: next compaction drops the dupes") {
+    // the q183 crash window: compaction flattens batch_<id> (and its
+    // _SUCCESS marker) BEFORE the stream checkpoint commits, so the
+    // replayed append double-indexes — and the following compaction's
+    // first-row-wins vid dedup must remove the duplicates again
+    val store = freshStore("selfheal")
+    val h = hist.toDF("vec_id", "embedding", "label")
+    val b = batch.take(2).toDF("vec_id", "embedding", "label")
+    graft.llm.VectorSearch.buildIvfSq8Store(h, "vec_id", "embedding", "label", store)
+    graft.llm.VectorSearch.appendIvfSq8Batch(b, "vec_id", "embedding", store,
+      batchId = Some(0L))
+    graft.llm.VectorSearch.compactIvfSq8Store(spark, store)
+    def codes() = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$store/codes")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      .sortBy(_._1).toSeq
+    val committed = codes()
+    // replay: marker is gone, so the batch re-appends (duplicates)
+    graft.llm.VectorSearch.appendIvfSq8Batch(b, "vec_id", "embedding", store,
+      batchId = Some(0L))
+    assert(codes().size === committed.size + 2, "replay double-indexed")
+    // the next cycle's compaction heals it, byte-identically
+    graft.llm.VectorSearch.compactIvfSq8Store(spark, store)
+    assert(codes() === committed)
+  }
+
   test("store search equals a plain-Scala replay of the frozen semantics") {
     val store = freshStore("search")
     val all = hist ++ batch.take(2) // keep in-range vectors for the replay
