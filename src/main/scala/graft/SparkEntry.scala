@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytics, CatalogQuery, Dedup, Events, Relational, Similarity, Skyline, Streaming, Text}
+import graft.queries.{Analytics, Capstone, CatalogQuery, Dedup, Events, Relational, Similarity, Skyline, Streaming, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,7 +17,7 @@ object SparkEntry {
     Relational.registry ++ Events.registry ++ Dedup.registry ++
       Similarity.registry ++ Text.registry ++ Streaming.registry ++
       graft.multimodal.Multimodal.registry ++ Skyline.registry ++
-      CatalogQuery.registry ++ Analytics.registry
+      CatalogQuery.registry ++ Analytics.registry ++ Capstone.registry
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
