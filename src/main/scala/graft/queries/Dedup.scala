@@ -47,6 +47,87 @@ object Dedup {
        |)""".stripMargin
   }
 
+  /** Exact-text-contracted shingle pipeline — the scale-tractable form
+    * of the pair-generating oracles.
+    *
+    * Shingle sets, Jaccard, containment, MinHash signatures and LSH
+    * band keys are all PURE FUNCTIONS of the text, so identical texts
+    * are interchangeable in every pair pipeline. The contraction
+    * groups `documents` by text (grp: one representative `rep` =
+    * MIN(doc_id), member list, count), runs the quadratic
+    * candidate/verify stages over DISTINCT TEXTS ONLY, and expands
+    * group-level results back to doc pairs through the membership
+    * list. Exactly lossless at every scale — and on duplicate-dense
+    * data (the sf1 scale-up replicates every text 10×) it removes the
+    * 100× candidate blow-up that made the uncontracted oracles time
+    * out: posting lists shrink from 10c to c per shingle, so the
+    * shared-shingle join is sf0.1-sized at sf1. Intra-group pairs
+    * (identical texts, Jaccard exactly 1) are emitted arithmetically
+    * for eligible groups (>= n words, so the shingle set is nonempty)
+    * instead of ever being joined.
+    *
+    * Emits CTEs: grp(rep, cnt, ids, elig, text), sh, hsh, ex, cand,
+    * mem(rep, doc_id) — `cand` is the rep-level shared-shingle
+    * candidate list (a.doc_id < b.doc_id on reps), verify stages are
+    * per-query.
+    */
+  private def contractedShinglesSql(n: Int): String = {
+    val parts = (0 until n).map(k => s"s[i+$k]").mkString(" || ' ' || ")
+    s"""grp AS (
+       |  SELECT MIN(doc_id) AS rep, COUNT(*) AS cnt, list(doc_id) AS ids,
+       |         len(string_split(text, ' ')) >= $n AS elig, text
+       |  FROM documents GROUP BY text),
+       |sh AS (
+       |  SELECT rep AS doc_id, list_distinct([$parts for i in range(1, len(s) - ${n - 2})]) AS shingles
+       |  FROM (SELECT rep, string_split(text, ' ') AS s FROM grp)
+       |  WHERE len(s) >= $n),
+       |hsh AS (SELECT doc_id,
+       |          list_distinct(list_transform(shingles, s -> ${PolyHash.duckdbSql("s")})) AS hs
+       |        FROM sh),
+       |ex AS (SELECT doc_id, unnest(hs) AS h FROM hsh),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |         FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |mem AS (SELECT rep, unnest(ids) AS doc_id FROM grp)""".stripMargin
+  }
+
+  /** Contracted rep-level Jaccard pairs + min-label closure + per-doc
+    * expansion, shared by the cluster-consuming oracles (q54, q119,
+    * q155). Appends to [[contractedShinglesSql]]'s CTEs:
+    * rpairs (rep pairs with jac >= tNum/tDen), edges/reach/glab (the
+    * recursive closure over the CONTRACTED graph — components and
+    * their min labels are preserved because every member of a group
+    * is pairwise-connected at Jaccard 1 and inherits the group's
+    * external edges), and alldocs(doc_id, cluster_id) where a group
+    * whose rep is unlabeled but has >= 2 eligible members is its own
+    * component (label = rep; the component minimum, since rep is the
+    * group's min id) and everything else is a singleton.
+    * Must be used under `WITH RECURSIVE`.
+    */
+  private def contractedClosureSql(n: Int, tNum: Int, tDen: Int): String =
+    s"""${contractedShinglesSql(n)},
+       |rpairs AS (SELECT d1, d2 FROM (
+       |  SELECT d1, d2,
+       |    len(list_intersect(x.hs, y.hs)) /
+       |    CAST(len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)) AS DOUBLE) AS jac
+       |  FROM cand JOIN hsh x ON x.doc_id = d1 JOIN hsh y ON y.doc_id = d2)
+       |  WHERE jac >= ${tNum.toDouble / tDen}),
+       |edges AS (SELECT d1 AS u, d2 AS v FROM rpairs
+       |          UNION SELECT d2, d1 FROM rpairs),
+       |reach(u, v) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |glab AS (SELECT u AS rep, MIN(v) AS cluster_id FROM reach GROUP BY u),
+       |memx AS (SELECT g.rep, g.cnt, g.elig, m.doc_id
+       |         FROM grp g JOIN mem m ON m.rep = g.rep),
+       |alldocs AS (
+       |  SELECT m.doc_id,
+       |    CASE WHEN l.cluster_id IS NOT NULL THEN l.cluster_id
+       |         WHEN m.elig AND m.cnt >= 2 THEN m.rep
+       |         ELSE m.doc_id END AS cluster_id,
+       |    (l.cluster_id IS NOT NULL OR (m.elig AND m.cnt >= 2)) AS clustered
+       |  FROM memx m LEFT JOIN glab l ON l.rep = m.rep)""".stripMargin
+
   // ---------------------------------------------------------------- q27
   /** Exact dedup: content-hash grouping, min-id survivor policy.
     * One shuffle on the 256-bit hash; the re-join to per-doc rows is a
@@ -78,19 +159,24 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
 
   val q28Sql: String =
-    s"""WITH ${shinglesSql(3)},
-       |hsh AS (SELECT doc_id,
-       |          list_distinct(list_transform(shingles, s -> ${PolyHash.duckdbSql("s")})) AS hs
-       |        FROM sh),
-       |ex AS (SELECT doc_id, unnest(hs) AS h FROM hsh),
-       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-       |         FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id),
-       |j AS (SELECT d1, d2,
-       |        len(list_intersect(x.hs, y.hs)) /
-       |        CAST(len(x.hs) + len(y.hs)
-       |             - len(list_intersect(x.hs, y.hs)) AS DOUBLE) AS jac
-       |      FROM cand JOIN hsh x ON x.doc_id = d1 JOIN hsh y ON y.doc_id = d2)
-       |SELECT d1, d2, ROUND(jac, 6) AS jac FROM j WHERE jac >= 0.6
+    s"""WITH ${contractedShinglesSql(3)},
+       |rj AS (SELECT d1, d2, jac FROM (
+       |  SELECT d1, d2,
+       |    len(list_intersect(x.hs, y.hs)) /
+       |    CAST(len(x.hs) + len(y.hs)
+       |         - len(list_intersect(x.hs, y.hs)) AS DOUBLE) AS jac
+       |  FROM cand JOIN hsh x ON x.doc_id = d1 JOIN hsh y ON y.doc_id = d2)
+       |  WHERE jac >= 0.6),
+       |inter_p AS (
+       |  SELECT LEAST(a.doc_id, b.doc_id) AS d1,
+       |         GREATEST(a.doc_id, b.doc_id) AS d2, rj.jac
+       |  FROM rj JOIN mem a ON a.rep = rj.d1 JOIN mem b ON b.rep = rj.d2),
+       |intra_p AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, 1.0::DOUBLE AS jac
+       |  FROM grp g JOIN mem a ON a.rep = g.rep JOIN mem b ON b.rep = g.rep
+       |  WHERE g.elig AND g.cnt >= 2 AND a.doc_id < b.doc_id)
+       |SELECT d1, d2, ROUND(jac, 6) AS jac FROM (
+       |  SELECT * FROM inter_p UNION ALL SELECT * FROM intra_p)
        |ORDER BY d1, d2""".stripMargin
 
   // ---------------------------------------------------------------- q29
@@ -183,32 +269,13 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  val q54Sql: String = {
-    // q28's pair pipeline as a CTE, then recursive min-label closure
-    val pairCte =
-      s"""${shinglesSql(3)},
-         |hsh AS (SELECT doc_id,
-         |          list_distinct(list_transform(shingles, s -> ${PolyHash.duckdbSql("s")})) AS hs
-         |        FROM sh),
-         |ex AS (SELECT doc_id, unnest(hs) AS h FROM hsh),
-         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |         FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id),
-         |pairs AS (SELECT d1, d2 FROM (
-         |  SELECT d1, d2,
-         |    len(list_intersect(x.hs, y.hs)) /
-         |    CAST(len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)) AS DOUBLE) AS jac
-         |  FROM cand JOIN hsh x ON x.doc_id = d1 JOIN hsh y ON y.doc_id = d2)
-         |  WHERE jac >= 0.6)""".stripMargin
-    s"""WITH RECURSIVE $pairCte,
-       |edges AS (SELECT d1 AS u, d2 AS v FROM pairs
-       |          UNION SELECT d2, d1 FROM pairs),
-       |reach(u, v) AS (
-       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
-       |  UNION
-       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
-       |SELECT u AS doc_id, MIN(v) AS cluster_id, (u = MIN(v)) AS kept
-       |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
-  }
+  val q54Sql: String =
+    // contracted pair pipeline + closure over the distinct-text graph
+    // ([[contractedClosureSql]]); output = docs that appear in pairs,
+    // i.e. members of labeled or multi-member eligible groups
+    s"""WITH RECURSIVE ${contractedClosureSql(3, 3, 5)}
+       |SELECT doc_id, cluster_id, (doc_id = cluster_id) AS kept
+       |FROM alldocs WHERE clustered ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q155
   /** INCREMENTAL connected-components maintenance: q54's clustering as
@@ -295,37 +362,12 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  val q155Sql: String = {
-    // full-recompute ground truth: q54's pair pipeline + closure over
-    // ALL documents, output restricted to the refresh batch
-    val pairCte =
-      s"""${shinglesSql(3)},
-         |hsh AS (SELECT doc_id,
-         |          list_distinct(list_transform(shingles, s -> ${PolyHash.duckdbSql("s")})) AS hs
-         |        FROM sh),
-         |ex AS (SELECT doc_id, unnest(hs) AS h FROM hsh),
-         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |         FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id),
-         |pairs AS (SELECT d1, d2 FROM (
-         |  SELECT d1, d2,
-         |    len(list_intersect(x.hs, y.hs)) /
-         |    CAST(len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)) AS DOUBLE) AS jac
-         |  FROM cand JOIN hsh x ON x.doc_id = d1 JOIN hsh y ON y.doc_id = d2)
-         |  WHERE jac >= 0.6)""".stripMargin
-    s"""WITH RECURSIVE $pairCte,
-       |edges AS (SELECT d1 AS u, d2 AS v FROM pairs
-       |          UNION SELECT d2, d1 FROM pairs),
-       |reach(u, v) AS (
-       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
-       |  UNION
-       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-       |lab AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u)
-       |SELECT d.doc_id,
-       |  COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
-       |  (d.doc_id = COALESCE(l.cluster_id, d.doc_id)) AS kept
-       |FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id
-       |WHERE d.doc_id % 5 = 0 ORDER BY d.doc_id""".stripMargin
-  }
+  val q155Sql: String =
+    // full-recompute ground truth over ALL documents (contracted —
+    // [[contractedClosureSql]]), output restricted to the refresh batch
+    s"""WITH RECURSIVE ${contractedClosureSql(3, 3, 5)}
+       |SELECT doc_id, cluster_id, (doc_id = cluster_id) AS kept
+       |FROM alldocs WHERE doc_id % 5 = 0 ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q156
   /** Content-defined chunking (CDC) dedup — the rsync/LBFS family:
@@ -418,20 +460,36 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
 
   val q60Sql: String =
-    s"""WITH ${shinglesSql(3)},
-       |hsh AS (SELECT doc_id,
-       |          list_distinct(list_transform(shingles, s -> ${PolyHash.duckdbSql("s")})) AS hs
-       |        FROM sh),
-       |ex AS (SELECT doc_id, len(hs) AS sz, unnest(hs) AS h FROM hsh),
-       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-       |         FROM ex a JOIN ex b ON a.h = b.h
-       |         AND (a.sz < b.sz OR (a.sz = b.sz AND a.doc_id < b.doc_id))),
-       |j AS (SELECT d1, d2,
-       |        len(list_intersect(x.hs, y.hs)) AS inter,
-       |        LEAST(len(x.hs), len(y.hs)) AS mn
-       |      FROM cand JOIN hsh x ON x.doc_id = d1 JOIN hsh y ON y.doc_id = d2)
+    // contracted ([[contractedShinglesSql]] — its symmetric `cand` is
+    // unused here; the asymmetric smaller-side-first candidate join is
+    // rebuilt on reps). Orientation expands per the operator's rule:
+    // strict-size rep pairs keep (smaller, larger); size ties (and
+    // intra-group pairs, containment exactly 1) order by doc_id.
+    s"""WITH ${contractedShinglesSql(3)},
+       |exz AS (SELECT doc_id, len(hs) AS sz, unnest(hs) AS h FROM hsh),
+       |candz AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |          FROM exz a JOIN exz b ON a.h = b.h
+       |          AND (a.sz < b.sz OR (a.sz = b.sz AND a.doc_id < b.doc_id))),
+       |rj AS (SELECT d1, d2, inter, mn, sz1, sz2 FROM (
+       |  SELECT d1, d2,
+       |    len(list_intersect(x.hs, y.hs)) AS inter,
+       |    LEAST(len(x.hs), len(y.hs)) AS mn,
+       |    len(x.hs) AS sz1, len(y.hs) AS sz2
+       |  FROM candz JOIN hsh x ON x.doc_id = d1 JOIN hsh y ON y.doc_id = d2)
+       |  WHERE inter * 10 >= mn * 9),
+       |inter_p AS (
+       |  SELECT CASE WHEN rj.sz1 < rj.sz2 THEN a.doc_id
+       |              ELSE LEAST(a.doc_id, b.doc_id) END AS d1,
+       |         CASE WHEN rj.sz1 < rj.sz2 THEN b.doc_id
+       |              ELSE GREATEST(a.doc_id, b.doc_id) END AS d2,
+       |         rj.inter, rj.mn
+       |  FROM rj JOIN mem a ON a.rep = rj.d1 JOIN mem b ON b.rep = rj.d2),
+       |intra_p AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, 1 AS inter, 1 AS mn
+       |  FROM grp g JOIN mem a ON a.rep = g.rep JOIN mem b ON b.rep = g.rep
+       |  WHERE g.elig AND g.cnt >= 2 AND a.doc_id < b.doc_id)
        |SELECT d1, d2, ROUND(inter / CAST(mn AS DOUBLE), 6) AS containment
-       |FROM j WHERE inter * 10 >= mn * 9
+       |FROM (SELECT * FROM inter_p UNION ALL SELECT * FROM intra_p)
        |ORDER BY d1, d2""".stripMargin
 
   // ---------------------------------------------------------------- q73
@@ -485,20 +543,23 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
 
   val q104Sql: String =
+    // window-neighbor form: lead() hands each row its next two
+    // neighbors off ONE global sort — the inequality self-join
+    // (b.r - a.r BETWEEN 1 AND 2) it replaces forced a nested-loop
+    // plan that blew past the oracle budget at sf1; token sets are
+    // computed once per doc, not once per pair
     """WITH ranked AS (
-      |  SELECT doc_id, text,
-      |    ROW_NUMBER() OVER (ORDER BY text, doc_id) AS r
-      |  FROM documents),
-      |pairs AS (
-      |  SELECT a.doc_id AS d1, b.doc_id AS d2,
-      |    list_distinct(string_split(a.text, ' ')) AS n1,
-      |    list_distinct(string_split(b.text, ' ')) AS n2
-      |  FROM ranked a JOIN ranked b ON b.r - a.r BETWEEN 1 AND 2),
+      |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS nn,
+      |    lead(doc_id, 1) OVER w AS id1, lead(nn, 1) OVER w AS nn1,
+      |    lead(doc_id, 2) OVER w AS id2, lead(nn, 2) OVER w AS nn2
+      |  FROM documents WINDOW w AS (ORDER BY text, doc_id)),
       |j AS (
-      |  SELECT d1, d2,
-      |    len(list_filter(n1, x -> list_contains(n2, x))) AS inter,
-      |    len(n1) + len(n2) AS tot
-      |  FROM pairs)
+      |  SELECT doc_id AS d1, id1 AS d2, len(list_intersect(nn, nn1)) AS inter,
+      |         len(nn) + len(nn1) AS tot
+      |  FROM ranked WHERE id1 IS NOT NULL
+      |  UNION ALL
+      |  SELECT doc_id, id2, len(list_intersect(nn, nn2)), len(nn) + len(nn2)
+      |  FROM ranked WHERE id2 IS NOT NULL)
       |SELECT d1, d2,
       |  ROUND(inter / CAST(tot - inter AS DOUBLE), 6) AS jaccard
       |FROM j WHERE inter / CAST(tot - inter AS DOUBLE) >= 0.5
@@ -841,32 +902,11 @@ object Dedup {
       .orderBy(col("split"))
   }
 
-  val q119Sql: String = {
-    val pairCte =
-      s"""${shinglesSql(3)},
-         |hsh AS (SELECT doc_id,
-         |          list_distinct(list_transform(shingles, s -> ${PolyHash.duckdbSql("s")})) AS hs
-         |        FROM sh),
-         |ex AS (SELECT doc_id, unnest(hs) AS h FROM hsh),
-         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |         FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id),
-         |pairs AS (SELECT d1, d2 FROM (
-         |  SELECT d1, d2,
-         |    len(list_intersect(x.hs, y.hs)) /
-         |    CAST(len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)) AS DOUBLE) AS jac
-         |  FROM cand JOIN hsh x ON x.doc_id = d1 JOIN hsh y ON y.doc_id = d2)
-         |  WHERE jac >= 0.6)""".stripMargin
-    s"""WITH RECURSIVE $pairCte,
-       |edges AS (SELECT d1 AS u, d2 AS v FROM pairs
-       |          UNION SELECT d2, d1 FROM pairs),
-       |reach(u, v) AS (
-       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
-       |  UNION
-       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-       |lbl AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
-       |alldocs AS (
-       |  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
-       |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id),
+  val q119Sql: String =
+    // contracted closure ([[contractedClosureSql]]): alldocs carries
+    // every document's cluster label (unclustered docs label
+    // themselves), so the split hash/aggregation is unchanged
+    s"""WITH RECURSIVE ${contractedClosureSql(3, 3, 5)},
        |s AS (SELECT doc_id, cluster_id,
        |  CASE WHEN (cluster_id * 2654435761) % 1000 < 800 THEN 'train'
        |       WHEN (cluster_id * 2654435761) % 1000 < 900 THEN 'val'
@@ -876,7 +916,6 @@ object Dedup {
        |  CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
        |  CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids
        |FROM s GROUP BY split ORDER BY split""".stripMargin
-  }
 
   // ---------------------------------------------------------------- q122
   /** q109's refresh, against the BUCKETED pre-banded signature store
@@ -1118,19 +1157,19 @@ object Dedup {
   }
 
   val q135Sql: String =
-    s"""WITH ${shinglesSql(3)},
-       |hsh AS (SELECT doc_id,
-       |          list_distinct(list_transform(shingles, s -> ${PolyHash.duckdbSql("s")})) AS hs
-       |        FROM sh),
-       |ex AS (SELECT doc_id, unnest(hs) AS h FROM hsh),
-       |ecand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-       |          FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id),
+    // contracted ([[contractedShinglesSql]]): est_sim and jac are pure
+    // functions of the two texts, so the pred/truth pair universe
+    // groups by text pair — each group-level full-outer row counts
+    // with weight c1*c2, and intra-group pairs (identical signatures
+    // share every band and every minhash: ps = ts = 1) contribute
+    // C(c,2) true positives at every threshold arithmetically
+    s"""WITH ${contractedShinglesSql(3)},
        |truthp AS (SELECT d1, d2, jac FROM (
        |    SELECT d1, d2,
        |      len(list_intersect(x.hs, y.hs)) /
        |      CAST(len(x.hs) + len(y.hs)
        |           - len(list_intersect(x.hs, y.hs)) AS DOUBLE) AS jac
-       |    FROM ecand JOIN hsh x ON x.doc_id = d1 JOIN hsh y ON y.doc_id = d2)
+       |    FROM cand JOIN hsh x ON x.doc_id = d1 JOIN hsh y ON y.doc_id = d2)
        |  WHERE jac >= 0.6),
        |hx AS (SELECT doc_id, unnest(hs) AS x FROM hsh),
        |params AS (SELECT i, (i*7919 + 1) % $P AS a, (i*104729 + 12345) % $P AS b
@@ -1149,17 +1188,23 @@ object Dedup {
        |          JOIN sig m1 ON m1.doc_id = d1
        |          JOIN sig m2 ON m2.doc_id = d2 AND m1.i = m2.i
        |          GROUP BY d1, d2),
-       |fo AS (SELECT COALESCE(p.est_sim, -1) AS ps, COALESCE(t.jac, -1) AS ts
-       |       FROM predp p FULL OUTER JOIN truthp t
-       |       ON p.d1 = t.d1 AND p.d2 = t.d2),
+       |fo AS (
+       |  SELECT COALESCE(p.est_sim, -1) AS ps, COALESCE(t.jac, -1) AS ts,
+       |    ga.cnt * gb.cnt AS w
+       |  FROM predp p FULL OUTER JOIN truthp t ON p.d1 = t.d1 AND p.d2 = t.d2
+       |  JOIN grp ga ON ga.rep = COALESCE(p.d1, t.d1)
+       |  JOIN grp gb ON gb.rep = COALESCE(p.d2, t.d2)
+       |  UNION ALL
+       |  SELECT 1.0::DOUBLE, 1.0::DOUBLE, cnt * (cnt - 1) // 2
+       |  FROM grp WHERE elig AND cnt >= 2),
        |thr AS (SELECT CAST(unnest([0.6, 0.7, 0.8]) AS DOUBLE) AS threshold),
        |agg AS (SELECT threshold,
        |          CAST(SUM(CASE WHEN ps >= threshold AND ts >= threshold
-       |                        THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |                        THEN w ELSE 0 END) AS BIGINT) AS tp,
        |          CAST(SUM(CASE WHEN ps >= threshold AND ts < threshold
-       |                        THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |                        THEN w ELSE 0 END) AS BIGINT) AS fp,
        |          CAST(SUM(CASE WHEN ps < threshold AND ts >= threshold
-       |                        THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       |                        THEN w ELSE 0 END) AS BIGINT) AS fn
        |        FROM fo CROSS JOIN thr GROUP BY threshold)
        |SELECT threshold, tp, fp, fn,
        |  ROUND(tp / NULLIF(tp + fp, 0), 6) AS prec,

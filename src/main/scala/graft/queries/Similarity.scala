@@ -891,25 +891,56 @@ object Similarity {
       .select(col("va"), col("rn"), col("vb"), round(col("cos"), 6).as("cos"))
       .orderBy(col("va"), col("rn"))
 
+  // Exact-vector contraction: the SQ8 score is a pure function of the
+  // two embeddings, so the quadratic candidate scan runs over DISTINCT
+  // vectors (`vg`), scored as one list_dot_product per rep pair
+  // (integer codes, exact in a double up to 255²·64 « 2^53). Per-query
+  // top-10 candidates are recovered exactly: a member of group gb can
+  // rank within any query's top 10 iff the count of candidates in
+  // strictly-higher-score groups (`hc`, counted with the query's own
+  // group shrunk by the self-exclusion) is at most 10 — every kept
+  // level expands through membership and the original
+  // (score DESC, vb) row_number re-ranks. Lossless at every scale; on
+  // the duplicate-dense sf1 scale-up it removes the 100× blow-up that
+  // timed the all-pairs form out.
   val q149Sql: String =
-    s"""WITH dims AS (
-       |  SELECT vec_id, t.i, CAST(embedding[t.i + 1] AS DOUBLE) AS x
-       |  FROM embeddings CROSS JOIN range(0, 64) t(i)),
+    s"""WITH vg AS (
+       |  SELECT MIN(vec_id) AS rep, COUNT(*) AS cnt, list(vec_id) AS ids, embedding
+       |  FROM embeddings GROUP BY embedding),
+       |dims AS (
+       |  SELECT rep, t.i, CAST(embedding[t.i + 1] AS DOUBLE) AS x
+       |  FROM vg CROSS JOIN range(0, 64) t(i)),
        |st AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM dims GROUP BY i),
        |qd AS (
-       |  SELECT vec_id, d.i,
+       |  SELECT rep, d.i,
        |    CASE WHEN mx = mn THEN 0
        |         ELSE CAST(floor((x - mn) / (mx - mn) * 255.0 + 0.5) AS BIGINT) END AS q
        |  FROM dims d JOIN st USING (i)),
-       |sc AS (
-       |  SELECT a.vec_id AS va, b.vec_id AS vb, SUM(a.q * b.q) AS score
-       |  FROM qd a JOIN qd b ON a.i = b.i AND a.vec_id <> b.vec_id
-       |  GROUP BY 1, 2),
+       |qv AS (SELECT rep, list(CAST(q AS DOUBLE) ORDER BY i) AS v FROM qd GROUP BY rep),
+       |gs AS (
+       |  SELECT a.rep AS ga, b.rep AS gb,
+       |    CAST(list_dot_product(a.v, b.v) AS BIGINT) AS score
+       |  FROM qv a CROSS JOIN qv b),
+       |gc AS (
+       |  SELECT ga, gb, score,
+       |    CASE WHEN ga = gb THEN vb.cnt - 1 ELSE vb.cnt END AS eff
+       |  FROM gs JOIN vg vb ON vb.rep = gb
+       |  WHERE NOT (ga = gb AND vb.cnt = 1)),
+       |lvl AS (SELECT ga, score, SUM(eff) AS ecnt FROM gc GROUP BY ga, score),
+       |lvl2 AS (SELECT ga, score,
+       |    COALESCE(SUM(ecnt) OVER (PARTITION BY ga ORDER BY score DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS hc
+       |  FROM lvl),
+       |keep AS (SELECT gc.ga, gc.gb, gc.score FROM gc
+       |         JOIN lvl2 ON lvl2.ga = gc.ga AND lvl2.score = gc.score
+       |         WHERE lvl2.hc <= 10),
+       |mem AS (SELECT rep, unnest(ids) AS vec_id FROM vg),
        |cand AS (
        |  SELECT va, vb FROM (
-       |    SELECT va, vb,
-       |      ROW_NUMBER() OVER (PARTITION BY va ORDER BY score DESC, vb) AS crn
-       |    FROM sc) WHERE crn <= 10),
+       |    SELECT ma.vec_id AS va, mb.vec_id AS vb,
+       |      ROW_NUMBER() OVER (PARTITION BY ma.vec_id ORDER BY k.score DESC, mb.vec_id) AS crn
+       |    FROM keep k JOIN mem ma ON ma.rep = k.ga JOIN mem mb ON mb.rep = k.gb
+       |    WHERE ma.vec_id <> mb.vec_id) WHERE crn <= 10),
        |nrm AS (
        |  SELECT vec_id, embedding, sqrt(${dotSqlDuck("embedding", "embedding")}) AS nrm
        |  FROM embeddings CROSS JOIN range(0, 64) t(i) GROUP BY vec_id, embedding),
