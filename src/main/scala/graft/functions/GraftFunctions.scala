@@ -45,7 +45,8 @@ object GraftFunctions {
     "freq_candidates" -> (children => FreqItemsAgg(children(0),
       children(1).eval().asInstanceOf[Int]).toAggregateExpression()),
     "cdc_chunk_hashes" -> (children => CdcChunkHashes(children(0),
-      children(1).eval().asInstanceOf[Int], children(2).eval().asInstanceOf[Int])))
+      children(1).eval().asInstanceOf[Int], children(2).eval().asInstanceOf[Int])),
+    "multi_needle_count" -> (children => MultiNeedleCount(children(0), children(1))))
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -86,6 +87,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("decimal_l2"),
       new ExpressionInfo(classOf[DecimalL2].getName, "decimal_l2"),
       (children: Seq[Expression]) => DecimalL2(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("multi_needle_count"),
+      new ExpressionInfo(classOf[MultiNeedleCount].getName, "multi_needle_count"),
+      (children: Seq[Expression]) => MultiNeedleCount(children(0), children(1))))
     // the custom as-of planner operator (graft.plans.AsOfJoinPlan);
     // AsOf.join also self-registers via experimental.extraStrategies
     // for sessions built without spark.sql.extensions

@@ -1323,6 +1323,49 @@ object Dedup {
       |FROM sc WHERE score >= 15
       |ORDER BY a_key, b_key""".stripMargin
 
+  // ---------------------------------------------------------------- q185
+  /** Order-invariant exact dedup: documents are grouped by a
+    * bag-of-words fingerprint — [[PolyHash]] over the SORTED token
+    * multiset — so texts that are pure word-order shuffles of each
+    * other (template re-renderings, shingle-order jitter from
+    * scraping) collapse into one group where byte-exact dedup (q27)
+    * sees distinct documents and Jaccard near-dup (q28) pays a
+    * candidate join to find them. `n_orderings` counts the distinct
+    * byte forms inside each group — exactly the documents q27 misses.
+    *
+    * Scale design: one in-row token sort per document (O(len·log len),
+    * inside whole-stage codegen via `array_sort`+`array_join` feeding
+    * the native `poly_hash`) and ONE shuffle on the 64-bit
+    * fingerprint — the same hash-contraction shape as q27, no pair
+    * join at any scale. The fingerprint is arithmetically portable,
+    * so the oracle replays it bit-exactly (ASCII tokens sort
+    * identically under Java UTF-16 and DuckDB byte order; the
+    * documents corpus is ASCII by construction, TESTDATA.md).
+    */
+  def q185(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+      .withColumn("bow_hash",
+        expr("poly_hash(array_join(array_sort(split(text, ' ')), ' '))"))
+    val g = d.groupBy(col("bow_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"),
+        countDistinct(col("text")).as("n_orderings"))
+    d.join(g, "bow_hash")
+      .select(col("doc_id"), col("bow_hash"), col("n_copies"),
+        col("n_orderings"), (col("doc_id") === col("keep_id")).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q185Sql: String = {
+    val ph = PolyHash.duckdbSql("array_to_string(list_sort(string_split(text, ' ')), ' ')")
+    s"""WITH h AS (SELECT doc_id, text, $ph AS bow_hash FROM documents),
+       |g AS (SELECT bow_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id,
+       |        COUNT(DISTINCT text) AS n_orderings
+       |      FROM h GROUP BY bow_hash)
+       |SELECT doc_id, h.bow_hash, n_copies, n_orderings,
+       |  (doc_id = keep_id) AS kept
+       |FROM h JOIN g USING (bow_hash) ORDER BY doc_id""".stripMargin
+  }
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q27_exact_dedup", q27 _, Some(q27Sql)),
     ("q28_ngram_jaccard_neardup", q28 _, Some(q28Sql)),
@@ -1345,6 +1388,7 @@ object Dedup {
     ("q135_lsh_eval", q135 _, Some(q135Sql)),
     ("q155_cc_incremental", q155 _, Some(q155Sql)),
     ("q156_cdc_chunk_dedup", q156 _, Some(q156Sql)),
-    ("q176_entity_resolution", q176 _, Some(q176Sql))
+    ("q176_entity_resolution", q176 _, Some(q176Sql)),
+    ("q185_bow_fingerprint_dedup", q185 _, Some(q185Sql))
   )
 }

@@ -1751,6 +1751,109 @@ object Text {
       |  ROUND((cxy * cxy) / (cxx * cyy), 6) AS r2
       |FROM d""".stripMargin
 
+  // ---------------------------------------------------------------- q186
+  /** Blocklist filtering via the native
+    * [[graft.functions.MultiNeedleCount]] expression: every document
+    * is scanned once against a phrase blocklist (greedy
+    * non-overlapping substring counts, summed across needles) and
+    * docs with any hit are emitted with a `blocked` policy flag at
+    * ≥ 2 hits — the "unsafe-term filter" stage of a cleaning
+    * pipeline.
+    *
+    * Scale design: the needle array is a plan-time literal inside the
+    * generated code, so the whole filter is ONE codegen'd projection
+    * over the corpus scan — no explode, no join, no shuffle until the
+    * final order. The relational alternative (explode needles ×
+    * corpus) shuffles |corpus|·|needles| rows; the oracle replays the
+    * per-needle replace-arithmetic instead, which is the same greedy
+    * scan. For 10⁴+-needle production blocklists the expression's
+    * inner loop swaps for one broadcast Aho–Corasick automaton pass
+    * (see the expression scaladoc) with this query unchanged.
+    */
+  def q186(spark: SparkSession, sfDir: String): DataFrame = {
+    val needleSql = Blocklist.map(n => s"'$n'").mkString(", ")
+    docs(spark, sfDir)
+      .withColumn("n_hits",
+        expr(s"multi_needle_count(text, array($needleSql))"))
+      .where(col("n_hits") > 0)
+      .select(col("doc_id"), col("lang"), col("n_hits"),
+        (col("n_hits") >= 2).as("blocked"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val Blocklist =
+    Seq("slow scan", "hash join", "slow slow", "table scan", "slow filter")
+
+  val q186Sql: String = {
+    val needleSql = Blocklist.map(n => s"'$n'").mkString(", ")
+    s"""WITH nl AS (SELECT unnest([$needleSql]) AS nd),
+       |h AS (SELECT doc_id, lang,
+       |        CAST(SUM((len(text) - len(replace(text, nd, ''))) // len(nd)) AS BIGINT) AS n_hits
+       |      FROM documents CROSS JOIN nl GROUP BY doc_id, lang)
+       |SELECT doc_id, lang, n_hits, (n_hits >= 2) AS blocked
+       |FROM h WHERE n_hits > 0 ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q187
+  /** Per-source unigram KL divergence from the corpus distribution —
+    * the domain-skew diagnostic of CCNet-style source curation: a
+    * source whose token distribution diverges hard from the corpus
+    * (boilerplate, spam, wrong-register text) surfaces with a large
+    * D_KL(p_source ‖ p_corpus) = Σ_t p_s(t)·ln(p_s(t)/p(t)).
+    *
+    * Determinism discipline (the q163/q180 precedent): every term is
+    * computed as round((c_st/n_s)·ln((c_st·n)/(c_t·n_s)), 9) from
+    * exact integer counts — the integer products stay < 2⁵³ (exact in
+    * a double) through ~10¹⁵-token corpora, DECIMAL beyond — then
+    * decimal-summed (order-independent) and rounded to 6. KL ≥ 0 with
+    * p_s absolutely continuous w.r.t. p by construction (every source
+    * token is a corpus token).
+    *
+    * Scale design: ONE token-level shuffle builds (source, tok)
+    * counts; corpus token counts reduce from it on the same `tok` key
+    * (vocabulary-sized re-aggregation, no second corpus scan) and
+    * join back vocabulary-sized; per-source totals and the corpus
+    * total are broadcast scalars. Output is |sources| rows.
+    */
+  def q187(spark: SparkSession, sfDir: String): DataFrame = {
+    val cst = docs(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c_st"))
+    val ct = cst.groupBy(col("tok")).agg(sum(col("c_st")).as("c_t"))
+    val ns = cst.groupBy(col("source"))
+      .agg(sum(col("c_st")).as("n_s"), count(lit(1)).as("n_types"))
+    val n = cst.agg(sum(col("c_st")).as("n"))
+    cst.join(ct, "tok").join(broadcast(ns), "source").crossJoin(broadcast(n))
+      .withColumn("term", round(
+        (col("c_st").cast("double") / col("n_s").cast("double")) *
+          log((col("c_st") * col("n")).cast("double") /
+            (col("c_t") * col("n_s")).cast("double")), 9))
+      .groupBy(col("source"))
+      .agg(min(col("n_s")).as("n_tokens"), min(col("n_types")).as("n_types"),
+        round(sum(col("term")
+          .cast(org.apache.spark.sql.types.DecimalType(27, 9))).cast("double"), 6)
+          .as("kl"))
+      .orderBy(col("source"))
+  }
+
+  val q187Sql: String =
+    """WITH cst AS (
+      |  SELECT source, tok, COUNT(*) AS c_st FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY source, tok),
+      |ct AS (SELECT tok, CAST(SUM(c_st) AS BIGINT) AS c_t FROM cst GROUP BY tok),
+      |ns AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s,
+      |         COUNT(*) AS n_types FROM cst GROUP BY source),
+      |n AS (SELECT CAST(SUM(c_st) AS BIGINT) AS n FROM cst),
+      |terms AS (
+      |  SELECT source, n_s, n_types,
+      |    ROUND((CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE)) *
+      |          ln(CAST(c_st * n AS DOUBLE) / CAST(c_t * n_s AS DOUBLE)), 9) AS term
+      |  FROM cst JOIN ct USING (tok) JOIN ns USING (source) CROSS JOIN n)
+      |SELECT source, MIN(n_s) AS n_tokens, MIN(n_types) AS n_types,
+      |  ROUND(CAST(SUM(CAST(term AS DECIMAL(27, 9))) AS DOUBLE), 6) AS kl
+      |FROM terms GROUP BY source ORDER BY source""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_token_stats", q34 _, Some(q34Sql)),
     ("q35_lang_id_confusion", q35 _, Some(q35Sql)),
@@ -1792,6 +1895,9 @@ object Text {
     ("q172_dsir_sample", q172 _, Some(q172Sql)),
     ("q173_lm_quality_filter", q173 _, Some(q173Sql)),
     ("q179_heaps_curve", q179 _, Some(q179Sql)),
-    ("q180_zipf_fit", q180 _, Some(q180Sql))
+    ("q180_zipf_fit", q180 _, Some(q180Sql)),
+    ("q186_blocklist_filter", q186 _, Some(q186Sql)),
+    ("q187_source_kl_divergence", q187 _, Some(q187Sql))
   )
+
 }

@@ -26,6 +26,38 @@ class ExpressionSpec extends AnyFunSuite {
     assert(rows == Seq(99162322L, 394285854L, 0L))
   }
 
+  test("multi_needle_count: greedy non-overlap equals the replace arithmetic") {
+    GraftFunctions.ensureRegistered(spark)
+    // oracle form: (len(t) - len(replace(t, nd, ''))) / len(nd) per needle
+    def refCount(t: String, nds: Seq[String]): Long =
+      nds.filter(_.nonEmpty)
+        .map(nd => (t.length - t.replace(nd, "").length) / nd.length)
+        .map(_.toLong).sum
+    val cases = Seq(
+      ("slow slow slow scan", Seq("slow slow", "slow scan")),
+      ("aaaa", Seq("aa")), // greedy non-overlap: 2, not 3
+      ("hash join hash join", Seq("hash join", "join")),
+      ("", Seq("x")),
+      ("abc", Seq("")), // empty needle contributes zero
+      ("xyxyxy", Seq("xyx", "yxy")))
+    cases.foreach { case (t, nds) =>
+      val arr = nds.map(n => s"'$n'").mkString(", ")
+      val got = spark.sql(s"SELECT multi_needle_count('$t', array($arr))")
+        .head().getLong(0)
+      assert(got == refCount(t, nds), s"text='$t' needles=$nds")
+    }
+  }
+
+  test("multi_needle_count: null text is null, null needles are skipped") {
+    GraftFunctions.ensureRegistered(spark)
+    val r = spark.sql(
+      """SELECT multi_needle_count(cast(null as string), array('a')),
+        |       multi_needle_count('aba', array(cast(null as string), 'a'))""".stripMargin)
+      .head()
+    assert(r.isNullAt(0))
+    assert(r.getLong(1) == 2L)
+  }
+
   test("minhash_sig: null array elements are skipped, not hashed as 0") {
     GraftFunctions.ensureRegistered(spark)
     // registered SQL function is callable on arbitrary array<bigint>;
