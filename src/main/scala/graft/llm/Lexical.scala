@@ -67,6 +67,15 @@ object Lexical {
     */
   def bm25Search(df: DataFrame, idCol: String, textCol: String,
                  terms: Seq[String], topK: Int = 20): DataFrame = {
+    val (hits, dfreq, corpus) = bm25Stats(df, idCol, textCol, terms)
+    bm25Score(hits, dfreq, corpus, idCol, topK)
+  }
+
+  /** The shared sufficient-statistics pass: per-(doc, term) postings
+    * with doc length, per-term document frequencies, corpus (N, T).
+    */
+  private def bm25Stats(df: DataFrame, idCol: String, textCol: String,
+                        terms: Seq[String]): (DataFrame, DataFrame, DataFrame) = {
     require(terms.nonEmpty, "need at least one query term")
     val toks = df.select(col(idCol), split(col(textCol), " ").as("t"))
       .select(col(idCol), size(col("t")).cast("long").as("dl"),
@@ -78,7 +87,7 @@ object Lexical {
     val dfreq = hits.groupBy(col("tok")).agg(count(lit(1)).as("dft"))
     val corpus = df.select(size(split(col(textCol), " ")).cast("long").as("dl"))
       .agg(count(lit(1)).as("nd"), sum(col("dl")).as("tt"))
-    bm25Score(hits, dfreq, corpus, idCol, topK)
+    (hits, dfreq, corpus)
   }
 
   /** The BM25 scoring tail over precomputed sufficient statistics —
@@ -92,7 +101,15 @@ object Lexical {
     * `corpus` = 1 row (nd, tt).
     */
   def bm25Score(hits: DataFrame, dfreq: DataFrame, corpus: DataFrame,
-                idCol: String, topK: Int): DataFrame = {
+                idCol: String, topK: Int): DataFrame =
+    scoreTail(scoredTerms(hits, dfreq, corpus), idCol, topK)
+
+  /** Per-(doc, term) exact-rational BM25 term scores (the
+    * single-division form from [[bm25Search]]'s scaladoc), joined with
+    * broadcast statistics.
+    */
+  private def scoredTerms(hits: DataFrame, dfreq: DataFrame,
+                          corpus: DataFrame): DataFrame =
     hits.join(broadcast(dfreq), "tok").crossJoin(broadcast(corpus))
       .withColumn("term_score",
         ((lit(2) * col("nd") - lit(2) * col("dft") + lit(1)) * lit(22) * col("tt") * col("tf"))
@@ -100,12 +117,64 @@ object Lexical {
           ((lit(2) * col("dft") + lit(1)) *
             (lit(10) * col("tt") * col("tf") + lit(3) * col("tt") + lit(9) * col("dl") * col("nd")))
             .cast("double"))
-      .groupBy(col(idCol))
+
+  /** Decimal-summed per-doc aggregation + deterministic top-k. */
+  private def scoreTail(ts: DataFrame, idCol: String, topK: Int): DataFrame =
+    ts.groupBy(col(idCol))
       .agg(count(lit(1)).cast("int").as("n_terms"),
         round(sum(round(col("term_score"), 9).cast(DecimalType(27, 9)))
           .cast("double"), 6).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(topK)
+
+  /** MaxScore-pruned BM25 top-k — the classic dynamic-pruning tier
+    * (Turtle & Flood 1995) over the same exact-rational scoring,
+    * LOSSLESS by construction:
+    *
+    *   1. per-term upper bounds UB(t) = max posting term score;
+    *   2. a seed threshold θ = the k-th best FULL score among docs
+    *      containing the highest-UB term (each is scored exactly, so
+    *      θ is achievable and the final k-th best is ≥ θ);
+    *   3. a document survives iff Σ_{t ∈ doc} UB(t) + ε ≥ θ — its
+    *      exact score can never reach θ otherwise, so it cannot
+    *      displace any top-k member nor tie one (tie-break is by id,
+    *      and a pruned doc is STRICTLY below θ). ε = 10⁻⁶ absorbs the
+    *      round-9/round-6 decimal discipline of the reported score
+    *      (score ≤ Σ term + n·5·10⁻¹⁰ + 5·10⁻⁷), keeping the prune
+    *      conservative;
+    *   4. only survivors pay the decimal-summed exact aggregation.
+    *
+    * When the seed term matches fewer than k documents θ is not a
+    * valid bound and pruning disables itself (the `nseed < topK`
+    * disjunct) — correctness never depends on corpus statistics.
+    *
+    * Scale shape: UB and θ are query-term-sized broadcast scalars; the
+    * postings pass is read twice (once for the UB-sum sieve, once for
+    * survivor scoring via left-semi join) but the expensive stage —
+    * decimal aggregation + global top-k — runs on the pruned set only.
+    * On an index-backed deployment the same θ drives champion lists
+    * (per-term top-m postings by term score), shrinking the *read*
+    * itself; the operator contract (df, terms → top-k) is unchanged.
+    * Equality with [[bm25Search]] is suite-pinned and oracle-checked
+    * (the declared query shares q90's exhaustive-scoring oracle).
+    */
+  def bm25MaxScorePruned(df: DataFrame, idCol: String, textCol: String,
+                         terms: Seq[String], topK: Int = 20): DataFrame = {
+    val (hits, dfreq, corpus) = bm25Stats(df, idCol, textCol, terms)
+    val ts = scoredTerms(hits, dfreq, corpus)
+    val ub = ts.groupBy(col("tok")).agg(max(col("term_score")).as("ub"))
+    val topTerm = ub.orderBy(col("ub").desc, col("tok")).limit(1)
+      .select(col("tok"))
+    val seed = ts.join(broadcast(topTerm), "tok")
+      .select(col(idCol)).distinct()
+    val theta = scoreTail(ts.join(seed, Seq(idCol), "left_semi"), idCol, topK)
+      .agg(min(col("score")).as("th"), count(lit(1)).as("nseed"))
+    val survivors = ts.join(broadcast(ub), "tok")
+      .groupBy(col(idCol)).agg(sum(col("ub")).as("ub_doc"))
+      .crossJoin(broadcast(theta))
+      .where(col("nseed") < topK || col("ub_doc") + lit(1e-6) >= col("th"))
+      .select(col(idCol))
+    scoreTail(ts.join(survivors, Seq(idCol), "left_semi"), idCol, topK)
   }
 
   // ------------------------------------------------ BM25 index store

@@ -1854,6 +1854,20 @@ object Text {
       |  ROUND(CAST(SUM(CAST(term AS DECIMAL(27, 9))) AS DOUBLE), 6) AS kl
       |FROM terms GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q188
+  /** MaxScore-pruned BM25 ([[graft.llm.Lexical.bm25MaxScorePruned]]):
+    * q90's retrieval through the classic dynamic-pruning tier —
+    * per-term score upper bounds sieve out documents that cannot
+    * reach the seed threshold before the exact decimal aggregation
+    * runs. Lossless by the UB+ε argument in the operator scaladoc,
+    * which is exactly what sharing q90's exhaustive-scoring oracle
+    * hash-checks; pruned ≡ full is also suite-pinned in
+    * `LexicalSpec` on corpora where the prune demonstrably fires.
+    */
+  def q188(spark: SparkSession, sfDir: String): DataFrame =
+    graft.llm.Lexical.bm25MaxScorePruned(docs(spark, sfDir), "doc_id", "text",
+      Seq("spark", "vector", "customer"), topK = 20)
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_token_stats", q34 _, Some(q34Sql)),
     ("q35_lang_id_confusion", q35 _, Some(q35Sql)),
@@ -1897,7 +1911,11 @@ object Text {
     ("q179_heaps_curve", q179 _, Some(q179Sql)),
     ("q180_zipf_fit", q180 _, Some(q180Sql)),
     ("q186_blocklist_filter", q186 _, Some(q186Sql)),
-    ("q187_source_kl_divergence", q187 _, Some(q187Sql))
+    ("q187_source_kl_divergence", q187 _, Some(q187Sql)),
+    // oracle = q90's exhaustive BM25: the MaxScore prune must
+    // reproduce the full ranking exactly (the q159/q122 precedent of
+    // sharing the unpruned oracle)
+    ("q188_bm25_maxscore", q188 _, Some(q90Sql))
   )
 
 }
