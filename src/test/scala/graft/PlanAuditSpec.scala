@@ -51,7 +51,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q173_lm_quality_filter", // 1-row LM-token-total broadcast into the transition scoring
     "q174_binary_hamming_search", // Hamming candidate gen scans every 16-byte sign code per query (q149's shape)
     "q177_cuped_experiment", // 1-row CUPED sufficient-statistics broadcast onto the per-user stream (q100's shape)
-    "q179_heaps_curve") // 1-row corpus-size broadcast + 10x10 decile triangle join over decile aggregates
+    "q179_heaps_curve", // 1-row corpus-size broadcast + 10x10 decile triangle join over decile aggregates
+    "q187_source_kl_divergence", // 1-row corpus-token-total broadcast into the KL terms
+    "q188_bm25_maxscore") // q90's 1-row (N,T) broadcast + 1-row theta-threshold broadcast into the sieve
 
   test("no declared query plans a cartesian product; BNLJ only where intended") {
     // streaming queries execute on materialization, not plan-inspectable
