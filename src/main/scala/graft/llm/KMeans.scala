@@ -74,6 +74,13 @@ object KMeans {
         case (r, i) => (i, r.getSeq[Long](1).toArray)
       }.toIndexedSeq
 
+    // an empty corpus trains an empty codebook (and must not reach
+    // assignExpr, whose empty-array literal would type as VOID) — the
+    // upstream-stage-emptied-the-corpus case a cleaning pipeline can
+    // legitimately produce (the sf1 scale probe hit it through q184's
+    // decontamination stage)
+    if (cents.isEmpty) return cents
+
     for (_ <- 1 until passes) {
       val a = sv.select(col(idCol), col("sv"),
         assignExpr(col("sv"), cents).getField("cid").as("cid"))
@@ -96,9 +103,15 @@ object KMeans {
   def assignWith(df: DataFrame, idCol: String, vecCol: String,
                  cents: Seq[(Int, Array[Long])]): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
-    df.select(col(idCol), quantize(col(vecCol)).as("sv"))
-      .select(col(idCol), assignExpr(col("sv"), cents).as("a"))
-      .select(col(idCol), col("a.cid").as("cid"), col("a.d2").as("d2"))
+    // empty codebook (trained on an emptied corpus) assigns nothing —
+    // schema-stable empty result instead of a VOID-typed array literal
+    if (cents.isEmpty)
+      df.select(col(idCol), lit(0).cast("int").as("cid"),
+        lit(0L).as("d2")).limit(0)
+    else
+      df.select(col(idCol), quantize(col(vecCol)).as("sv"))
+        .select(col(idCol), assignExpr(col("sv"), cents).as("a"))
+        .select(col(idCol), col("a.cid").as("cid"), col("a.d2").as("d2"))
   }
 
   /** Runs `passes` assignment passes (centroids update between passes,

@@ -283,6 +283,18 @@ class LlmApiSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("k-means and SemDeDup degrade gracefully on an emptied corpus") {
+    // a cleaning pipeline can legitimately wipe a stage to zero rows
+    // (the sf1 probe hit this through q184's decontamination stage);
+    // the clustering tier must produce schema-stable empty results,
+    // not a VOID-typed centroid literal
+    val empty = embs.where(org.apache.spark.sql.functions.lit(false))
+    assert(KMeans.train(empty, "vec_id", "embedding", k = 4).isEmpty)
+    val a = KMeans.assign(empty, "vec_id", "embedding", k = 4)
+    assert(a.columns.toSeq == Seq("vec_id", "cid", "d2") && a.count() == 0)
+    assert(VectorSearch.semDedup(empty, "vec_id", "embedding").count() == 0)
+  }
+
   test("IVF search: recall grows with nprobe and candidates stay bounded") {
     def hits(df: org.apache.spark.sql.DataFrame) =
       df.select("va", "nn").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
