@@ -74,30 +74,64 @@ case class MultiNeedleCount(left: Expression, right: Expression)
     total
   }
 
+  /** Blocklist decoded ONCE at codegen/plan time when the needle array
+    * is foldable (the common literal-blocklist shape): nulls and
+    * empties dropped, each entry a ready `java.lang.String`. Null when
+    * the needles child is not foldable or folds to null.
+    */
+  private lazy val foldedNeedles: Array[String] =
+    if (!right.foldable) null
+    else right.eval() match {
+      case arr: ArrayData =>
+        (0 until arr.numElements()).iterator
+          .filterNot(arr.isNullAt)
+          .map(arr.getUTF8String(_).toString)
+          .filter(_.nonEmpty)
+          .toArray
+      case _ => null
+    }
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (t, ns) => {
       val s = ctx.freshName("s"); val i = ctx.freshName("i")
       val nd = ctx.freshName("nd"); val from = ctx.freshName("from")
       val p = ctx.freshName("p"); val acc = ctx.freshName("acc")
-      s"""
-         |java.lang.String $s = $t.toString();
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $ns.numElements(); $i++) {
-         |  if (!$ns.isNullAt($i)) {
-         |    java.lang.String $nd = $ns.getUTF8String($i).toString();
-         |    if (!$nd.isEmpty()) {
-         |      int $from = 0;
-         |      int $p = $s.indexOf($nd, $from);
-         |      while ($p >= 0) {
-         |        $acc += 1L;
-         |        $from = $p + $nd.length();
-         |        $p = $s.indexOf($nd, $from);
-         |      }
-         |    }
-         |  }
-         |}
-         |${ev.value} = $acc;
-       """.stripMargin
+      val scanLoop =
+        s"""int $from = 0;
+           |int $p = $s.indexOf($nd, $from);
+           |while ($p >= 0) {
+           |  $acc += 1L;
+           |  $from = $p + $nd.length();
+           |  $p = $s.indexOf($nd, $from);
+           |}""".stripMargin
+      if (foldedNeedles != null) {
+        // hot path: the needle strings live in a referenced String[] —
+        // zero per-row UTF-8 decodes or allocations beyond the text
+        val ref = ctx.addReferenceObj("needles", foldedNeedles,
+          "java.lang.String[]")
+        s"""
+           |java.lang.String $s = $t.toString();
+           |long $acc = 0L;
+           |for (int $i = 0; $i < $ref.length; $i++) {
+           |  java.lang.String $nd = $ref[$i];
+           |  $scanLoop
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      } else
+        s"""
+           |java.lang.String $s = $t.toString();
+           |long $acc = 0L;
+           |for (int $i = 0; $i < $ns.numElements(); $i++) {
+           |  if (!$ns.isNullAt($i)) {
+           |    java.lang.String $nd = $ns.getUTF8String($i).toString();
+           |    if (!$nd.isEmpty()) {
+           |      $scanLoop
+           |    }
+           |  }
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
     })
 
   override protected def withNewChildrenInternal(

@@ -636,12 +636,29 @@ object TextDedup {
     * per-`batchId` subdirectories, or a mix — `recursiveFileLookup`
     * reads them uniformly without partition inference, so batch jobs
     * and the streaming maintenance cycle share one store. */
-  private def readStore(spark: SparkSession, path: String): DataFrame =
+  /** Single read entry for every persisted store (shared with the
+    * vector-index store): recovers an interrupted [[compactSwap]]
+    * first, then reads the root and any per-batch subdirectories. */
+  private[llm] def readStore(spark: SparkSession, path: String): DataFrame = {
+    recoverSwap(spark, path)
     spark.read.option("recursiveFileLookup", "true").parquet(path)
+  }
+
+  /** If a crash between [[compactSwap]]'s two renames left the store
+    * moved aside (`.old` exists, the store path does not), one rename
+    * restores it — readers and the next compaction both call this, so
+    * the store is never observably missing. */
+  private[llm] def recoverSwap(spark: SparkSession, storePath: String): Unit = {
+    val store = new org.apache.hadoop.fs.Path(storePath)
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(storePath + ".old")
+    if (!fs.exists(store) && fs.exists(old)) fs.rename(old, store)
+  }
 
   /** True iff the store already holds at least one parquet data file
     * (at the root or inside a per-batch subdirectory). */
   private def storeNonEmpty(spark: SparkSession, storePath: String): Boolean = {
+    recoverSwap(spark, storePath)
     val path = new org.apache.hadoop.fs.Path(storePath)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(path) && {
@@ -691,17 +708,34 @@ object TextDedup {
 
   /** Write-then-swap: `compacted` (already shaped into its final
     * partitioning/order by the caller) is fully written to a sibling
-    * path first, then atomically renamed over the store — a crash
-    * mid-compaction leaves the original intact. */
+    * path first, then swapped in via two renames — the store is moved
+    * aside (`.old`), the compacted copy renamed into place, and only
+    * then is the old copy deleted. Each rename is a single metadata
+    * operation, so there is NO window in which the store path is
+    * simply gone (the earlier delete-then-rename had one); a crash
+    * between the renames leaves both `.old` and `.compacting`, and
+    * the recovery preamble of the NEXT compaction (or a manual
+    * `mv .old back`) restores service — the data always exists in
+    * full at at least one path. Stale sibling paths from an
+    * interrupted run are cleaned up front: `.old` is renamed back if
+    * the store path is missing, otherwise discarded. */
   private[llm] def compactSwap(spark: SparkSession, storePath: String,
                                compacted: DataFrame): Unit = {
-    val tmp = storePath + ".compacting"
-    compacted.write.mode("overwrite").parquet(tmp)
     val fs = new org.apache.hadoop.fs.Path(storePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(storePath), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(storePath))
+    val store = new org.apache.hadoop.fs.Path(storePath)
+    val tmp = new org.apache.hadoop.fs.Path(storePath + ".compacting")
+    val old = new org.apache.hadoop.fs.Path(storePath + ".old")
+    recoverSwap(spark, storePath) // crash between the two renames
+    if (fs.exists(old)) fs.delete(old, true) // stale aside from a completed swap
+    compacted.write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(store, old))
+      throw new java.io.IOException(s"compactSwap: cannot move $store aside")
+    if (!fs.rename(tmp, store)) {
+      fs.rename(old, store) // roll back; the original store is intact
+      throw new java.io.IOException(s"compactSwap: cannot swap $tmp in")
+    }
+    fs.delete(old, true)
   }
 
   /** `foreachBatch` body for STREAMING incremental dedup — the
@@ -735,11 +769,18 @@ object TextDedup {
     val spark = batch.sparkSession
     val histPairs =
       if (storeNonEmpty(spark, storePath))
-        // d_hist ≠ d_new: on a replayed micro-batch the docs are
-        // already in the store, and matching a doc against its own
-        // stored signature is a replay artifact, not a duplicate
+        // replay determinism: at original processing time the store
+        // never contains this batch's docs (the append happens below),
+        // so history pairs have d_hist outside the batch BY
+        // CONSTRUCTION. On a replayed micro-batch whose store append
+        // already committed, the batch's own survivors are in the
+        // store — matching against them (itself, or a batch sibling
+        // already counted by selfPairs) is a replay artifact that
+        // would double rows in any downstream per-batch sink. The
+        // anti-join reproduces the original histPairs exactly in both
+        // timelines.
         dedupAgainstStore(batch, idCol, textCol, storePath, n, k, bands)
-          .where(col("d_hist") =!= col("d_new"))
+          .join(batch.select(col(idCol).as("d_hist")), Seq("d_hist"), "left_anti")
       else {
         import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
         val idType = batch.schema(idCol).dataType

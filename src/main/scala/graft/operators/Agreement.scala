@@ -57,9 +57,10 @@ object Agreement {
         max(col("t")).cast("long").as("mx_t"))
     istats.crossJoin(cstats).crossJoin(itot)
       .withColumn("po",
-        when(col("mn_t") === nRaters.toLong && col("mx_t") === nRaters.toLong,
-          (col("sum_sq") - col("t_obs")) /
-            (col("t_obs") * lit((nRaters - 1).toDouble)))
+        when(col("mn_t").isNull, lit(null).cast("double")) // zero items: stats row is all-null, not an error
+          .when(col("mn_t") === nRaters.toLong && col("mx_t") === nRaters.toLong,
+            (col("sum_sq") - col("t_obs")) /
+              (col("t_obs") * lit((nRaters - 1).toDouble)))
           .otherwise(raise_error(concat(
             lit(s"fleissKappa: per-item observation counts must all equal " +
               s"nRaters=$nRaters; got range "),

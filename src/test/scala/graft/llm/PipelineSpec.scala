@@ -204,6 +204,65 @@ class PipelineSpec extends AnyFunSuite {
     assert(run(2L, (21L, "ccc")) == Seq((21L, "dup_of_history", 12L)))
   }
 
+  test("micro-batch replay after the store append reproduces the SAME pairs") {
+    // the crash window a batchId-scoped pairs sink must survive: the
+    // signature-store append committed but the downstream pairs write
+    // did not, so the replay recomputes pairs against a store that
+    // ALREADY holds this batch's survivors — the recomputed list must
+    // equal the original (no self matches, no batch-sibling pairs
+    // double-counted through the store)
+    val s = spark
+    import s.implicits._
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_sigstore_replay").toString + "/store"
+    val hist = Seq((1L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    TextDedup.dedupBatchAndMaintain(hist, "doc_id", "text", store,
+      batchId = Some(0L))
+    // batch 1: a history dup (21 ~ 1) and an intra-batch dup pair
+    // (22, 23); survivor 22 enters the store when the append commits
+    val b1 = Seq(
+      (21L, "one two three four five six seven eight"),
+      (22L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (23L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    def pairs() = TextDedup
+      .dedupBatchAndMaintain(b1, "doc_id", "text", store, batchId = Some(1L))
+      .select("d_hist", "d_new").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val first = pairs()
+    assert(first == Seq((1L, 21L), (22L, 23L)))
+    val replay = pairs() // store already holds batch 1's survivors
+    assert(replay == first,
+      "replayed pairs must match the original batch's pairs exactly")
+  }
+
+  test("a crash between compactSwap's renames is recovered on next read") {
+    // simulate the mid-swap state: the store was moved aside (.old)
+    // but the compacted copy was not yet renamed in — readers must
+    // restore it instead of failing with path-not-found
+    val s = spark
+    import s.implicits._
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_sigstore_swapcrash").toString + "/store"
+    val hist = Seq((1L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    TextDedup.writeSignatureStore(hist, "doc_id", "text", store)
+    val probeDf = Seq((31L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    def probe() = TextDedup.dedupAgainstStore(probeDf, "doc_id", "text", store)
+      .select("d_hist", "d_new").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val before = probe()
+    assert(before == Seq((1L, 31L)))
+    // crash simulation: store moved aside, swap never completed
+    assert(new java.io.File(store)
+      .renameTo(new java.io.File(store + ".old")))
+    assert(probe() == before, "read must recover the interrupted swap")
+    assert(new java.io.File(store).exists(), "store path restored")
+    assert(!new java.io.File(store + ".old").exists(), "aside consumed")
+  }
+
   test("store compaction merges per-batch files and leaves results unchanged") {
     val s = spark
     import s.implicits._
