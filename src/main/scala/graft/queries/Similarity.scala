@@ -976,41 +976,67 @@ object Similarity {
       .select(col("va"), col("rn"), col("vb"), round(col("cos"), 6).as("cos"))
       .orderBy(col("va"), col("rn"))
 
+  // Exact-vector contraction (the q149 pattern): coarse assignment,
+  // SQ8 codes and scores are pure functions of the embedding given the
+  // centroid/range statistics, which stay vec-level (they are cheap
+  // single-pass aggregates). Candidate GROUPS arrive through the
+  // probe-list = home-list join; the strictly-higher-count window
+  // prune and membership expansion recover each query's exact top-10.
   val q165Sql: String =
-    s"""WITH dims AS (
+    s"""WITH vg AS (
+       |  SELECT MIN(vec_id) AS rep, COUNT(*) AS cnt, list(vec_id) AS ids, embedding
+       |  FROM embeddings GROUP BY embedding),
+       |dims AS (
        |  SELECT vec_id, label, t.i, CAST(embedding[t.i + 1] AS DOUBLE) AS x
        |  FROM embeddings CROSS JOIN range(0, 64) t(i)),
        |cents AS (
        |  SELECT label, i,
        |    CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS c
        |  FROM dims GROUP BY label, i),
-       |d2 AS (
-       |  SELECT d.vec_id, c.label,
-       |    CAST(SUM(CAST((x - c) * (x - c) AS DECIMAL(38,12))) AS DOUBLE) AS d2
-       |  FROM dims d JOIN cents c USING (i) GROUP BY d.vec_id, c.label),
-       |assign AS (
-       |  SELECT vec_id, label,
-       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, label) AS arn
-       |  FROM d2),
        |st AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM dims GROUP BY i),
+       |rdims AS (
+       |  SELECT rep, t.i, CAST(embedding[t.i + 1] AS DOUBLE) AS x
+       |  FROM vg CROSS JOIN range(0, 64) t(i)),
+       |rd2 AS (
+       |  SELECT d.rep, c.label,
+       |    CAST(SUM(CAST((x - c) * (x - c) AS DECIMAL(38,12))) AS DOUBLE) AS d2
+       |  FROM rdims d JOIN cents c USING (i) GROUP BY d.rep, c.label),
+       |rassign AS (
+       |  SELECT rep, label,
+       |    ROW_NUMBER() OVER (PARTITION BY rep ORDER BY d2, label) AS arn
+       |  FROM rd2),
        |qd AS (
-       |  SELECT vec_id, d.i,
+       |  SELECT rep, d.i,
        |    CASE WHEN mx = mn THEN 0
        |         ELSE CAST(floor((x - mn) / (mx - mn) * 255.0 + 0.5) AS BIGINT) END AS q
-       |  FROM dims d JOIN st USING (i)),
-       |sc AS (
-       |  SELECT p.vec_id AS va, h.vec_id AS vb, SUM(a.q * b.q) AS score
-       |  FROM assign p JOIN assign h
+       |  FROM rdims d JOIN st USING (i)),
+       |qv AS (SELECT rep, list(CAST(q AS DOUBLE) ORDER BY i) AS v FROM qd GROUP BY rep),
+       |gs AS (
+       |  SELECT p.rep AS ga, h.rep AS gb,
+       |    CAST(list_dot_product(a.v, b.v) AS BIGINT) AS score
+       |  FROM rassign p JOIN rassign h
        |    ON p.label = h.label AND h.arn = 1 AND p.arn <= 2
-       |    AND p.vec_id <> h.vec_id
-       |  JOIN qd a ON a.vec_id = p.vec_id
-       |  JOIN qd b ON b.vec_id = h.vec_id AND b.i = a.i
-       |  GROUP BY 1, 2),
+       |  JOIN qv a ON a.rep = p.rep JOIN qv b ON b.rep = h.rep),
+       |gc AS (
+       |  SELECT ga, gb, score,
+       |    CASE WHEN ga = gb THEN vb.cnt - 1 ELSE vb.cnt END AS eff
+       |  FROM gs JOIN vg vb ON vb.rep = gb
+       |  WHERE NOT (ga = gb AND vb.cnt = 1)),
+       |lvl AS (SELECT ga, score, SUM(eff) AS ecnt FROM gc GROUP BY ga, score),
+       |lvl2 AS (SELECT ga, score,
+       |    COALESCE(SUM(ecnt) OVER (PARTITION BY ga ORDER BY score DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS hc
+       |  FROM lvl),
+       |keep AS (SELECT gc.ga, gc.gb, gc.score FROM gc
+       |         JOIN lvl2 ON lvl2.ga = gc.ga AND lvl2.score = gc.score
+       |         WHERE lvl2.hc <= 10),
+       |mem AS (SELECT rep, unnest(ids) AS vec_id FROM vg),
        |cand AS (
        |  SELECT va, vb FROM (
-       |    SELECT va, vb,
-       |      ROW_NUMBER() OVER (PARTITION BY va ORDER BY score DESC, vb) AS crn
-       |    FROM sc) WHERE crn <= 10),
+       |    SELECT ma.vec_id AS va, mb.vec_id AS vb,
+       |      ROW_NUMBER() OVER (PARTITION BY ma.vec_id ORDER BY k.score DESC, mb.vec_id) AS crn
+       |    FROM keep k JOIN mem ma ON ma.rep = k.ga JOIN mem mb ON mb.rep = k.gb
+       |    WHERE ma.vec_id <> mb.vec_id) WHERE crn <= 10),
        |nrm AS (
        |  SELECT vec_id, embedding, sqrt(${dotSqlDuck("embedding", "embedding")}) AS nrm
        |  FROM embeddings CROSS JOIN range(0, 64) t(i) GROUP BY vec_id, embedding),
@@ -1194,8 +1220,14 @@ object Similarity {
       .orderBy(col("va"), col("rn"))
   }
 
+  // q165's contraction with the store split: centroid/range stats are
+  // HISTORY-only (vec-level, cheap), codes clamp to the frozen range,
+  // and only batch members expand as queries.
   val q175Sql: String =
-    s"""WITH dims AS (
+    s"""WITH vg AS (
+       |  SELECT MIN(vec_id) AS rep, COUNT(*) AS cnt, list(vec_id) AS ids, embedding
+       |  FROM embeddings GROUP BY embedding),
+       |dims AS (
        |  SELECT vec_id, label, t.i, CAST(embedding[t.i + 1] AS DOUBLE) AS x
        |  FROM embeddings CROSS JOIN range(0, 64) t(i)),
        |cents AS (
@@ -1205,36 +1237,50 @@ object Similarity {
        |st AS (
        |  SELECT i, MIN(x) AS mn, MAX(x) AS mx
        |  FROM dims WHERE vec_id % 5 <> 0 GROUP BY i),
+       |rdims AS (
+       |  SELECT rep, t.i, CAST(embedding[t.i + 1] AS DOUBLE) AS x
+       |  FROM vg CROSS JOIN range(0, 64) t(i)),
        |qd AS (
-       |  SELECT vec_id, d.i,
+       |  SELECT rep, d.i,
        |    CASE WHEN mx = mn THEN 0
        |         ELSE GREATEST(0, LEAST(255,
        |              CAST(floor((x - mn) / (mx - mn) * 255.0 + 0.5) AS BIGINT))) END AS q
-       |  FROM dims d JOIN st USING (i)),
-       |d2 AS (
-       |  SELECT d.vec_id, c.label,
+       |  FROM rdims d JOIN st USING (i)),
+       |qv AS (SELECT rep, list(CAST(q AS DOUBLE) ORDER BY i) AS v FROM qd GROUP BY rep),
+       |rd2 AS (
+       |  SELECT d.rep, c.label,
        |    CAST(SUM(CAST((x - c) * (x - c) AS DECIMAL(38,12))) AS DOUBLE) AS d2
-       |  FROM dims d JOIN cents c USING (i) GROUP BY d.vec_id, c.label),
-       |assign AS (
-       |  SELECT vec_id, label,
-       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, label) AS arn
-       |  FROM d2),
-       |home AS (SELECT vec_id AS vb, label AS list_id FROM assign WHERE arn = 1),
-       |probe AS (
-       |  SELECT vec_id AS va, label AS list_id
-       |  FROM assign WHERE arn <= 2 AND vec_id % 5 = 0),
-       |sc AS (
-       |  SELECT p.va, h.vb, SUM(a.q * b.q) AS score
-       |  FROM probe p JOIN home h USING (list_id)
-       |  JOIN qd a ON a.vec_id = p.va
-       |  JOIN qd b ON b.vec_id = h.vb AND b.i = a.i
-       |  WHERE p.va <> h.vb
-       |  GROUP BY p.va, h.vb),
+       |  FROM rdims d JOIN cents c USING (i) GROUP BY d.rep, c.label),
+       |rassign AS (
+       |  SELECT rep, label,
+       |    ROW_NUMBER() OVER (PARTITION BY rep ORDER BY d2, label) AS arn
+       |  FROM rd2),
+       |gs AS (
+       |  SELECT p.rep AS ga, h.rep AS gb,
+       |    CAST(list_dot_product(a.v, b.v) AS BIGINT) AS score
+       |  FROM rassign p JOIN rassign h
+       |    ON p.label = h.label AND h.arn = 1 AND p.arn <= 2
+       |  JOIN qv a ON a.rep = p.rep JOIN qv b ON b.rep = h.rep),
+       |gc AS (
+       |  SELECT ga, gb, score,
+       |    CASE WHEN ga = gb THEN vb.cnt - 1 ELSE vb.cnt END AS eff
+       |  FROM gs JOIN vg vb ON vb.rep = gb
+       |  WHERE NOT (ga = gb AND vb.cnt = 1)),
+       |lvl AS (SELECT ga, score, SUM(eff) AS ecnt FROM gc GROUP BY ga, score),
+       |lvl2 AS (SELECT ga, score,
+       |    COALESCE(SUM(ecnt) OVER (PARTITION BY ga ORDER BY score DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS hc
+       |  FROM lvl),
+       |keep AS (SELECT gc.ga, gc.gb, gc.score FROM gc
+       |         JOIN lvl2 ON lvl2.ga = gc.ga AND lvl2.score = gc.score
+       |         WHERE lvl2.hc <= 10),
+       |mem AS (SELECT rep, unnest(ids) AS vec_id FROM vg),
        |cand AS (
        |  SELECT va, vb FROM (
-       |    SELECT va, vb,
-       |      ROW_NUMBER() OVER (PARTITION BY va ORDER BY score DESC, vb) AS crn
-       |    FROM sc) WHERE crn <= 10),
+       |    SELECT ma.vec_id AS va, mb.vec_id AS vb,
+       |      ROW_NUMBER() OVER (PARTITION BY ma.vec_id ORDER BY k.score DESC, mb.vec_id) AS crn
+       |    FROM keep k JOIN mem ma ON ma.rep = k.ga JOIN mem mb ON mb.rep = k.gb
+       |    WHERE ma.vec_id <> mb.vec_id AND ma.vec_id % 5 = 0) WHERE crn <= 10),
        |nrm AS (
        |  SELECT vec_id, embedding, sqrt(${dotSqlDuck("embedding", "embedding")}) AS nrm
        |  FROM embeddings CROSS JOIN range(0, 64) t(i) GROUP BY vec_id, embedding),
