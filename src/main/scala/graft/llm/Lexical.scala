@@ -253,6 +253,101 @@ object Lexical {
         .repartition(1))
   }
 
+  /** Derives the CHAMPION-LIST serving artifact from a BM25 store —
+    * the index-side realization of [[bm25MaxScorePruned]]'s dynamic
+    * pruning (Turtle & Flood 1995's materialized form; the "champion
+    * lists / fancy lists" of Manning, Raghavan & Schütze, IIR §7.1.3):
+    * for every term, the `m` postings with the highest exact-rational
+    * term score are persisted to `champions/` (tok, id), and `ub/`
+    * keeps per-term pruning statistics — full document frequency
+    * `dft`, champions `kept`, and `cub`, the m-th (minimum kept) term
+    * score, which upper-bounds the term score of every NON-champion
+    * posting.
+    *
+    * A serving artifact, not a source of truth: it is derived from
+    * (and rebuilt after refreshes of) the postings store, the same
+    * relationship compaction has to the fragment log. The per-term
+    * top-m runs as a `tok`-partitioned window — vocabulary-many
+    * partitions, never a data-sized single partition.
+    */
+  def buildChampionLists(spark: org.apache.spark.sql.SparkSession,
+                         storePath: String, idCol: String,
+                         m: Int = 64): Unit = {
+    require(m >= 1, "champion lists need m >= 1")
+    val postings = spark.read.parquet(s"$storePath/postings")
+    val dfreq = spark.read.parquet(s"$storePath/dfreq")
+      .groupBy(col("tok")).agg(sum(col("dft")).as("dft"))
+    val corpus = spark.read.parquet(s"$storePath/stats")
+      .agg(sum(col("nd")).as("nd"), sum(col("tt")).as("tt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tok")).orderBy(col("term_score").desc, col(idCol))
+    val champs = scoredTerms(postings, dfreq, corpus)
+      .withColumn("crn", row_number().over(w))
+      .where(col("crn") <= m)
+    champs.select(col("tok"), col(idCol))
+      .write.mode("overwrite").parquet(s"$storePath/champions")
+    champs.groupBy(col("tok"))
+      .agg(count(lit(1)).as("kept"), min(col("term_score")).as("cub"))
+      .join(dfreq, "tok")
+      .write.mode("overwrite").parquet(s"$storePath/ub")
+  }
+
+  /** BM25 top-k served from champion lists, LOSSLESS: candidates come
+    * from the query terms' champion postings only (a
+    * champion-list-sized read, not a posting-list-sized one), are
+    * scored EXACTLY against the full postings of the query terms, and
+    * the result ships only when it is PROVABLY complete — a
+    * non-candidate document appears in no query term's champion list,
+    * so its term score for each term it contains is at most that
+    * term's `cub` (and terms whose champion list is FULL, kept = dft,
+    * contribute zero: every posting is a champion), giving
+    * score ≤ Σ slack(t) + ε. If that bound fails to stay strictly
+    * under the k-th candidate score θ (or fewer than k candidates
+    * exist while the bound is positive), the search FALLS BACK to the
+    * exhaustive [[bm25StoreSearch]] — correctness never depends on m.
+    * The decision reads one bound row and the k candidate scores (the
+    * 1-row decision collect of the codebook-collect shape).
+    *
+    * Scale shape: this moves [[bm25MaxScorePruned]]'s pruning from
+    * compute time to INDEX time — the candidate read itself is
+    * O(|terms|·m) rows instead of the query terms' full posting
+    * lists, which is the difference that matters when a stop-word-ish
+    * term's posting list is corpus-sized. Sizing m trades fallback
+    * frequency against champion storage; every outcome is exact.
+    */
+  def championBm25Search(spark: org.apache.spark.sql.SparkSession,
+                         storePath: String, idCol: String,
+                         terms: Seq[String], topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val cands = spark.read.parquet(s"$storePath/champions")
+      .where(col("tok").isin(terms: _*))
+      .select(col(idCol)).distinct()
+    val hits = spark.read.parquet(s"$storePath/postings")
+      .where(col("tok").isin(terms: _*))
+    val dfreq = spark.read.parquet(s"$storePath/dfreq")
+      .where(col("tok").isin(terms: _*))
+      .groupBy(col("tok")).agg(sum(col("dft")).as("dft"))
+    val corpus = spark.read.parquet(s"$storePath/stats")
+      .agg(sum(col("nd")).as("nd"), sum(col("tt")).as("tt"))
+    val topDf = bm25Score(hits.join(cands, Seq(idCol), "left_semi"),
+      dfreq, corpus, idCol, topK)
+    val top = topDf.collect()
+    val bound = spark.read.parquet(s"$storePath/ub")
+      .where(col("tok").isin(terms: _*))
+      .agg(coalesce(sum(when(col("kept") < col("dft"), col("cub"))
+        .otherwise(lit(0.0))), lit(0.0)).as("bound"))
+      .head().getDouble(0)
+    val theta = if (top.length >= topK)
+      top.map(_.getAs[Double]("score")).min else Double.NegativeInfinity
+    val complete = bound == 0.0 || bound + 1e-6 < theta
+    if (complete)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          java.util.Arrays.asList(top: _*)), topDf.schema)
+    else
+      bm25StoreSearch(spark, storePath, idCol, terms, topK)
+  }
+
   /** Exact phrase matching via the positional posting list — the
     * inverted-index phrase query. Tokens explode with their position;
     * only the phrase's own terms survive the (pushed-down) `IN`

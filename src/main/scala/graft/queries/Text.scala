@@ -1868,6 +1868,28 @@ object Text {
     graft.llm.Lexical.bm25MaxScorePruned(docs(spark, sfDir), "doc_id", "text",
       Seq("spark", "vector", "customer"), topK = 20)
 
+  // ---------------------------------------------------------------- q189
+  /** Champion-list BM25 serving ([[graft.llm.Lexical.buildChampionLists]]
+    * + [[graft.llm.Lexical.championBm25Search]]): q188 moved MaxScore
+    * pruning into the query; q189 moves it into the INDEX — per-term
+    * top-m postings are materialized as a serving artifact and the
+    * search reads champion-list-sized candidates, shipping the result
+    * only when the per-term `cub` bounds PROVE no non-candidate can
+    * reach the top-k (exhaustive fallback otherwise — every outcome
+    * exact, which sharing q90's oracle hash-checks). Both the
+    * proven-complete and fallback paths are pinned in `LexicalSpec`.
+    */
+  def q189(spark: SparkSession, sfDir: String): DataFrame = {
+    val store = graft.Tables.scratchDir(spark, "bm25champ", sfDir)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(store), true)
+    graft.llm.Lexical.appendBm25Batch(docs(spark, sfDir), "doc_id", "text", store)
+    graft.llm.Lexical.buildChampionLists(spark, store, "doc_id", m = 64)
+    graft.llm.Lexical.championBm25Search(spark, store, "doc_id",
+      Seq("spark", "vector", "customer"), topK = 20)
+  }
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_token_stats", q34 _, Some(q34Sql)),
     ("q35_lang_id_confusion", q35 _, Some(q35Sql)),
@@ -1915,7 +1937,11 @@ object Text {
     // oracle = q90's exhaustive BM25: the MaxScore prune must
     // reproduce the full ranking exactly (the q159/q122 precedent of
     // sharing the unpruned oracle)
-    ("q188_bm25_maxscore", q188 _, Some(q90Sql))
+    ("q188_bm25_maxscore", q188 _, Some(q90Sql)),
+    // oracle = q90's exhaustive BM25 again: the champion-list serving
+    // path (or its provably-needed fallback) must reproduce the full
+    // ranking exactly
+    ("q189_bm25_champion_lists", q189 _, Some(q90Sql))
   )
 
 }

@@ -52,6 +52,45 @@ class LexicalSpec extends AnyFunSuite {
     assertSame(rows.toDF("doc_id", "text"), Seq("alpha", "gamma"), 7)
   }
 
+  test("champion lists: proven-complete path equals exhaustive") {
+    import graft.llm.Lexical
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_bm25champ").toString + "/store"
+    Lexical.appendBm25Batch(d, "doc_id", "text", store)
+    // m covering every posting: kept = dft for all terms, bound = 0 —
+    // the completeness proof holds trivially and the served result
+    // must be the exhaustive ranking
+    Lexical.buildChampionLists(spark, store, "doc_id", m = 1000000)
+    val terms = Seq("spark", "vector", "customer")
+    val full = Lexical.bm25StoreSearch(spark, store, "doc_id", terms, 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val served = Lexical.championBm25Search(spark, store, "doc_id", terms, 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(served == full)
+  }
+
+  test("champion lists: tight m falls back and stays exact") {
+    import graft.llm.Lexical
+    val s = spark
+    import s.implicits._
+    // every doc shares both terms with near-identical impact, so a
+    // 2-champion list cannot prove completeness for top-5 — the
+    // fallback must fire and the answer must still be exhaustive
+    val rows = (1L to 40L).map(i => (i, "alpha beta " + ("beta " * (i % 3).toInt).trim))
+    val d = rows.toDF("doc_id", "text")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_bm25champ_fb").toString + "/store"
+    Lexical.appendBm25Batch(d, "doc_id", "text", store)
+    Lexical.buildChampionLists(spark, store, "doc_id", m = 2)
+    val terms = Seq("alpha", "beta")
+    val full = Lexical.bm25StoreSearch(spark, store, "doc_id", terms, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val served = Lexical.championBm25Search(spark, store, "doc_id", terms, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(served == full)
+  }
+
   test("skewed corpus where the prune fires") {
     val s = spark
     import s.implicits._
