@@ -706,6 +706,32 @@ object TextDedup {
         .groupBy(col("text_sha")).agg(min(col("keep_id")).as("keep_id"))
         .repartition(outFiles))
 
+  /** TARGETED DELETION from a persisted store — the
+    * right-to-be-forgotten verb of the incremental-store family: the
+    * given ids' rows are removed with one anti-join and the store is
+    * rewritten through [[compactSwap]] (which also folds per-batch
+    * fragments, so a delete doubles as a compaction).
+    *
+    * Exactness is structural: every store in this family keeps
+    * PER-DOCUMENT-INDEPENDENT rows (signatures, hashes — no
+    * cross-document statistics), so deleting rows by id is exactly
+    * equivalent to rebuilding the store from the retained documents —
+    * the property `PipelineSpec` pins byte-wise. Stores with
+    * cross-document statistics (BM25's df/N/T) must instead re-derive
+    * those aggregates from retained postings; their additive-fragment
+    * layout makes that the same compaction pass.
+    *
+    * Scale shape: one shuffle-free anti-join against a broadcast
+    * forget-set (deletion lists are tiny relative to the corpus) and
+    * one rewrite of the store — amortized as the compaction the
+    * refresh cycle owes anyway; history TEXT is never rescanned.
+    */
+  def deleteFromStore(spark: SparkSession, storePath: String,
+                      ids: DataFrame, idCol: String): Unit =
+    compactSwap(spark, storePath,
+      readStore(spark, storePath)
+        .join(broadcast(ids.select(col(idCol))), Seq(idCol), "left_anti"))
+
   /** Write-then-swap: `compacted` (already shaped into its final
     * partitioning/order by the caller) is fully written to a sibling
     * path first, then swapped in via two renames — the store is moved

@@ -1366,6 +1366,42 @@ object Dedup {
        |FROM h JOIN g USING (bow_hash) ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q190
+  /** Right-to-be-forgotten store maintenance
+    * ([[graft.llm.TextDedup.deleteFromStore]]): q109's refresh cycle
+    * with a DELETION between build and serve — history builds the
+    * signature store, a forget-set (`doc_id % 7 == 0`) is removed by
+    * one anti-join + write-then-swap rewrite, and the refresh batch
+    * dedups against what remains. The oracle replays q109 with
+    * history := history minus the forget-set, which hash-checks the
+    * structural guarantee that deleting per-document rows equals
+    * rebuilding from the retained corpus: a forgotten document must
+    * produce NO pair, and every retained pair must be untouched.
+    */
+  def q190(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val store = Tables.scratchDir(spark, "sigforget", sfDir)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(store), true)
+    graft.llm.TextDedup.writeSignatureStore(
+      d.where(col("doc_id") % 10 < 8), "doc_id", "text", store)
+    graft.llm.TextDedup.deleteFromStore(spark, store,
+      d.where(col("doc_id") % 10 < 8 && col("doc_id") % 7 === 0)
+        .select(col("doc_id")), "doc_id")
+    graft.llm.TextDedup.dedupAgainstStore(
+        d.where(col("doc_id") % 10 >= 8), "doc_id", "text", store)
+      .select(col("d_hist"), col("d_new"),
+        round(col("est_sim"), 6).as("est_sim"), round(col("jac"), 6).as("jac"))
+      .orderBy(col("d_hist"), col("d_new"))
+  }
+
+  // q109's oracle over the post-deletion history: forgotten docs may
+  // appear on neither side of any pair
+  val q190Sql: String =
+    q109Sql.replace("WHERE a.doc_id % 10 < 8 AND b.doc_id % 10 >= 8",
+      "WHERE a.doc_id % 10 < 8 AND a.doc_id % 7 <> 0 AND b.doc_id % 10 >= 8")
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q27_exact_dedup", q27 _, Some(q27Sql)),
     ("q28_ngram_jaccard_neardup", q28 _, Some(q28Sql)),
@@ -1389,6 +1425,7 @@ object Dedup {
     ("q155_cc_incremental", q155 _, Some(q155Sql)),
     ("q156_cdc_chunk_dedup", q156 _, Some(q156Sql)),
     ("q176_entity_resolution", q176 _, Some(q176Sql)),
-    ("q185_bow_fingerprint_dedup", q185 _, Some(q185Sql))
+    ("q185_bow_fingerprint_dedup", q185 _, Some(q185Sql)),
+    ("q190_store_forget", q190 _, Some(q190Sql))
   )
 }

@@ -237,6 +237,41 @@ class PipelineSpec extends AnyFunSuite {
       "replayed pairs must match the original batch's pairs exactly")
   }
 
+  test("deleteFromStore equals rebuilding the store from retained docs") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "one two three four five six seven eight"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "iota kappa lambda mu nu xi omicron pi"),
+      (4L, "rho sigma tau upsilon phi chi psi omega"))
+      .toDF("doc_id", "text")
+    val probeDf = Seq(
+      (31L, "one two three four five six seven eight"),
+      (32L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (33L, "iota kappa lambda mu nu xi omicron pi"))
+      .toDF("doc_id", "text")
+    def freshStore(tag: String) = java.nio.file.Files
+      .createTempDirectory(s"graft_sigforget_$tag").toString + "/store"
+    def probe(store: String) = TextDedup
+      .dedupAgainstStore(probeDf, "doc_id", "text", store)
+      .collect().map(r => (r.getAs[Long]("d_hist"), r.getAs[Long]("d_new"),
+        r.getAs[Double]("jac"))).sorted.toSeq
+    // deleted store
+    val del = freshStore("del")
+    TextDedup.writeSignatureStore(corpus, "doc_id", "text", del)
+    TextDedup.deleteFromStore(spark, del,
+      Seq(2L, 3L).toDF("doc_id"), "doc_id")
+    // rebuilt-from-retained store
+    val ref = freshStore("ref")
+    TextDedup.writeSignatureStore(
+      corpus.where(!org.apache.spark.sql.functions.col("doc_id").isin(2L, 3L)),
+      "doc_id", "text", ref)
+    val got = probe(del)
+    assert(got == probe(ref), "deletion must equal a retained-only rebuild")
+    assert(got.map(_._1).toSet == Set(1L), "forgotten docs must not pair")
+  }
+
   test("a crash between compactSwap's renames is recovered on next read") {
     // simulate the mid-swap state: the store was moved aside (.old)
     // but the compacted copy was not yet renamed in — readers must
