@@ -46,7 +46,13 @@ object GraftFunctions {
       children(1).eval().asInstanceOf[Int]).toAggregateExpression()),
     "cdc_chunk_hashes" -> (children => CdcChunkHashes(children(0),
       children(1).eval().asInstanceOf[Int], children(2).eval().asInstanceOf[Int])),
-    "multi_needle_count" -> (children => MultiNeedleCount(children(0), children(1))))
+    "multi_needle_count" -> (children => MultiNeedleCount(children(0), children(1))),
+    "packed_sign_word" -> (children => PackedSignWord(children(0),
+      children(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray(),
+      children(2).eval().asInstanceOf[Long],
+      children(3).eval().asInstanceOf[Int],
+      children(4).eval().asInstanceOf[Int])))
 
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -285,4 +285,57 @@ class ExpressionSpec extends AnyFunSuite {
          |  (x, y) -> x = y), v -> v))""".stripMargin).head().getInt(0)
     assert(native == expected && declarative == expected)
   }
+
+  test("packed_sign_word: codegen equals interpreted equals the aggregate fold") {
+    GraftFunctions.ensureRegistered(spark)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val sqlArr = (x: Array[Long]) => x.map(v => s"${v}L").mkString("array(", ",", ")")
+    // deterministic pseudo-random trials: mixed-sign 1e6-lattice values
+    // with a corpus-count multiplier, over every word window the
+    // binary-code builders use — incl. bit 63 (hi - lo = 63) and a
+    // window past the array end (element_at → NULL → no bit)
+    val rnd = new scala.util.Random(181)
+    for (trial <- 1 to 25) {
+      val dims = 1 + rnd.nextInt(64)
+      val n = 1L + rnd.nextInt(1000000)
+      val sv = Array.fill(dims)(rnd.nextLong(4000001L) - 2000000L)
+      val tot = Array.fill(dims)(rnd.nextLong(4000001L * n) - 2000000L * n)
+      for ((lo, hi) <- Seq((0, 31), (32, 63), (0, 63), (0, dims - 1))) {
+        val expected = (lo to hi).foldLeft(0L) { (acc, i) =>
+          if (i < dims && sv(i) * n > tot(i)) acc | (1L << (i - lo)) else acc
+        }
+        val interpreted = PackedSignWord(
+          Literal.create(ArrayData.toArrayData(sv), ArrayType(LongType)),
+          tot, n, lo, hi).eval(null)
+        assert(interpreted == expected, s"interpreted trial=$trial lo=$lo hi=$hi")
+        val codegen = spark.sql(
+          s"""SELECT packed_sign_word(${sqlArr(sv)}, ${sqlArr(tot)},
+             |  ${n}L, $lo, $hi)""".stripMargin).head().getLong(0)
+        assert(codegen == expected, s"codegen trial=$trial lo=$lo hi=$hi")
+        // the interpreted higher-order fold this expression replaced
+        // (in-bounds windows only — the code builders never exceeded
+        // the array, and ANSI element_at would throw past the end)
+        if (hi < dims) {
+          val fold = spark.sql(
+            s"""SELECT aggregate(sequence($lo, $hi), 0L, (acc, i) ->
+               |  acc | CASE WHEN element_at(${sqlArr(sv)}, i + 1) * ${n}L
+               |                 > element_at(${sqlArr(tot)}, i + 1)
+               |        THEN shiftleft(1L, i - $lo) ELSE 0L END)""".stripMargin)
+            .head().getLong(0)
+          assert(fold == expected, s"fold trial=$trial lo=$lo hi=$hi")
+        }
+      }
+    }
+    // null elements contribute no bit, exactly like the fold's NULL CASE
+    val withNull = spark.sql(
+      "SELECT packed_sign_word(array(5L, NULL, 5L), array(1L, 1L, 1L), 1L, 0, 2)")
+      .head().getLong(0)
+    assert(withNull == 5L) // bits 0 and 2, not bit 1
+    // null vector is null (UnaryExpression null propagation)
+    assert(spark.sql(
+      "SELECT packed_sign_word(CAST(NULL AS array<bigint>), array(1L), 1L, 0, 0)")
+      .head().isNullAt(0))
+  }
 }
