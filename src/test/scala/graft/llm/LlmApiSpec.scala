@@ -378,6 +378,28 @@ class LlmApiSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF tiers release their corpus-sized caches (only local checkpoints remain)") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    VectorSearch.sq8IvfRerank(embs, "vec_id", "embedding", "label",
+      m = 10, k = 3, nprobe = 2).collect()
+    VectorSearch.binaryHammingIvfRerank(embs, "vec_id", "embedding", "label",
+      m = 10, k = 3, nprobe = 2).collect()
+    VectorSearch.ivfSearch(embs, "vec_id", "embedding", "label",
+      k = 3, nprobe = 2).collect()
+    // the code/assignment persists must be dropped by the operators
+    // themselves (a library caller gets no Bench-style bulk cleanup);
+    // only the candidate-pair checkpoint of each call may remain (one
+    // per operator, ContextCleaner-reclaimed once the result drops).
+    // Before the fix this counted 5: sq8IvfRerank and the Hamming tier
+    // each pinned codes + assignment, ivfSearch pinned its assignment.
+    val added = sc.getPersistentRDDs
+      .filterNot { case (id, _) => before.contains(id) }
+    assert(added.size <= 3,
+      s"expected at most one checkpoint per IVF call to remain, got " +
+        s"${added.size}: ${added.values.map(_.toString).mkString(", ")}")
+  }
+
   test("multi-probe ANN strictly improves recall over one probe") {
     def pairSet(probes: Int) =
       VectorSearch.thresholdPairs(embs, "vec_id", "embedding", minCos = 0.0,
