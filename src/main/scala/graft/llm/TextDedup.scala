@@ -399,7 +399,24 @@ object TextDedup {
     */
   def dedupAgainstStore(newBatch: DataFrame, idCol: String, textCol: String,
                         storePath: String, n: Int = 3, k: Int = 12,
-                        bands: Int = 4): DataFrame = {
+                        bands: Int = 4): DataFrame =
+    dedupAgainstStoreKeyed(newBatch, idCol, textCol, storePath, n, k, bands)
+      .dropDuplicates("d_hist", "d_new")
+      .select(col("d_hist"), col("d_new"), col("est_sim"), col("jac"))
+
+  /** [[dedupAgainstStore]] plus the HISTORY side's content fingerprint
+    * (`hist_ckey` — a 64-bit hash of the stored shingle set), one row
+    * per (d_hist, d_new, hist_ckey). The extra column is what lets
+    * [[dedupBatchAndMaintain]]'s replay suppression key on (id,
+    * content) instead of id alone: with id-only suppression, a doc_id
+    * that legitimately RECURS across batches (a re-crawl, a CDC
+    * update) would have its genuine duplicate-against-history pair
+    * silently dropped on every later batch that contains the same id.
+    */
+  private[llm] def dedupAgainstStoreKeyed(newBatch: DataFrame, idCol: String,
+                                          textCol: String, storePath: String,
+                                          n: Int, k: Int,
+                                          bands: Int): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val spark = newBatch.sparkSession
     GraftFunctions.ensureRegistered(spark)
@@ -411,16 +428,18 @@ object TextDedup {
     val cand = hist.as("a").join(fresh.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
       .select(col(s"a.$idCol").as("d_hist"), col(s"b.$idCol").as("d_new"),
+        xxhash64(col("a.hs")).as("hist_ckey"),
         col("a.sig").as("sig1"), col("b.sig").as("sig2"),
         col("a.hs").as("hs1"), col("b.hs").as("hs2"),
         col("a.sz").as("sz1"), col("b.sz").as("sz2"))
-      .dropDuplicates("d_hist", "d_new")
+      .dropDuplicates("d_hist", "d_new", "hist_ckey")
     cand
       .withColumn("est_sim",
         expr("long_vector_eq_count(sig1, sig2)") / k.toDouble)
       .withColumn("inter", size(array_intersect(col("hs1"), col("hs2"))))
       .withColumn("jac", col("inter") / (col("sz1") + col("sz2") - col("inter")))
-      .select(col("d_hist"), col("d_new"), col("est_sim"), col("jac"))
+      .select(col("d_hist"), col("d_new"), col("hist_ckey"),
+        col("est_sim"), col("jac"))
   }
 
   /** The band-folded join key for the BUCKETED store path: band index
@@ -657,7 +676,7 @@ object TextDedup {
 
   /** True iff the store already holds at least one parquet data file
     * (at the root or inside a per-batch subdirectory). */
-  private def storeNonEmpty(spark: SparkSession, storePath: String): Boolean = {
+  private[llm] def storeNonEmpty(spark: SparkSession, storePath: String): Boolean = {
     recoverSwap(spark, storePath)
     val path = new org.apache.hadoop.fs.Path(storePath)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -691,6 +710,7 @@ object TextDedup {
     */
   def compactSignatureStore(spark: SparkSession, storePath: String,
                             outFiles: Int = 1): Unit = {
+    if (!storeNonEmpty(spark, storePath)) return // nothing to compact
     val store = readStore(spark, storePath)
     compactSwap(spark, storePath,
       store.dropDuplicates(store.columns.head).repartition(outFiles))
@@ -700,11 +720,13 @@ object TextDedup {
     * appended (text_sha, keep_id) fragments, re-resolving the
     * canonical id as the minimum across fragments. */
   def compactHashStore(spark: SparkSession, storePath: String,
-                       outFiles: Int = 1): Unit =
+                       outFiles: Int = 1): Unit = {
+    if (!storeNonEmpty(spark, storePath)) return // nothing to compact
     compactSwap(spark, storePath,
       readStore(spark, storePath)
         .groupBy(col("text_sha")).agg(min(col("keep_id")).as("keep_id"))
         .repartition(outFiles))
+  }
 
   /** TARGETED DELETION from a persisted store — the
     * right-to-be-forgotten verb of the incremental-store family: the
@@ -727,10 +749,12 @@ object TextDedup {
     * refresh cycle owes anyway; history TEXT is never rescanned.
     */
   def deleteFromStore(spark: SparkSession, storePath: String,
-                      ids: DataFrame, idCol: String): Unit =
+                      ids: DataFrame, idCol: String): Unit = {
+    if (!storeNonEmpty(spark, storePath)) return // nothing to delete from
     compactSwap(spark, storePath,
       readStore(spark, storePath)
         .join(broadcast(ids.select(col(idCol))), Seq(idCol), "left_anti"))
+  }
 
   /** Write-then-swap: `compacted` (already shaped into its final
     * partitioning/order by the caller) is fully written to a sibling
@@ -755,7 +779,10 @@ object TextDedup {
     recoverSwap(spark, storePath) // crash between the two renames
     if (fs.exists(old)) fs.delete(old, true) // stale aside from a completed swap
     compacted.write.mode("overwrite").parquet(tmp.toString)
-    if (!fs.rename(store, old))
+    // a store path that does not exist yet (a fresh store whose first
+    // write IS this compaction) has nothing to move aside — the swap
+    // degrades to a plain rename-into-place instead of throwing
+    if (fs.exists(store) && !fs.rename(store, old))
       throw new java.io.IOException(s"compactSwap: cannot move $store aside")
     if (!fs.rename(tmp, store)) {
       fs.rename(old, store) // roll back; the original store is intact
@@ -804,9 +831,20 @@ object TextDedup {
         // already counted by selfPairs) is a replay artifact that
         // would double rows in any downstream per-batch sink. The
         // anti-join reproduces the original histPairs exactly in both
-        // timelines.
-        dedupAgainstStore(batch, idCol, textCol, storePath, n, k, bands)
-          .join(batch.select(col(idCol).as("d_hist")), Seq("d_hist"), "left_anti")
+        // timelines — keyed on (id, content fingerprint), NOT id
+        // alone: a doc_id that legitimately recurs across batches
+        // (re-crawl, CDC update) has a DIFFERENT stored shingle set,
+        // so its genuine against-history pair survives; only the
+        // store row this very batch wrote (same id, same content) is
+        // suppressed. (64-bit fingerprint collision odds ~2⁻⁶⁴ — the
+        // minhash-band false-positive floor dwarfs it.)
+        dedupAgainstStoreKeyed(batch, idCol, textCol, storePath, n, k, bands)
+          .join(hashedShingles(batch, idCol, textCol, n)
+              .select(col(idCol).as("d_hist"),
+                xxhash64(col("hs")).as("hist_ckey")),
+            Seq("d_hist", "hist_ckey"), "left_anti")
+          .dropDuplicates("d_hist", "d_new")
+          .select(col("d_hist"), col("d_new"), col("est_sim"), col("jac"))
       else {
         import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
         val idType = batch.schema(idCol).dataType

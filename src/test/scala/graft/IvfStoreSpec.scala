@@ -151,13 +151,35 @@ class IvfStoreSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
       .sortBy(_._1).toSeq
     val committed = codes()
+    val corpus = (hist ++ batch.take(2)).toDF("vec_id", "embedding", "label")
+    def search() = graft.llm.VectorSearch
+      .ivfSq8StoreSearch(corpus, b, "vec_id", "embedding", store,
+        m = 3, k = 2, nprobe = 2)
+      .selectExpr("va", "rn", "vb", "round(cos, 6) AS cos")
+      .orderBy("va", "rn")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val committedSearch = search()
     // replay: marker is gone, so the batch re-appends (duplicates)
     graft.llm.VectorSearch.appendIvfSq8Batch(b, "vec_id", "embedding", store,
       batchId = Some(0L))
     assert(codes().size === committed.size + 2, "replay double-indexed")
-    // the next cycle's compaction heals it, byte-identically
+    // the replay window must ALREADY be correct, not only after the
+    // next compaction: a duplicate vid row would occupy two of the m
+    // candidate slots and displace a genuine neighbor (m = 3 here, so
+    // a doubled candidate would evict the third) — readCodes dedups
+    assert(search() === committedSearch,
+      "duplicate vid rows must not change search results pre-compaction")
+    // the next cycle's compaction heals the store itself, byte-identically
     graft.llm.VectorSearch.compactIvfSq8Store(spark, store)
     assert(codes() === committed)
+  }
+
+  test("compacting a fresh (absent) store is a no-op, not an error") {
+    val store = freshStore("absent")
+    graft.llm.VectorSearch.compactIvfSq8Store(spark, store)
+    assert(!new java.io.File(store).exists,
+      "a no-op on an absent store must not conjure the path")
   }
 
   test("store search equals a plain-Scala replay of the frozen semantics") {

@@ -237,6 +237,50 @@ class PipelineSpec extends AnyFunSuite {
       "replayed pairs must match the original batch's pairs exactly")
   }
 
+  test("a recurring doc_id keeps its genuine against-history pair") {
+    // the id-only replay suppression this pins against: doc_id 7
+    // legitimately RECURS in a later batch with new content (re-crawl
+    // / CDC update); a pair whose d_hist is the STORED doc 7 is
+    // genuine history dedup, not a replay artifact, and must survive
+    val s = spark
+    import s.implicits._
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_sigstore_recur").toString + "/store"
+    TextDedup.dedupBatchAndMaintain(
+      Seq((7L, "alpha beta gamma delta epsilon zeta eta theta"))
+        .toDF("doc_id", "text"), "doc_id", "text", store, batchId = Some(0L))
+    // batch 1: doc 7 recurs with DIFFERENT content; doc 30 duplicates
+    // the STORED content of doc 7
+    val b1 = Seq(
+      (7L, "one two three four five six seven eight"),
+      (30L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    def pairs() = TextDedup
+      .dedupBatchAndMaintain(b1, "doc_id", "text", store, batchId = Some(1L))
+      .select("d_hist", "d_new").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val first = pairs()
+    assert(first == Seq((7L, 30L)),
+      "the stored doc 7's genuine pair must not be suppressed by the " +
+        "recurrence of its id in the batch")
+    // replay: batch 1's survivor (7, new content) is now in the store;
+    // only THAT row's self-match is a replay artifact to suppress
+    assert(pairs() == first,
+      "replayed pairs must match the original batch's pairs exactly")
+  }
+
+  test("compaction and deletion verbs no-op on an absent store path") {
+    val s = spark
+    import s.implicits._
+    val ghost = java.nio.file.Files
+      .createTempDirectory("graft_ghost").toString + "/never_written"
+    TextDedup.compactSignatureStore(s, ghost)
+    TextDedup.compactHashStore(s, ghost)
+    TextDedup.deleteFromStore(s, ghost, Seq(1L).toDF("doc_id"), "doc_id")
+    assert(!new java.io.File(ghost).exists,
+      "a no-op on an absent store must not conjure the path")
+  }
+
   test("deleteFromStore equals rebuilding the store from retained docs") {
     val s = spark
     import s.implicits._
