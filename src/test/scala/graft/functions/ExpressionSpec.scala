@@ -286,6 +286,43 @@ class ExpressionSpec extends AnyFunSuite {
     assert(native == expected && declarative == expected)
   }
 
+  test("multi_needle_count: Aho–Corasick equals the indexOf loop on random needle sets") {
+    // the per-needle greedy reference the automaton must reproduce
+    def loopCount(text: String, nd: String): Long = {
+      var total = 0L; var from = 0
+      var p = text.indexOf(nd, from)
+      while (p >= 0) { total += 1; from = p + nd.length; p = text.indexOf(nd, from) }
+      total
+    }
+    val rnd = new scala.util.Random(186)
+    // a 3-letter alphabet makes overlapping/prefix/suffix needle
+    // relations ("a" < "ab" < "aba", "ba" vs "ab") the COMMON case
+    def randStr(n: Int) =
+      (1 to n).map(_ => "abc" (rnd.nextInt(3))).mkString
+    for (trial <- 1 to 20) {
+      val needles = (Array.fill(60)(randStr(1 + rnd.nextInt(6)))
+        ++ Array("a", "ab", "aba", "abab", "ba", "b", "aa", "aaa")
+        ++ Array.fill(5)(randStr(2))) // duplicates stay: each copy counts
+      val text = randStr(200 + rnd.nextInt(800))
+      val expected = needles.map(loopCount(text, _)).sum
+      val ac = new AhoCorasick(needles)
+      assert(ac.countNonOverlap(text) == expected, s"trial=$trial")
+      // second call on the same (thread-local) scratch must not bleed
+      // greedy cursors across rows
+      assert(ac.countNonOverlap(text) == expected, s"trial=$trial re-run")
+    }
+    // end-to-end through SQL: 133 needles >= AcThreshold engages the
+    // automaton inside whole-stage codegen
+    val needles = (Array.fill(125)(randStr(1 + rnd.nextInt(6)))
+      ++ Array("a", "ab", "aba", "abab", "ba", "b", "aa", "aaa"))
+    assert(needles.length >= MultiNeedleCount.AcThreshold)
+    val text = randStr(1000)
+    val arr = needles.map(n => s"'$n'").mkString("array(", ",", ")")
+    val got = spark.sql(s"SELECT multi_needle_count('$text', $arr)")
+      .head().getLong(0)
+    assert(got == needles.map(loopCount(text, _)).sum)
+  }
+
   test("packed_sign_word: codegen equals interpreted equals the aggregate fold") {
     GraftFunctions.ensureRegistered(spark)
     import org.apache.spark.sql.catalyst.expressions.Literal
