@@ -1323,6 +1323,157 @@ object Dedup {
       |FROM sc WHERE score >= 15
       |ORDER BY a_key, b_key""".stripMargin
 
+  // ---------------------------------------------------------------- q191
+  /** Entity resolution under a HOT blocking key, guarded by
+    * [[graft.operators.Linkage.blockedPairsCapped]]: the q176 pipeline
+    * re-run with a realistic dirty-data hazard — 25% of records on
+    * each side carry a MISSING primary blocking key (empty string,
+    * the "default value" failure mode), so the uncapped first pass
+    * would compare every missing-key record against every other
+    * ((n/4)² pairs, quadratic in the corpus where every honest block
+    * stays ~constant). The cap drops that one block — a block where a
+    * quarter of the corpus agrees on the key carries no discriminating
+    * power anyway — and the fallback pass (mid-name digits + nation)
+    * still links the missing-key records, the multi-pass recall the
+    * blocking design exists for. Per the no-silent-caps rule the
+    * output carries the drop report: `dropped_blocks` and
+    * `comparisons_avoided` (Σ n_a·n_b over dropped blocks) alongside
+    * the per-decision pair counts.
+    *
+    * Scale: the guard costs two narrow per-pass count aggregations +
+    * a broadcast anti-join; what it prevents grows quadratically. At
+    * sf0.01 the hot block alone is ~140k comparisons avoided; at sf1
+    * ~1.4e9 — the difference between a linking job that scales and
+    * one that is quadratic in its dirtiest key.
+    */
+  def q191(spark: SparkSession, sfDir: String): DataFrame = {
+    val c0 = Tables.load(spark, sfDir, "customer")
+    val h1c = pmod(col("c_custkey") * lit(1103515245L) + lit(12345L),
+      lit(2147483648L))
+    val a = c0.withColumn("h1", h1c)
+    val dirty = c0
+      .withColumn("h1", h1c)
+      .select(
+        col("h1"),
+        (col("c_custkey") + lit(1000000L)).as("b_key"),
+        expr(
+          """CASE WHEN h1 % 3 = 0 THEN
+            |  concat(substr(c_name, 1, CAST(9 + (h1 % 9) AS INT)),
+            |         CAST((h1 div 7) % 10 AS STRING),
+            |         substr(c_name, CAST(11 + (h1 % 9) AS INT)))
+            |ELSE c_name END""".stripMargin).as("b_name"),
+        expr("CASE WHEN h1 % 7 = 0 THEN CAST((c_nationkey + 1) % 25 AS INT) " +
+          "ELSE c_nationkey END").as("b_nation"),
+        expr("CASE WHEN h1 % 11 = 0 THEN 'AUTOMOBILE' ELSE c_mktsegment END")
+          .as("b_segment"),
+        expr("CASE WHEN h1 % 5 = 0 THEN round(c_acctbal) ELSE c_acctbal END")
+          .as("b_acctbal"))
+    val (cand, dropped) = graft.operators.Linkage.blockedPairsCapped(
+      a, "c_custkey", dirty, "b_key",
+      Seq(
+        // hot pass: last-4 name digits, MISSING (empty) for h1%4==0
+        (when(col("h1") % 4 === 0, lit(""))
+          .otherwise(substring(col("c_name"), 15, 4)),
+          when(col("h1") % 4 === 0, lit(""))
+            .otherwise(substring(col("b_name"), 15, 4))),
+        // clean fallback pass: mid-name digits + nation (q176 pass 2)
+        (concat_ws("|", substring(col("c_name"), 13, 3),
+          col("c_nationkey").cast("string")),
+          concat_ws("|", substring(col("b_name"), 13, 3),
+            col("b_nation").cast("string")))),
+      maxBlockPairs = 5000L)
+    val scored = cand
+      .join(c0.select(col("c_custkey").as("a_key"), col("c_name"),
+        col("c_nationkey"), col("c_mktsegment"), col("c_acctbal")), "a_key")
+      .join(dirty.drop("h1"), "b_key")
+      .withColumn("score",
+        when(col("c_name") === col("b_name"), 24)
+          .when(levenshtein(col("c_name"), col("b_name")) <= 1, 16)
+          .when(levenshtein(col("c_name"), col("b_name")) <= 2, 8)
+          .otherwise(-8)
+          + when(col("c_nationkey") === col("b_nation"), 6).otherwise(-3)
+          + when(col("c_mktsegment") === col("b_segment"), 4).otherwise(-2)
+          + when(abs(col("c_acctbal") - col("b_acctbal")) <= 1.0, 5).otherwise(-2))
+      .where(col("score") >= 15)
+      .select(col("a_key"),
+        when(col("score") >= 30, "match").otherwise("possible").as("decision"))
+    val drops = dropped.agg(
+      count(lit(1)).as("dropped_blocks"),
+      coalesce(sum(col("n_a") * col("n_b")), lit(0L)).as("comparisons_avoided"))
+    scored.groupBy(col("decision"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("a_key")).as("n_entities"))
+      .crossJoin(broadcast(drops))
+      .orderBy(col("decision"))
+  }
+
+  val q191Sql: String =
+    """WITH src AS (
+      |  SELECT c_custkey,
+      |    (c_custkey * 1103515245 + 12345) % 2147483648 AS h1,
+      |    c_name, c_nationkey, c_mktsegment, c_acctbal
+      |  FROM customer),
+      |b AS (
+      |  SELECT h1, c_custkey + 1000000 AS b_key,
+      |    CASE WHEN h1 % 3 = 0 THEN
+      |      substr(c_name, 1, CAST(9 + (h1 % 9) AS INT)) ||
+      |      CAST((h1 // 7) % 10 AS VARCHAR) ||
+      |      substr(c_name, CAST(11 + (h1 % 9) AS INT))
+      |    ELSE c_name END AS b_name,
+      |    CASE WHEN h1 % 7 = 0 THEN CAST((c_nationkey + 1) % 25 AS INT)
+      |         ELSE c_nationkey END AS b_nation,
+      |    CASE WHEN h1 % 11 = 0 THEN 'AUTOMOBILE' ELSE c_mktsegment END AS b_segment,
+      |    CASE WHEN h1 % 5 = 0 THEN round(c_acctbal) ELSE c_acctbal END AS b_acctbal
+      |  FROM src),
+      |ak0 AS (SELECT c_custkey, CASE WHEN h1 % 4 = 0 THEN ''
+      |          ELSE substr(c_name, 15, 4) END AS blk FROM src),
+      |bk0 AS (SELECT b_key, CASE WHEN h1 % 4 = 0 THEN ''
+      |          ELSE substr(b_name, 15, 4) END AS blk FROM b),
+      |over0 AS (
+      |  SELECT x.blk, x.n_a, y.n_b
+      |  FROM (SELECT blk, COUNT(*) AS n_a FROM ak0 GROUP BY blk) x
+      |  JOIN (SELECT blk, COUNT(*) AS n_b FROM bk0 GROUP BY blk) y USING (blk)
+      |  WHERE x.n_a * y.n_b > 5000),
+      |p0 AS (SELECT ak0.c_custkey AS a_key, bk0.b_key
+      |       FROM ak0 JOIN bk0 USING (blk)
+      |       WHERE blk NOT IN (SELECT blk FROM over0)),
+      |ak1 AS (SELECT c_custkey, substr(c_name, 13, 3) || '|' ||
+      |          CAST(c_nationkey AS VARCHAR) AS blk FROM src),
+      |bk1 AS (SELECT b_key, substr(b_name, 13, 3) || '|' ||
+      |          CAST(b_nation AS VARCHAR) AS blk FROM b),
+      |over1 AS (
+      |  SELECT x.blk, x.n_a, y.n_b
+      |  FROM (SELECT blk, COUNT(*) AS n_a FROM ak1 GROUP BY blk) x
+      |  JOIN (SELECT blk, COUNT(*) AS n_b FROM bk1 GROUP BY blk) y USING (blk)
+      |  WHERE x.n_a * y.n_b > 5000),
+      |p1 AS (SELECT ak1.c_custkey AS a_key, bk1.b_key
+      |       FROM ak1 JOIN bk1 USING (blk)
+      |       WHERE blk NOT IN (SELECT blk FROM over1)),
+      |cand AS (SELECT a_key, b_key FROM p0 UNION SELECT a_key, b_key FROM p1),
+      |sc AS (
+      |  SELECT c.a_key,
+      |    (CASE WHEN a.c_name = bb.b_name THEN 24
+      |          WHEN levenshtein(a.c_name, bb.b_name) <= 1 THEN 16
+      |          WHEN levenshtein(a.c_name, bb.b_name) <= 2 THEN 8 ELSE -8 END
+      |     + CASE WHEN a.c_nationkey = bb.b_nation THEN 6 ELSE -3 END
+      |     + CASE WHEN a.c_mktsegment = bb.b_segment THEN 4 ELSE -2 END
+      |     + CASE WHEN abs(a.c_acctbal - bb.b_acctbal) <= 1.0 THEN 5 ELSE -2 END) AS score
+      |  FROM cand c
+      |  JOIN customer a ON a.c_custkey = c.a_key
+      |  JOIN b bb ON bb.b_key = c.b_key),
+      |drops AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS dropped_blocks,
+      |         CAST(COALESCE(SUM(n_a * n_b), 0) AS BIGINT) AS comparisons_avoided
+      |  FROM (SELECT n_a, n_b FROM over0 UNION ALL SELECT n_a, n_b FROM over1))
+      |SELECT CASE WHEN score >= 30 THEN 'match' ELSE 'possible' END AS decision,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(COUNT(DISTINCT a_key) AS BIGINT) AS n_entities,
+      |  dropped_blocks, comparisons_avoided
+      |FROM sc CROSS JOIN drops
+      |WHERE score >= 15
+      |GROUP BY decision, dropped_blocks, comparisons_avoided
+      |ORDER BY decision""".stripMargin
+
   // ---------------------------------------------------------------- q185
   /** Order-invariant exact dedup: documents are grouped by a
     * bag-of-words fingerprint — [[PolyHash]] over the SORTED token
@@ -1425,6 +1576,7 @@ object Dedup {
     ("q155_cc_incremental", q155 _, Some(q155Sql)),
     ("q156_cdc_chunk_dedup", q156 _, Some(q156Sql)),
     ("q176_entity_resolution", q176 _, Some(q176Sql)),
+    ("q191_entity_resolution_capped", q191 _, Some(q191Sql)),
     ("q185_bow_fingerprint_dedup", q185 _, Some(q185Sql)),
     ("q190_store_forget", q190 _, Some(q190Sql))
   )
