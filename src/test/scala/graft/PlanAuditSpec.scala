@@ -54,7 +54,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q179_heaps_curve", // 1-row corpus-size broadcast + 10x10 decile triangle join over decile aggregates
     "q187_source_kl_divergence", // 1-row corpus-token-total broadcast into the KL terms
     "q188_bm25_maxscore", // q90's 1-row (N,T) broadcast + 1-row theta-threshold broadcast into the sieve
-    "q189_bm25_champion_lists") // q90's 1-row (N,T) broadcast on the exhaustive-fallback path
+    "q189_bm25_champion_lists", // q90's 1-row (N,T) broadcast on the exhaustive-fallback path
+    "q191_entity_resolution_capped") // 1-row dropped-block report broadcast onto the decision summary
 
   test("no declared query plans a cartesian product; BNLJ only where intended") {
     // streaming queries execute on materialization, not plan-inspectable
