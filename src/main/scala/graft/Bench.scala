@@ -55,6 +55,12 @@ object Bench {
     // unset (the driver's mode) = run everything
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // optional exact-name exclusion for the sf1 scale sweep, where the
+    // declared-quadratic all-pairs baselines are excluded by design
+    // (same set as SPARK_GRAFT_VERIFY_SKIP, see the verify skill)
+    val skipped = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     // the queries whose r4/r5 artifacts swung hardest under machine
     // load get one extra trial: min-of-3 keeps a single contended run
     // from minting a phantom regression in the per-round artifact
@@ -63,7 +69,7 @@ object Bench {
       "q69_stream_stream_join", "q102_column_profile")
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) => only.forall(_.contains(name)) && !skipped(name) }
       .map { case (name, fn) =>
       val qTrials = if (noiseProne(name)) math.max(trials, 3) else trials
       val times = (1 to qTrials).map { _ =>

@@ -1449,6 +1449,156 @@ object Similarity {
        |  FROM ex) WHERE rn <= 3
        |ORDER BY va, rn""".stripMargin
 
+  // ---------------------------------------------------------------- q192
+  /** IVF-pruned product-quantization search + exact rerank
+    * ([[graft.llm.VectorSearch.pqIvfRerank]]) — the IVFPQ composition
+    * (Jégou 2011 §IV, the production FAISS shape) completing the
+    * quantization ladder's composed tiers: q165 = IVF+SQ8 (64 B
+    * codes), q181 = IVF+sign-bit (8 B), q192 = IVF+PQ (4 small-int
+    * codes), all three behind the same salted candidate scaffolding.
+    * The q57 coarse quantizer prunes to nprobe=2 lists; within them
+    * pairs rank by symmetric PQ distance — 4 lookups into the
+    * driver-computed 4×4 inter-centroid tables, no vector arithmetic
+    * in the scan; the top-10 rerank with the exact cosine. The oracle
+    * re-derives the four codebooks (q115's training CTEs), re-encodes
+    * the distinct vectors, rebuilds the SDC tables, and replays the
+    * probe-list candidate generation in q165's contracted form.
+    * Output shape matches q165/q181 for direct recall comparison.
+    */
+  def q192(spark: SparkSession, sfDir: String): DataFrame =
+    graft.llm.VectorSearch
+      .pqIvfRerank(emb(spark, sfDir), "vec_id", "embedding", "label",
+        mSub = 4, kCode = 4, passes = 2, m = 10, k = 3, nprobe = 2)
+      .select(col("va"), col("rn"), col("vb"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("va"), col("rn"))
+
+  val q192Sql: String = {
+    val m = 4; val sub = 16
+    // per-subspace codebook training at vec level (q115's CTE chain,
+    // training only — encoding below runs on the contracted reps)
+    def bookCtes(s: Int): String = {
+      val lo = s * sub + 1; val hi = (s + 1) * sub
+      s"""sv$s AS (SELECT vec_id, sv[$lo:$hi] AS sv FROM svq),
+         |c0$s AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid, sv AS m
+         |  FROM (SELECT * FROM sv$s ORDER BY vec_id LIMIT 4)),
+         |d1$s AS (
+         |  SELECT v.vec_id, c.cid,
+         |    CAST(SUM((v.sv[i+1] - c.m[i+1]) * (v.sv[i+1] - c.m[i+1])) AS BIGINT) AS d2
+         |  FROM sv$s v CROSS JOIN c0$s c CROSS JOIN range(0, $sub) r(i)
+         |  GROUP BY v.vec_id, c.cid),
+         |a1$s AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM d1$s) WHERE rn = 1),
+         |cb$s AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY cid) AS INT) AS pos, m FROM (
+         |    SELECT cid, list(mm ORDER BY d) AS m FROM (
+         |      SELECT a.cid, r.i AS d,
+         |        CAST(SUM(v.sv[r.i+1]) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mm
+         |      FROM a1$s a JOIN sv$s v USING (vec_id) CROSS JOIN range(0, $sub) r(i)
+         |      GROUP BY a.cid, r.i)
+         |    GROUP BY cid)),
+         |tab$s AS (
+         |  SELECT a.pos AS pa, b.pos AS pb,
+         |    CAST(SUM((a.m[i+1] - b.m[i+1]) * (a.m[i+1] - b.m[i+1])) AS BIGINT) AS d
+         |  FROM cb$s a CROSS JOIN cb$s b CROSS JOIN range(0, $sub) r(i)
+         |  GROUP BY a.pos, b.pos),
+         |rsv$s AS (SELECT rep, sv[$lo:$hi] AS sv FROM rsvq),
+         |rdc$s AS (
+         |  SELECT v.rep, c.pos,
+         |    CAST(SUM((v.sv[i+1] - c.m[i+1]) * (v.sv[i+1] - c.m[i+1])) AS BIGINT) AS d2
+         |  FROM rsv$s v CROSS JOIN cb$s c CROSS JOIN range(0, $sub) r(i)
+         |  GROUP BY v.rep, c.pos),
+         |rcode$s AS (
+         |  SELECT rep, pos AS k$s FROM (
+         |    SELECT rep, pos,
+         |      ROW_NUMBER() OVER (PARTITION BY rep ORDER BY d2, pos) AS rn
+         |    FROM rdc$s) WHERE rn = 1)""".stripMargin
+    }
+    val rcodeJoins = (1 until m)
+      .map(s => s"JOIN rcode$s r$s USING (rep)").mkString(" ")
+    val codeSel = (0 until m).map(s => s"r$s.k$s").mkString(", ")
+    val tabJoins = (0 until m)
+      .map(s => s"JOIN tab$s t$s ON t$s.pa = ca.k$s AND t$s.pb = cdb.k$s")
+      .mkString("\n  ")
+    val sdcSum = (0 until m).map(s => s"t$s.d").mkString(" + ")
+    s"""WITH svq AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS sv
+       |  FROM embeddings),
+       |vg AS (
+       |  SELECT MIN(vec_id) AS rep, COUNT(*) AS cnt, list(vec_id) AS ids, embedding
+       |  FROM embeddings GROUP BY embedding),
+       |rsvq AS (
+       |  SELECT rep, list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS sv
+       |  FROM vg),
+       |dims AS (
+       |  SELECT vec_id, label, t.i, CAST(embedding[t.i + 1] AS DOUBLE) AS x
+       |  FROM embeddings CROSS JOIN range(0, 64) t(i)),
+       |cents AS (
+       |  SELECT label, i,
+       |    CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS c
+       |  FROM dims GROUP BY label, i),
+       |rdims AS (
+       |  SELECT rep, t.i, CAST(embedding[t.i + 1] AS DOUBLE) AS x
+       |  FROM vg CROSS JOIN range(0, 64) t(i)),
+       |rd2 AS (
+       |  SELECT d.rep, c.label,
+       |    CAST(SUM(CAST((x - c) * (x - c) AS DECIMAL(38,12))) AS DOUBLE) AS d2
+       |  FROM rdims d JOIN cents c USING (i) GROUP BY d.rep, c.label),
+       |rassign AS (
+       |  SELECT rep, label,
+       |    ROW_NUMBER() OVER (PARTITION BY rep ORDER BY d2, label) AS arn
+       |  FROM rd2),
+       |${(0 until m).map(bookCtes).mkString(",\n")},
+       |rcodes AS (SELECT r0.rep, $codeSel FROM rcode0 r0 $rcodeJoins),
+       |gs AS (
+       |  SELECT p.rep AS ga, h.rep AS gb, -($sdcSum) AS score
+       |  FROM rassign p JOIN rassign h
+       |    ON p.label = h.label AND h.arn = 1 AND p.arn <= 2
+       |  JOIN rcodes ca ON ca.rep = p.rep
+       |  JOIN rcodes cdb ON cdb.rep = h.rep
+       |  $tabJoins),
+       |gc AS (
+       |  SELECT ga, gb, score,
+       |    CASE WHEN ga = gb THEN vb.cnt - 1 ELSE vb.cnt END AS eff
+       |  FROM gs JOIN vg vb ON vb.rep = gb
+       |  WHERE NOT (ga = gb AND vb.cnt = 1)),
+       |lvl AS (SELECT ga, score, SUM(eff) AS ecnt FROM gc GROUP BY ga, score),
+       |lvl2 AS (SELECT ga, score,
+       |    COALESCE(SUM(ecnt) OVER (PARTITION BY ga ORDER BY score DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS hc
+       |  FROM lvl),
+       |keep AS (SELECT gc.ga, gc.gb, gc.score FROM gc
+       |         JOIN lvl2 ON lvl2.ga = gc.ga AND lvl2.score = gc.score
+       |         WHERE lvl2.hc <= 10),
+       |mem AS (SELECT rep, unnest(ids) AS vec_id FROM vg),
+       |cand AS (
+       |  SELECT va, vb FROM (
+       |    SELECT ma.vec_id AS va, mb.vec_id AS vb,
+       |      ROW_NUMBER() OVER (PARTITION BY ma.vec_id ORDER BY k.score DESC, mb.vec_id) AS crn
+       |    FROM keep k JOIN mem ma ON ma.rep = k.ga JOIN mem mb ON mb.rep = k.gb
+       |    WHERE ma.vec_id <> mb.vec_id) WHERE crn <= 10),
+       |nrm AS (
+       |  SELECT vec_id, embedding, sqrt(${dotSqlDuck("embedding", "embedding")}) AS nrm
+       |  FROM embeddings CROSS JOIN range(0, 64) t(i) GROUP BY vec_id, embedding),
+       |ex AS (
+       |  SELECT c.va, c.vb,
+       |    (${dotSqlDuck("x.embedding", "y.embedding")}) / (ANY_VALUE(x.nrm) * ANY_VALUE(y.nrm)) AS cos
+       |  FROM cand c JOIN nrm x ON x.vec_id = c.va JOIN nrm y ON y.vec_id = c.vb
+       |  CROSS JOIN range(0, 64) t(i)
+       |  GROUP BY c.va, c.vb)
+       |SELECT va, rn, vb, ROUND(cos, 6) AS cos FROM (
+       |  SELECT va, vb, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rn
+       |  FROM ex) WHERE rn <= 3
+       |ORDER BY va, rn""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q151
   /** Weighted majority-vote label aggregation with annotator
     * reliability (one deterministic round of the Dawid–Skene EM
@@ -1672,6 +1822,7 @@ object Similarity {
     ("q174_binary_hamming_search", q174 _, Some(q174Sql)),
     ("q175_ivf_store_incremental", q175 _, Some(q175Sql)),
     ("q181_ivf_hamming_search", q181 _, Some(q181Sql)),
+    ("q192_ivf_pq_search", q192 _, Some(q192Sql)),
     // same oracle as q175 by design: the streamed maintenance cycle
     // must converge to the identical merged index
     ("q183_stream_ivf_maintain", q183 _, Some(q175Sql))
