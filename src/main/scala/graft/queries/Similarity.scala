@@ -1474,30 +1474,38 @@ object Similarity {
 
   val q192Sql: String = {
     val m = 4; val sub = 16
-    // per-subspace codebook training at vec level (q115's CTE chain,
-    // training only — encoding below runs on the contracted reps)
+    // per-subspace codebook training CONTRACTED to distinct vectors
+    // with multiplicity weights (the q149/q165 oracle style): Lloyd
+    // assignment is a pure function of the vector, and the weighted
+    // mean Σ cnt·sv / Σ cnt is integer-identical to the row-level
+    // mean — lossless at every scale, and the quadratic-ish training
+    // CTEs run over reps instead of the replicated corpus (the
+    // vec-level form stacked on the candidate stage timed out the
+    // 600 s sf1 oracle budget)
     def bookCtes(s: Int): String = {
       val lo = s * sub + 1; val hi = (s + 1) * sub
-      s"""sv$s AS (SELECT vec_id, sv[$lo:$hi] AS sv FROM svq),
+      s"""rsv$s AS (SELECT rep, cnt, sv[$lo:$hi] AS sv FROM rsvq),
          |c0$s AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid, sv AS m
-         |  FROM (SELECT * FROM sv$s ORDER BY vec_id LIMIT 4)),
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid,
+         |    sv[$lo:$hi] AS m
+         |  FROM seed),
          |d1$s AS (
-         |  SELECT v.vec_id, c.cid,
+         |  SELECT v.rep, v.cnt, c.cid,
          |    CAST(SUM((v.sv[i+1] - c.m[i+1]) * (v.sv[i+1] - c.m[i+1])) AS BIGINT) AS d2
-         |  FROM sv$s v CROSS JOIN c0$s c CROSS JOIN range(0, $sub) r(i)
-         |  GROUP BY v.vec_id, c.cid),
+         |  FROM rsv$s v CROSS JOIN c0$s c CROSS JOIN range(0, $sub) r(i)
+         |  GROUP BY v.rep, v.cnt, c.cid),
          |a1$s AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT vec_id, cid,
-         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |  SELECT rep, cnt, cid FROM (
+         |    SELECT rep, cnt, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY rep ORDER BY d2, cid) AS rn
          |    FROM d1$s) WHERE rn = 1),
          |cb$s AS (
          |  SELECT CAST(row_number() OVER (ORDER BY cid) AS INT) AS pos, m FROM (
          |    SELECT cid, list(mm ORDER BY d) AS m FROM (
          |      SELECT a.cid, r.i AS d,
-         |        CAST(SUM(v.sv[r.i+1]) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mm
-         |      FROM a1$s a JOIN sv$s v USING (vec_id) CROSS JOIN range(0, $sub) r(i)
+         |        CAST(SUM(v.sv[r.i+1] * a.cnt) AS BIGINT)
+         |          // CAST(SUM(a.cnt) AS BIGINT) AS mm
+         |      FROM a1$s a JOIN rsv$s v USING (rep) CROSS JOIN range(0, $sub) r(i)
          |      GROUP BY a.cid, r.i)
          |    GROUP BY cid)),
          |tab$s AS (
@@ -1505,7 +1513,6 @@ object Similarity {
          |    CAST(SUM((a.m[i+1] - b.m[i+1]) * (a.m[i+1] - b.m[i+1])) AS BIGINT) AS d
          |  FROM cb$s a CROSS JOIN cb$s b CROSS JOIN range(0, $sub) r(i)
          |  GROUP BY a.pos, b.pos),
-         |rsv$s AS (SELECT rep, sv[$lo:$hi] AS sv FROM rsvq),
          |rdc$s AS (
          |  SELECT v.rep, c.pos,
          |    CAST(SUM((v.sv[i+1] - c.m[i+1]) * (v.sv[i+1] - c.m[i+1])) AS BIGINT) AS d2
@@ -1524,18 +1531,17 @@ object Similarity {
       .map(s => s"JOIN tab$s t$s ON t$s.pa = ca.k$s AND t$s.pb = cdb.k$s")
       .mkString("\n  ")
     val sdcSum = (0 until m).map(s => s"t$s.d").mkString(" + ")
-    s"""WITH svq AS (
-       |  SELECT vec_id,
-       |    list_transform(embedding,
-       |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS sv
-       |  FROM embeddings),
-       |vg AS (
+    s"""WITH vg AS (
        |  SELECT MIN(vec_id) AS rep, COUNT(*) AS cnt, list(vec_id) AS ids, embedding
        |  FROM embeddings GROUP BY embedding),
        |rsvq AS (
-       |  SELECT rep, list_transform(embedding,
+       |  SELECT rep, cnt, list_transform(embedding,
        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS sv
        |  FROM vg),
+       |mem AS (SELECT rep, unnest(ids) AS vec_id FROM vg),
+       |seed AS (
+       |  SELECT m.vec_id, r.sv FROM mem m JOIN rsvq r USING (rep)
+       |  ORDER BY m.vec_id LIMIT 4),
        |dims AS (
        |  SELECT vec_id, label, t.i, CAST(embedding[t.i + 1] AS DOUBLE) AS x
        |  FROM embeddings CROSS JOIN range(0, 64) t(i)),
@@ -1576,7 +1582,6 @@ object Similarity {
        |keep AS (SELECT gc.ga, gc.gb, gc.score FROM gc
        |         JOIN lvl2 ON lvl2.ga = gc.ga AND lvl2.score = gc.score
        |         WHERE lvl2.hc <= 10),
-       |mem AS (SELECT rep, unnest(ids) AS vec_id FROM vg),
        |cand AS (
        |  SELECT va, vb FROM (
        |    SELECT ma.vec_id AS va, mb.vec_id AS vb,
