@@ -1104,6 +1104,71 @@ object Events {
       |FROM res r JOIN madt m USING (event_type)
       |ORDER BY r.event_type, r.day""".stripMargin
 
+  // ---------------------------------------------------------------- q194
+  /** Count-Min sketch point-frequency estimation
+    * ([[graft.operators.CountMin]] — Cormode & Muthukrishnan 2005)
+    * over per-user event counts, built the MERGEABLE way: one d×w
+    * grid per day, merged by cell-wise addition into the full-period
+    * grid (CMS linearity — the q78/q87 never-rescan-history
+    * discipline applied to point frequencies; the oracle builds the
+    * global grid directly, so the per-day-partials-then-merge path is
+    * hash-checked equal to the one-shot build). Estimates = min over
+    * the d counters per user; output is the top-20 users by exact
+    * count with their estimate, overcount (≥ 0 by construction — CMS
+    * never undercounts) and a deterministic ≤ 3N/w envelope boolean
+    * (the paper's εN at w = ⌈e/ε⌉, e rounded up to 3), the
+    * q56/q78-style check that the hash grid behaves.
+    *
+    * Scale shape: the sketch pass is one partial-aggregated shuffle
+    * of ≤ partitions·d·w cell rows; the merged grid (d·w cells) is
+    * broadcast to the probe join; exact counts cost one group-by —
+    * present here only because the evaluation reports estimate vs
+    * truth (production serves estimates from the grid alone).
+    */
+  def q194(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.CountMin
+    val d = 4; val w = 128
+    val e = ev(spark, sfDir).select(col("user_id"), to_date(col("ts")).as("day"))
+    val grid = CountMin.merge(CountMin.sketch(e, "user_id", d, w, Seq("day")))
+    val est = CountMin.estimates(grid, e.select("user_id"), "user_id", d, w)
+    val exact = e.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+    val tot = e.agg(count(lit(1)).as("n_total"))
+    exact.join(est, exact("user_id").cast("string") === est("term"))
+      .crossJoin(broadcast(tot))
+      .withColumn("overcount", col("est") - col("n_exact"))
+      .select(col("user_id"), col("n_exact"), col("est").as("n_est"),
+        col("overcount"),
+        (col("overcount") * w <= lit(3) * col("n_total")).as("within_bound"))
+      .orderBy(col("n_exact").desc, col("user_id"))
+      .limit(20)
+  }
+
+  val q194Sql: String = {
+    val d = 4; val w = 128
+    val ph = graft.functions.PolyHash.duckdbSql(
+      "(CAST(r.r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR))")
+    s"""WITH e AS (SELECT user_id FROM events),
+       |tot AS (SELECT COUNT(*) AS n FROM e),
+       |cells AS (
+       |  SELECT r, b, COUNT(*) AS c FROM (
+       |    SELECT r.r AS r, ($ph % $w) AS b
+       |    FROM e CROSS JOIN range(0, $d) r(r))
+       |  GROUP BY r, b),
+       |probes AS (
+       |  SELECT user_id, r.r AS r, ($ph % $w) AS b
+       |  FROM (SELECT DISTINCT user_id FROM e) CROSS JOIN range(0, $d) r(r)),
+       |est AS (
+       |  SELECT p.user_id, MIN(c.c) AS n_est
+       |  FROM probes p JOIN cells c ON c.r = p.r AND c.b = p.b
+       |  GROUP BY p.user_id),
+       |ex AS (SELECT user_id, COUNT(*) AS n_exact FROM e GROUP BY user_id)
+       |SELECT ex.user_id, ex.n_exact, est.n_est,
+       |  est.n_est - ex.n_exact AS overcount,
+       |  ((est.n_est - ex.n_exact) * $w <= 3 * tot.n) AS within_bound
+       |FROM ex JOIN est USING (user_id) CROSS JOIN tot
+       |ORDER BY ex.n_exact DESC, ex.user_id LIMIT 20""".stripMargin
+  }
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_events_json_stats", q23 _, Some(q23Sql)),
     ("q24_events_daily_window", q24 _, Some(q24Sql)),
@@ -1128,6 +1193,7 @@ object Events {
     ("q161_markov_holdout_eval", q161 _, Some(q161Sql)),
     ("q164_asof_tolerance", q164 _, Some(q164Sql)),
     ("q177_cuped_experiment", q177 _, Some(q177Sql)),
-    ("q178_seasonal_anomaly", q178 _, Some(q178Sql))
+    ("q178_seasonal_anomaly", q178 _, Some(q178Sql)),
+    ("q194_countmin_frequency", q194 _, Some(q194Sql))
   )
 }

@@ -1800,6 +1800,213 @@ object Similarity {
        |        (3.0 * (SELECT COUNT(DISTINCT va) FROM f3)), 6) AS recall""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q193
+  /** MMR diversified top-k ([[graft.llm.VectorSearch.mmrSelect]] —
+    * Carbonell & Goldstein, SIGIR 1998): the smallest-id vector is
+    * the query, its 20 nearest candidates (exact lattice L2) are the
+    * pool, and 5 results are picked greedily maximizing the λ = 1/2
+    * MMR objective ×2 = `min_{s∈S} d2(d,s) − d2(q,d)` in exact long
+    * arithmetic (first pick = most relevant). The oracle re-derives
+    * the pool and unrolls all five greedy rounds (the q130 style),
+    * so the selection ORDER — not just the set — is hash-checked.
+    */
+  def q193(spark: SparkSession, sfDir: String): DataFrame =
+    graft.llm.VectorSearch
+      .mmrSelect(emb(spark, sfDir), "vec_id", "embedding", n = 20, k = 5)
+      .orderBy(col("round"))
+
+  val q193Sql: String = {
+    val n = 20; val k = 5
+    val sb = new StringBuilder
+    sb.append(s"""WITH sv AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS sv
+      |  FROM embeddings),
+      |q AS (SELECT vec_id, sv FROM sv ORDER BY vec_id LIMIT 1),
+      |dq AS (
+      |  SELECT v.vec_id,
+      |    CAST(SUM((v.sv[i+1] - q.sv[i+1]) * (v.sv[i+1] - q.sv[i+1])) AS BIGINT) AS d2q
+      |  FROM sv v CROSS JOIN q CROSS JOIN range(0, 64) t(i)
+      |  WHERE v.vec_id <> q.vec_id GROUP BY v.vec_id),
+      |pool AS (SELECT vec_id, d2q FROM dq ORDER BY d2q, vec_id LIMIT $n),
+      |psv AS (SELECT p.vec_id, p.d2q, s.sv FROM pool p JOIN sv s USING (vec_id)),
+      |pd AS (
+      |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+      |    CAST(SUM((a.sv[i+1] - b.sv[i+1]) * (a.sv[i+1] - b.sv[i+1])) AS BIGINT) AS d2
+      |  FROM psv a JOIN psv b ON a.vec_id <> b.vec_id CROSS JOIN range(0, 64) t(i)
+      |  GROUP BY a.vec_id, b.vec_id),
+      |p1 AS (SELECT vec_id, d2q, CAST(0 AS BIGINT) AS dv
+      |       FROM pool ORDER BY d2q, vec_id LIMIT 1)""".stripMargin)
+    for (r <- 2 to k) {
+      val selset = (1 until r).map(i => s"SELECT vec_id FROM p$i")
+        .mkString(" UNION ALL ")
+      sb.append(s""",
+        |p$r AS (
+        |  SELECT vec_id, d2q, dv FROM (
+        |    SELECT p.vec_id AS vec_id, p.d2q AS d2q, MIN(pd.d2) AS dv
+        |    FROM pool p JOIN pd ON pd.ia = p.vec_id AND pd.ib IN ($selset)
+        |    WHERE p.vec_id NOT IN ($selset)
+        |    GROUP BY p.vec_id, p.d2q)
+        |  ORDER BY (dv - d2q) DESC, vec_id LIMIT 1)""".stripMargin)
+    }
+    sb.append((1 to k)
+      .map(r => s"SELECT $r AS round, vec_id, d2q AS rel_d2, dv AS div_d2 FROM p$r")
+      .mkString("\n", "\nUNION ALL\n", "\nORDER BY round"))
+    sb.toString
+  }
+
+  /** q165's contracted IVF+SQ8 oracle, parameterized by a candidate
+    * (member) predicate and a query predicate — the shared oracle
+    * behind the filtered-search (q196) and store-deletion (q195)
+    * variants. `queryIsMember` states whether every query satisfies
+    * the member predicate (then a query's own group loses one
+    * candidate to self-exclusion) or the two slices are disjoint
+    * (then self-exclusion never fires). The codebook, SQ8 stats and
+    * assignments are always FULL-corpus — one shared index serves
+    * every filter, and deletion does not retrain (see
+    * [[graft.llm.VectorSearch.deleteFromIvfStore]]).
+    */
+  private def ivfSq8FilteredSql(memberPred: String, queryPred: String,
+                                queryIsMember: Boolean): String = {
+    val (effExpr, gcWhere) =
+      if (queryIsMember)
+        ("CASE WHEN ga = gb THEN f.fcnt - 1 ELSE f.fcnt END",
+          "WHERE NOT (ga = gb AND f.fcnt = 1)")
+      else ("f.fcnt", "")
+    s"""WITH vg AS (
+       |  SELECT MIN(vec_id) AS rep, COUNT(*) AS cnt, list(vec_id) AS ids, embedding
+       |  FROM embeddings GROUP BY embedding),
+       |mem AS (SELECT rep, unnest(ids) AS vec_id FROM vg),
+       |fmem AS (SELECT rep, vec_id FROM mem WHERE $memberPred),
+       |fct AS (SELECT rep, COUNT(*) AS fcnt FROM fmem GROUP BY rep),
+       |dims AS (
+       |  SELECT vec_id, label, t.i, CAST(embedding[t.i + 1] AS DOUBLE) AS x
+       |  FROM embeddings CROSS JOIN range(0, 64) t(i)),
+       |cents AS (
+       |  SELECT label, i,
+       |    CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS c
+       |  FROM dims GROUP BY label, i),
+       |st AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM dims GROUP BY i),
+       |rdims AS (
+       |  SELECT rep, t.i, CAST(embedding[t.i + 1] AS DOUBLE) AS x
+       |  FROM vg CROSS JOIN range(0, 64) t(i)),
+       |rd2 AS (
+       |  SELECT d.rep, c.label,
+       |    CAST(SUM(CAST((x - c) * (x - c) AS DECIMAL(38,12))) AS DOUBLE) AS d2
+       |  FROM rdims d JOIN cents c USING (i) GROUP BY d.rep, c.label),
+       |rassign AS (
+       |  SELECT rep, label,
+       |    ROW_NUMBER() OVER (PARTITION BY rep ORDER BY d2, label) AS arn
+       |  FROM rd2),
+       |qd AS (
+       |  SELECT rep, d.i,
+       |    CASE WHEN mx = mn THEN 0
+       |         ELSE CAST(floor((x - mn) / (mx - mn) * 255.0 + 0.5) AS BIGINT) END AS q
+       |  FROM rdims d JOIN st USING (i)),
+       |qv AS (SELECT rep, list(CAST(q AS DOUBLE) ORDER BY i) AS v FROM qd GROUP BY rep),
+       |gs AS (
+       |  SELECT p.rep AS ga, h.rep AS gb,
+       |    CAST(list_dot_product(a.v, b.v) AS BIGINT) AS score
+       |  FROM rassign p JOIN rassign h
+       |    ON p.label = h.label AND h.arn = 1 AND p.arn <= 2
+       |  JOIN qv a ON a.rep = p.rep JOIN qv b ON b.rep = h.rep),
+       |gc AS (
+       |  SELECT ga, gb, score, $effExpr AS eff
+       |  FROM gs JOIN fct f ON f.rep = gb
+       |  $gcWhere),
+       |lvl AS (SELECT ga, score, SUM(eff) AS ecnt FROM gc GROUP BY ga, score),
+       |lvl2 AS (SELECT ga, score,
+       |    COALESCE(SUM(ecnt) OVER (PARTITION BY ga ORDER BY score DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS hc
+       |  FROM lvl),
+       |keep AS (SELECT gc.ga, gc.gb, gc.score FROM gc
+       |         JOIN lvl2 ON lvl2.ga = gc.ga AND lvl2.score = gc.score
+       |         WHERE lvl2.hc <= 10),
+       |cand AS (
+       |  SELECT va, vb FROM (
+       |    SELECT ma.vec_id AS va, mb.vec_id AS vb,
+       |      ROW_NUMBER() OVER (PARTITION BY ma.vec_id ORDER BY k.score DESC, mb.vec_id) AS crn
+       |    FROM keep k JOIN mem ma ON ma.rep = k.ga JOIN fmem mb ON mb.rep = k.gb
+       |    WHERE ma.vec_id <> mb.vec_id AND ($queryPred)) WHERE crn <= 10),
+       |nrm AS (
+       |  SELECT vec_id, embedding, sqrt(${dotSqlDuck("embedding", "embedding")}) AS nrm
+       |  FROM embeddings CROSS JOIN range(0, 64) t(i) GROUP BY vec_id, embedding),
+       |ex AS (
+       |  SELECT c.va, c.vb,
+       |    (${dotSqlDuck("x.embedding", "y.embedding")}) / (ANY_VALUE(x.nrm) * ANY_VALUE(y.nrm)) AS cos
+       |  FROM cand c JOIN nrm x ON x.vec_id = c.va JOIN nrm y ON y.vec_id = c.vb
+       |  CROSS JOIN range(0, 64) t(i)
+       |  GROUP BY c.va, c.vb)
+       |SELECT va, rn, vb, ROUND(cos, 6) AS cos FROM (
+       |  SELECT va, vb, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rn
+       |  FROM ex) WHERE rn <= 3
+       |ORDER BY va, rn""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q195
+  /** Right-to-be-forgotten deletion from the persisted ANN index
+    * ([[graft.llm.VectorSearch.deleteFromIvfStore]]) — q190's RTBF
+    * contract applied to the vector store: the full corpus builds a
+    * q175-style IVF+SQ8 index, a forget-set (vec_id ≡ 3 mod 7) is
+    * deleted by anti-join + write-then-swap rewrite of `codes/`, and
+    * the post-deletion search (queries = the vec_id ≡ 0 mod 5 slice
+    * minus forgotten) must behave as if the forgotten vectors were
+    * never indexed — no forgotten id may appear as a neighbor, and no
+    * candidate slot may be consumed by one. The codebook and SQ8
+    * stats are retained aggregates (model parameters, not per-subject
+    * rows — the scaladoc's RTBF boundary), so the oracle trains on
+    * the FULL corpus and filters only the candidate membership.
+    */
+  def q195(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val forget = e.where(pmod(col("vec_id"), lit(7)) === 3)
+      .select(col("vec_id"))
+    val store = graft.Tables.scratchDir(spark, "ivfrtbf", sfDir)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(store), true)
+    graft.llm.VectorSearch.buildIvfSq8Store(e, "vec_id", "embedding",
+      "label", store)
+    graft.llm.VectorSearch.deleteFromIvfStore(spark, store, forget)
+    val kept = e.where(pmod(col("vec_id"), lit(7)) =!= 3)
+    val queries = kept.where(pmod(col("vec_id"), lit(5)) === 0)
+    graft.llm.VectorSearch.ivfSq8StoreSearch(kept, queries, "vec_id",
+        "embedding", store, m = 10, k = 3, nprobe = 2)
+      .select(col("va"), col("rn"), col("vb"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("va"), col("rn"))
+  }
+
+  val q195Sql: String = ivfSq8FilteredSql(
+    memberPred = "vec_id % 7 <> 3",
+    queryPred = "ma.vec_id % 5 = 0 AND ma.vec_id % 7 <> 3",
+    queryIsMember = true)
+
+  // ---------------------------------------------------------------- q196
+  /** Attribute-filtered ANN search
+    * ([[graft.llm.VectorSearch.sq8IvfFilteredRerank]]) — the
+    * tenant/ACL-scoped vector-search verb: queries from the
+    * vec_id ≡ 0 mod 3 slice search ONLY the vec_id ≡ 1 mod 3
+    * sub-catalog, with the predicate applied as a PRE-FILTER inside
+    * the candidate scan (top-10 among MATCHING vectors, then exact
+    * rerank) — the recall-preserving side of the pre-vs-post-filter
+    * design choice the operator's scaladoc spells out. One shared
+    * full-corpus index serves the filter; only the scan is scoped.
+    */
+  def q196(spark: SparkSession, sfDir: String): DataFrame =
+    graft.llm.VectorSearch
+      .sq8IvfFilteredRerank(emb(spark, sfDir), "vec_id", "embedding", "label",
+        queryPred = pmod(col("vec_id"), lit(3)) === 0,
+        catalogPred = pmod(col("vec_id"), lit(3)) === 1,
+        m = 10, k = 3, nprobe = 2)
+      .select(col("va"), col("rn"), col("vb"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("va"), col("rn"))
+
+  val q196Sql: String = ivfSq8FilteredSql(
+    memberPred = "vec_id % 3 = 1",
+    queryPred = "ma.vec_id % 3 = 0",
+    queryIsMember = false)
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q31_cosine_knn", q31 _, Some(q31Sql)),
     ("q32_ann_lsh_buckets", q32 _, Some(q32Sql)),
@@ -1830,6 +2037,9 @@ object Similarity {
     ("q192_ivf_pq_search", q192 _, Some(q192Sql)),
     // same oracle as q175 by design: the streamed maintenance cycle
     // must converge to the identical merged index
-    ("q183_stream_ivf_maintain", q183 _, Some(q175Sql))
+    ("q183_stream_ivf_maintain", q183 _, Some(q175Sql)),
+    ("q193_mmr_diverse_topk", q193 _, Some(q193Sql)),
+    ("q195_ann_store_rtbf", q195 _, Some(q195Sql)),
+    ("q196_filtered_ann_search", q196 _, Some(q196Sql))
   )
 }

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.CountMin
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for the Count-Min sketch ([[graft.operators.CountMin]]):
+  * linearity (the property that makes it mergeable), the one-sided
+  * error guarantee, and exactness in a collision-free grid.
+  */
+class CountMinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.hive
+  import spark.implicits._
+
+  /** Skewed synthetic terms across 3 groups: term t_i appears ~i×. */
+  private def corpus = (1 to 40).flatMap { i =>
+    (0 until i).map(j => (s"t$i", s"g${j % 3}"))
+  }.toDF("term", "grp")
+
+  private def cells(df: org.apache.spark.sql.DataFrame): Map[(Int, Long), Long] =
+    df.select(col("r").cast("int"), col("b").cast("long"), col("c").cast("long"))
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+
+  test("linearity: merged per-group sketches equal the one-shot global grid") {
+    val d = 4; val w = 32
+    val perGroup = CountMin.sketch(corpus, "term", d, w, Seq("grp"))
+    val merged = cells(CountMin.merge(perGroup))
+    val global = cells(CountMin.sketch(corpus, "term", d, w))
+    assert(merged == global,
+      "cell-wise addition of partials must equal the direct build")
+  }
+
+  test("estimates never undercount, and a collision-free grid is exact") {
+    val d = 4; val w = 32
+    val grid = CountMin.merge(CountMin.sketch(corpus, "term", d, w))
+    val est = CountMin.estimates(grid, corpus.select("term"), "term", d, w)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val exact = corpus.groupBy("term").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(est.keySet == exact.keySet, "every observed term gets an estimate")
+    exact.foreach { case (t, n) =>
+      assert(est(t) >= n, s"CMS undercounted $t: ${est(t)} < $n")
+    }
+    // a wide grid over few terms: whichever row happens to be
+    // collision-free for a term gives est == exact via the MIN
+    val wide = 4096
+    val grid2 = CountMin.merge(CountMin.sketch(corpus, "term", 6, wide))
+    val est2 = CountMin.estimates(grid2, corpus.select("term"), "term", 6, wide)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val exactHits = exact.count { case (t, n) => est2(t) == n }
+    assert(exactHits == exact.size,
+      s"at w=$wide every term should estimate exactly; $exactHits/${exact.size} did")
+  }
+}

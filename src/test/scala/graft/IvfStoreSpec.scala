@@ -247,4 +247,33 @@ class IvfStoreSpec extends AnyFunSuite {
     }.sortBy(t => (t._1, t._2))
     assert(gotRows === expected)
   }
+
+  test("RTBF deletion removes exactly the forgotten rows and the search " +
+    "never surfaces them") {
+    import spark.implicits._
+    val store = freshStore("rtbf")
+    val h = hist.toDF("vec_id", "embedding", "label")
+    graft.llm.VectorSearch.buildIvfSq8Store(h, "vec_id", "embedding", "label", store)
+    val before = spark.read.parquet(s"$store/codes")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSet
+    val forgetIds = Set(2L, 5L, 7L)
+    graft.llm.VectorSearch.deleteFromIvfStore(spark, store,
+      forgetIds.toSeq.toDF("vec_id"))
+    val after = spark.read.parquet(s"$store/codes")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSet
+    // surviving rows byte-identical, forgotten rows gone — nothing else
+    assert(after === before.filterNot(r => forgetIds(r._1)))
+    // model artifacts (codebook, stats) are retained aggregates
+    assert(spark.read.parquet(s"$store/centroids").count() > 0)
+    assert(spark.read.parquet(s"$store/stats").count() > 0)
+    // the post-deletion search never returns a forgotten neighbor
+    val kept = h.where(!col("vec_id").isin(forgetIds.toSeq: _*))
+    val got = graft.llm.VectorSearch.ivfSq8StoreSearch(kept, kept,
+        "vec_id", "embedding", store, m = 10, k = 3, nprobe = 2)
+      .select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty)
+    got.foreach { case (va, vb) =>
+      assert(!forgetIds(vb), s"forgotten $vb surfaced as a neighbor of $va")
+    }
+  }
 }

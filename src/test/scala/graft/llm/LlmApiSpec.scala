@@ -754,4 +754,68 @@ class LlmApiSpec extends AnyFunSuite {
     assert(one == Map(1L -> ((2L, 1)), 2L -> ((1L, 2)), 3L -> ((1L, 1)),
       4L -> ((2L, 0))))
   }
+
+  test("mmrSelect matches a brute-force greedy reference on a random corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    val dim = 8
+    val rows = (0L until 60L).map(id =>
+      (id, Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val n = 15; val k = 6
+    val got = VectorSearch.mmrSelect(df, "vec_id", "embedding", n, k)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // plain-Scala replay of the declared semantics
+    val sv = rows.map { case (id, v) =>
+      id -> v.map(x => math.round(x.toDouble * 1e6)) }.toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val qid = rows.map(_._1).min
+    val pool = rows.map(_._1).filter(_ != qid)
+      .map(id => (id, d2(sv(id), sv(qid))))
+      .sortBy { case (id, d) => (d, id) }.take(n)
+    var sel = List.empty[(Int, Long, Long, Long)]
+    var rem = pool.toList
+    for (r <- 1 to k) {
+      val pick = if (r == 1) rem.minBy { case (id, d) => (d, id) }
+      else rem.minBy { case (id, d) =>
+        (-(sel.map(s => d2(sv(id), sv(s._2))).min - d), id)
+      }
+      val dv = if (r == 1) 0L else sel.map(s => d2(sv(pick._1), sv(s._2))).min
+      sel = sel :+ ((r, pick._1, pick._2, dv))
+      rem = rem.filterNot(_._1 == pick._1)
+    }
+    assert(got.toList == sel, "engine MMR must equal the greedy reference")
+    // diversity sanity: the MMR set's minimum pairwise distance is no
+    // smaller than the plain top-k head's (the crowding MMR exists to fix)
+    def minPair(ids: Seq[Long]): Long =
+      ids.combinations(2).map { case Seq(a, b) => d2(sv(a), sv(b)) }.min
+    val topkHead = pool.take(k).map(_._1)
+    assert(minPair(got.map(_._2).toSeq) >= minPair(topkHead))
+  }
+
+  test("filtered ANN: pre-filter keeps top-m among matching; lit(true) " +
+    "degenerates to the unfiltered tier") {
+    val all = lit(true)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("va", "rn", "vb").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val base = rows(VectorSearch.sq8IvfRerank(embs, "vec_id", "embedding",
+      "label", m = 10, k = 3, nprobe = 2))
+    val open = rows(VectorSearch.sq8IvfFilteredRerank(embs, "vec_id",
+      "embedding", "label", all, all, m = 10, k = 3, nprobe = 2))
+    assert(open == base, "pred = true must reproduce the unfiltered tier")
+    val catalog = pmod(col("vec_id"), lit(3)) === 1
+    val queries = pmod(col("vec_id"), lit(3)) === 0
+    val scoped = VectorSearch.sq8IvfFilteredRerank(embs, "vec_id", "embedding",
+      "label", queries, catalog, m = 10, k = 3, nprobe = 2)
+      .select("va", "vb").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(scoped.nonEmpty)
+    scoped.foreach { case (va, vb) =>
+      assert(va % 3 == 0, s"query $va outside the query slice")
+      assert(vb % 3 == 1, s"neighbor $vb outside the catalog slice")
+    }
+  }
 }
