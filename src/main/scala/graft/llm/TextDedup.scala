@@ -658,7 +658,7 @@ object TextDedup {
   /** Single read entry for every persisted store (shared with the
     * vector-index store): recovers an interrupted [[compactSwap]]
     * first, then reads the root and any per-batch subdirectories. */
-  private[llm] def readStore(spark: SparkSession, path: String): DataFrame = {
+  private[graft] def readStore(spark: SparkSession, path: String): DataFrame = {
     recoverSwap(spark, path)
     spark.read.option("recursiveFileLookup", "true").parquet(path)
   }
@@ -676,7 +676,7 @@ object TextDedup {
 
   /** True iff the store already holds at least one parquet data file
     * (at the root or inside a per-batch subdirectory). */
-  private[llm] def storeNonEmpty(spark: SparkSession, storePath: String): Boolean = {
+  private[graft] def storeNonEmpty(spark: SparkSession, storePath: String): Boolean = {
     recoverSwap(spark, storePath)
     val path = new org.apache.hadoop.fs.Path(storePath)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -769,7 +769,7 @@ object TextDedup {
     * full at at least one path. Stale sibling paths from an
     * interrupted run are cleaned up front: `.old` is renamed back if
     * the store path is missing, otherwise discarded. */
-  private[llm] def compactSwap(spark: SparkSession, storePath: String,
+  private[graft] def compactSwap(spark: SparkSession, storePath: String,
                                compacted: DataFrame): Unit = {
     val fs = new org.apache.hadoop.fs.Path(storePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

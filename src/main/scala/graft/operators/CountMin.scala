@@ -86,4 +86,59 @@ object CountMin {
       .groupBy(col("term"))
       .agg(min(col("c")).as("est"))
   }
+
+  // ------------------------------------------------------------------
+  // Persisted grid store with streaming incremental maintenance
+  // ------------------------------------------------------------------
+
+  /** Absorbs one batch into a persisted grid store at `store`: the
+    * batch's d×w grid lands under `grids/` — with `batchId` set (the
+    * `foreachBatch` id), idempotently in `grids/batch_<id>/` guarded
+    * by the `_SUCCESS` marker (the q171/ANN-store replay discipline:
+    * a replayed micro-batch whose subdirectory already committed
+    * skips the write, so counts are exactly-once). History is never
+    * read, let alone rescanned — CMS linearity means absorbing a
+    * batch is writing its own grid.
+    */
+  def appendBatchGrid(batch: DataFrame, termCol: String, d: Int, w: Int,
+                      store: String, batchId: Option[Long] = None): Unit = {
+    val spark = batch.sparkSession
+    val g = sketch(batch, termCol, d, w)
+    batchId match {
+      case Some(id) =>
+        val sub = s"$store/grids/batch_$id"
+        val success = new org.apache.hadoop.fs.Path(s"$sub/_SUCCESS")
+        val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(success))
+          g.write.mode("overwrite").parquet(sub)
+      case None =>
+        g.write.mode("append").parquet(s"$store/grids")
+    }
+  }
+
+  /** The store's merged grid: every persisted partial summed
+    * cell-wise — equal to the one-shot grid over everything absorbed,
+    * whatever the batch boundaries were. */
+  def readMergedGrid(spark: org.apache.spark.sql.SparkSession,
+                     store: String): DataFrame =
+    merge(graft.llm.TextDedup.readStore(spark, s"$store/grids"))
+
+  /** Folds the per-batch partials into one merged grid file-set
+    * (write-then-swap, the shared store discipline). UNLIKE the
+    * row-granular stores (dedup signatures, ANN codes), a grid store
+    * has no per-row identity to self-heal on: compacting flattens the
+    * per-batch `_SUCCESS` markers, so a micro-batch replayed AFTER
+    * its directory was compacted away would double-count. Two things
+    * make this safe in practice: the sprawl is d·w cells per batch
+    * (not corpus-sized), so compaction is a rare maintenance action,
+    * not a per-cycle need — and it must run only once the stream's
+    * checkpoint has committed past every absorbed batch (between
+    * runs, not inside `foreachBatch`), which is when replays can no
+    * longer occur. */
+  def compactGridStore(spark: org.apache.spark.sql.SparkSession,
+                       store: String): Unit = {
+    if (!graft.llm.TextDedup.storeNonEmpty(spark, s"$store/grids")) return
+    graft.llm.TextDedup.compactSwap(spark, s"$store/grids",
+      readMergedGrid(spark, store).coalesce(1))
+  }
 }

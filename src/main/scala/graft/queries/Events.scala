@@ -1125,11 +1125,11 @@ object Events {
     * present here only because the evaluation reports estimate vs
     * truth (production serves estimates from the grid alone).
     */
-  def q194(spark: SparkSession, sfDir: String): DataFrame = {
+  /** q194/q198's shared report tail: top-20 users by exact count with
+    * their grid estimate, overcount, and the 3N/w envelope boolean. */
+  private def cmsReport(e: DataFrame, grid: DataFrame,
+                        d: Int, w: Int): DataFrame = {
     import graft.operators.CountMin
-    val d = 4; val w = 128
-    val e = ev(spark, sfDir).select(col("user_id"), to_date(col("ts")).as("day"))
-    val grid = CountMin.merge(CountMin.sketch(e, "user_id", d, w, Seq("day")))
     val est = CountMin.estimates(grid, e.select("user_id"), "user_id", d, w)
     val exact = e.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
     val tot = e.agg(count(lit(1)).as("n_total"))
@@ -1141,6 +1141,14 @@ object Events {
         (col("overcount") * w <= lit(3) * col("n_total")).as("within_bound"))
       .orderBy(col("n_exact").desc, col("user_id"))
       .limit(20)
+  }
+
+  def q194(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.CountMin
+    val d = 4; val w = 128
+    val e = ev(spark, sfDir).select(col("user_id"), to_date(col("ts")).as("day"))
+    val grid = CountMin.merge(CountMin.sketch(e, "user_id", d, w, Seq("day")))
+    cmsReport(e, grid, d, w)
   }
 
   val q194Sql: String = {
@@ -1169,6 +1177,68 @@ object Events {
        |ORDER BY ex.n_exact DESC, ex.user_id LIMIT 20""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q198
+  /** STREAMING Count-Min grid maintenance — q171/q183's
+    * store-as-stream-state lifecycle applied to the frequency sketch
+    * ([[graft.operators.CountMin.appendBatchGrid]]): the events
+    * arrive as two mtime-ordered file-source micro-batches, each
+    * `foreachBatch` writes ONLY its own batch's d×w grid to the
+    * persisted store (idempotent per batchId — a replayed batch whose
+    * subdirectory committed skips the write, so no double-counting),
+    * history is never read during absorption. After the drain the
+    * per-batch partials are compacted into one merged grid
+    * (write-then-swap, safe here because the stream has committed —
+    * see [[graft.operators.CountMin.compactGridStore]]'s replay
+    * caveat) and estimates are served from it. The oracle IS q194's:
+    * by CMS linearity the streamed, batch-partitioned build must
+    * converge to the identical global grid — the same
+    * shared-oracle convergence pin as q183/q175.
+    */
+  def q198(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.CountMin
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val d = 4; val w = 128
+    val e = ev(spark, sfDir).select(col("event_id"), col("user_id"))
+    val base = graft.Tables.scratchDir(spark, "cmsstream", sfDir)
+    val hfs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val srcDir = s"$base/src"
+    hfs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
+    // stage one parquet FILE per micro-batch; strictly-ordered mtimes
+    // in the past pin batch order (the file source batches by mtime)
+    def stage(slice: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = s"$base/tmp_$name"
+      slice.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = hfs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*"))(0).getPath
+      val dest = new org.apache.hadoop.fs.Path(s"$srcDir/$name.parquet")
+      hfs.rename(part, dest)
+      hfs.setTimes(dest, mtime, -1)
+      hfs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    val now = System.currentTimeMillis()
+    stage(e.where(pmod(col("event_id"), lit(2)) === 0), "batch1", now - 60000)
+    stage(e.where(pmod(col("event_id"), lit(2)) === 1), "batch2", now - 30000)
+    val store = s"$base/store"
+    val schema = StructType(Seq(
+      StructField("event_id", LongType, nullable = false),
+      StructField("user_id", LongType, nullable = false)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        CountMin.appendBatchGrid(batch, "user_id", d, w, store,
+          batchId = Some(bid))
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    CountMin.compactGridStore(spark, store)
+    cmsReport(e, CountMin.readMergedGrid(spark, store), d, w)
+  }
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_events_json_stats", q23 _, Some(q23Sql)),
     ("q24_events_daily_window", q24 _, Some(q24Sql)),
@@ -1194,6 +1264,10 @@ object Events {
     ("q164_asof_tolerance", q164 _, Some(q164Sql)),
     ("q177_cuped_experiment", q177 _, Some(q177Sql)),
     ("q178_seasonal_anomaly", q178 _, Some(q178Sql)),
-    ("q194_countmin_frequency", q194 _, Some(q194Sql))
+    ("q194_countmin_frequency", q194 _, Some(q194Sql)),
+    // oracle = q194's: the streamed batch-partitioned grid must
+    // converge to the identical global grid (CMS linearity — the
+    // q183/q175 shared-oracle precedent)
+    ("q198_stream_countmin_maintain", q198 _, Some(q194Sql))
   )
 }

@@ -1890,6 +1890,72 @@ object Text {
       Seq("spark", "vector", "customer"), topK = 20)
   }
 
+  // ---------------------------------------------------------------- q197
+  /** Per-document n-gram NOVELTY against a training corpus — the
+    * train/eval overlap metric behind memorization evals (Carlini et
+    * al., "Quantifying memorization across neural language models",
+    * arXiv:2202.07646 measures extractable training n-grams; Lee et
+    * al. 2022 §5 reports eval-set overlap the same way): for every
+    * doc in the held-out slice (doc_id ≡ 8,9 mod 10), the fraction of
+    * its 5-token windows NOT present anywhere in the training slice.
+    * An eval doc duplicating a training doc scores novelty ≈ 0 — the
+    * leakage q73's boolean decontamination flags, graded here as the
+    * continuous per-document metric an eval-suite curator thresholds
+    * on. Window positions count individually (a window repeated in
+    * the doc weighs each occurrence), matching the token-level
+    * "fraction memorized" definition.
+    *
+    * Scale shape: train windows reduce to ONE distinct set (the q73
+    * n-gram discipline) and the membership probe is a single
+    * equi-join on the window key — eval windows shuffle once; no
+    * pair fan-out, no per-doc rescans. Keys here are the window
+    * strings themselves (≤ ~40 bytes); at 100 TB the drop-in swap is
+    * the 64-bit `poly_hash` of the window — same plan, fixed-width
+    * shuffle keys, engine-replayable collisions.
+    */
+  def q197(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = 5
+    val d = docs(spark, sfDir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("s"))
+    def windows(df: DataFrame): DataFrame = df
+      .where(size(col("s")) >= n)
+      .select(col("doc_id"), col("lang"),
+        explode(expr(s"transform(sequence(1, size(s) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(s, i, $n)))")).as("w"))
+    val trainSet = windows(d.where(pmod(col("doc_id"), lit(10)) < 8))
+      .select("w").distinct()
+    windows(d.where(pmod(col("doc_id"), lit(10)) >= 8))
+      .join(trainSet.withColumn("hit", lit(1L)), Seq("w"), "left")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_seen"))
+      .withColumn("novelty",
+        round(lit(1.0) - col("n_seen").cast("double") / col("n_windows"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  val q197Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS s FROM documents),
+      |trw AS (
+      |  SELECT DISTINCT w FROM (
+      |    SELECT unnest([array_to_string(s[i:i+4], ' ')
+      |                   FOR i IN range(1, len(s) - 3)]) AS w
+      |    FROM t WHERE doc_id % 10 < 8)),
+      |evw AS (
+      |  SELECT doc_id, lang,
+      |    unnest([array_to_string(s[i:i+4], ' ')
+      |            FOR i IN range(1, len(s) - 3)]) AS w
+      |  FROM t WHERE doc_id % 10 >= 8),
+      |j AS (
+      |  SELECT e.doc_id, e.lang,
+      |    CASE WHEN tr.w IS NULL THEN 0 ELSE 1 END AS hit
+      |  FROM evw e LEFT JOIN trw tr ON tr.w = e.w)
+      |SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_windows,
+      |  CAST(SUM(hit) AS BIGINT) AS n_seen,
+      |  ROUND(1.0 - CAST(SUM(hit) AS DOUBLE) / COUNT(*), 6) AS novelty
+      |FROM j GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_token_stats", q34 _, Some(q34Sql)),
     ("q35_lang_id_confusion", q35 _, Some(q35Sql)),
@@ -1941,7 +2007,8 @@ object Text {
     // oracle = q90's exhaustive BM25 again: the champion-list serving
     // path (or its provably-needed fallback) must reproduce the full
     // ranking exactly
-    ("q189_bm25_champion_lists", q189 _, Some(q90Sql))
+    ("q189_bm25_champion_lists", q189 _, Some(q90Sql)),
+    ("q197_ngram_novelty", q197 _, Some(q197Sql))
   )
 
 }

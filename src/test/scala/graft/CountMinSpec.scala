@@ -51,4 +51,31 @@ class CountMinSpec extends AnyFunSuite {
     assert(exactHits == exact.size,
       s"at w=$wide every term should estimate exactly; $exactHits/${exact.size} did")
   }
+
+  test("grid store: batchId append is replay-idempotent; compaction " +
+    "preserves the merged grid") {
+    val d = 3; val w = 16
+    val store = java.nio.file.Files.createTempDirectory("cmsstore").toString
+    val b1 = corpus.where(col("grp") === "g0")
+    val b2 = corpus.where(col("grp") =!= "g0")
+    CountMin.appendBatchGrid(b1, "term", d, w, store, batchId = Some(0L))
+    CountMin.appendBatchGrid(b2, "term", d, w, store, batchId = Some(1L))
+    val merged = cells(CountMin.readMergedGrid(spark, store))
+    assert(merged == cells(CountMin.sketch(corpus, "term", d, w)),
+      "streamed partials must sum to the global grid")
+    // a replayed batch whose _SUCCESS committed must not double-count
+    CountMin.appendBatchGrid(b2, "term", d, w, store, batchId = Some(1L))
+    assert(cells(CountMin.readMergedGrid(spark, store)) == merged,
+      "replayed append double-counted")
+    // compaction folds the partials without changing a single cell
+    CountMin.compactGridStore(spark, store)
+    assert(cells(CountMin.readMergedGrid(spark, store)) == merged,
+      "compaction changed the grid")
+    // and the store keeps absorbing after compaction
+    CountMin.appendBatchGrid(b1, "term", d, w, store, batchId = Some(2L))
+    val twice = cells(CountMin.merge(
+      CountMin.sketch(b1, "term", d, w)
+        .unionByName(CountMin.sketch(corpus, "term", d, w))))
+    assert(cells(CountMin.readMergedGrid(spark, store)) == twice)
+  }
 }
