@@ -217,4 +217,94 @@ object TextStats {
         round(col("gt.maxc") / col("gt.total"), 6).as("top_gram_frac"),
         round(col("gd.dupc") / col("gd.total"), 6).as("dup_gram_frac"))
   }
+
+  // ------------------------------------------------------------------
+  // n-gram novelty (train/eval overlap) + persisted window store
+  // ------------------------------------------------------------------
+
+  /** Every n-token window of `textCol` as one row: (carryCols*, w).
+    * Docs shorter than n tokens emit nothing (they have no windows).
+    * Window positions are preserved as multiplicity — a window
+    * repeated in a doc emits one row per occurrence. */
+  def ngramWindows(df: DataFrame, carryCols: Seq[String], textCol: String,
+                   n: Int): DataFrame = {
+    require(n >= 1, s"window size must be >= 1; got $n")
+    df.withColumn("__s", toks(textCol))
+      .where(size(col("__s")) >= n)
+      .select(carryCols.map(col) :+
+        explode(expr(s"transform(sequence(1, size(__s) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(__s, i, $n)))")).as("w"): _*)
+  }
+
+  /** Per-document novelty of `eval` against a train-window set
+    * (`trainW`: one column `w`, duplicate rows allowed — membership
+    * is a LEFT SEMI probe, so duplicates on the train side cannot fan
+    * out). Output: keyCols*, n_windows, n_seen, novelty — the
+    * fraction of the doc's windows (per POSITION) absent from the
+    * train set, the Carlini-style memorization / train-eval-overlap
+    * metric as a continuous per-document score. */
+  def noveltyAgainst(trainW: DataFrame, eval: DataFrame,
+                     keyCols: Seq[String], textCol: String,
+                     n: Int): DataFrame = {
+    val evalW = ngramWindows(eval, keyCols, textCol, n)
+    val tot = evalW.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_windows"))
+    val seen = evalW.join(trainW.select(col("w")), Seq("w"), "left_semi")
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_seen"))
+    tot.join(seen, keyCols, "left").na.fill(0L, Seq("n_seen"))
+      .withColumn("novelty",
+        round(lit(1.0) - col("n_seen").cast("double") / col("n_windows"), 6))
+  }
+
+  /** One-shot novelty: train windows reduced to one distinct set, one
+    * membership equi-join. At 100 TB swap the string keys for their
+    * 64-bit `poly_hash` — same plan, fixed-width shuffle keys,
+    * engine-replayable collisions. */
+  def novelty(train: DataFrame, eval: DataFrame, keyCols: Seq[String],
+              textCol: String, n: Int): DataFrame =
+    noveltyAgainst(ngramWindows(train, Nil, textCol, n).distinct(),
+      eval, keyCols, textCol, n)
+
+  /** Absorbs one train batch into a persisted window store: the
+    * batch's OWN distinct windows land under `windows/` — with
+    * `batchId` set, idempotently in `windows/batch_<id>/` behind the
+    * `_SUCCESS` marker (the shared store replay discipline). History
+    * is never read: window sets union by concatenation, and
+    * duplicate rows across batches are harmless to the semi-join
+    * probe (see [[noveltyAgainst]]) — [[compactNgramStore]] dedups
+    * them for size, not for correctness. */
+  def appendNgramBatch(batch: DataFrame, textCol: String, n: Int,
+                       store: String, batchId: Option[Long] = None): Unit = {
+    val spark = batch.sparkSession
+    val w = ngramWindows(batch, Nil, textCol, n).distinct()
+    batchId match {
+      case Some(id) =>
+        val sub = s"$store/windows/batch_$id"
+        val success = new org.apache.hadoop.fs.Path(s"$sub/_SUCCESS")
+        val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(success))
+          w.write.mode("overwrite").parquet(sub)
+      case None =>
+        w.write.mode("append").parquet(s"$store/windows")
+    }
+  }
+
+  /** The store's window set (duplicates across batches possible —
+    * callers probe it with a semi-join). */
+  def readNgramStore(spark: org.apache.spark.sql.SparkSession,
+                     store: String): DataFrame =
+    TextDedup.readStore(spark, s"$store/windows")
+
+  /** Write-then-swap dedup + fold of the per-batch window sets —
+    * safe to run any time (unlike an additive grid, a SET is
+    * idempotent under replay: a re-appended batch adds only
+    * duplicate rows, which the semi-join ignores and the next
+    * compaction folds). */
+  def compactNgramStore(spark: org.apache.spark.sql.SparkSession,
+                        store: String, outFiles: Int = 1): Unit = {
+    if (!TextDedup.storeNonEmpty(spark, s"$store/windows")) return
+    TextDedup.compactSwap(spark, s"$store/windows",
+      readNgramStore(spark, store).distinct().repartition(outFiles))
+  }
 }

@@ -1239,6 +1239,113 @@ object Events {
     cmsReport(e, CountMin.readMergedGrid(spark, store), d, w)
   }
 
+  // ---------------------------------------------------------------- q199
+  /** Population Stability Index drift monitor — the standard
+    * production check that a feature's distribution hasn't shifted
+    * between a reference window and the current one (credit-scoring
+    * lineage; PSI = Σ_bins (p_cur − p_ref)·ln(p_cur/p_ref), the
+    * symmetrized KL whose conventional alert thresholds are 0.1/0.2):
+    * per event_type, `value` is binned into 10 equal-width bins FIXED
+    * BY THE REFERENCE window's [min, max] (current-period values
+    * outside clamp to the edge bins — drift must move mass, not move
+    * the ruler), counts are Laplace-smoothed (+1 per bin) so empty
+    * cells stay finite and deterministic, and the per-bin terms
+    * follow the engine's portable-log discipline (q173/q187): each
+    * double term rounded once at scale 9, then exact DECIMAL
+    * accumulation so summation order cannot move the hash. The
+    * companion monitor for embedding drift is q142 (centroid moves);
+    * this is its tabular-feature sibling — together they are the
+    * retrain/recalibrate trigger pair.
+    *
+    * Scale shape: two filtered scans reduce to (type × 10)-bin count
+    * grids — partial aggregation does the map-side combine and
+    * everything after the two groupBys is bounded by types·bins, not
+    * events. Types absent from the reference window have no defined
+    * binning (they are new categories, the q143/q148 audits' job) and
+    * are excluded by construction.
+    */
+  def q199(spark: SparkSession, sfDir: String): DataFrame = {
+    val bins = 10
+    val split = lit("2024-01-16").cast("date")
+    val e = ev(spark, sfDir)
+      .select(col("event_type"), col("value"), to_date(col("ts")).as("day"))
+    val ref = e.where(col("day") < split)
+    val cur = e.where(col("day") >= split)
+    val rng = ref.groupBy(col("event_type"))
+      .agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+    def binCounts(df: DataFrame, cName: String): DataFrame =
+      df.join(broadcast(rng), "event_type")
+        .withColumn("b", when(col("mx") === col("mn"), lit(0)).otherwise(
+          least(lit(bins - 1), greatest(lit(0),
+            floor((col("value") - col("mn")) / (col("mx") - col("mn")) * bins)
+              .cast("int")))))
+        .groupBy(col("event_type"), col("b"))
+        .agg(count(lit(1)).as(cName))
+    val spine = rng.select(col("event_type"))
+      .withColumn("b", explode(sequence(lit(0), lit(bins - 1))))
+    val nr = ref.groupBy(col("event_type")).agg(count(lit(1)).as("n_ref"))
+    val nc = cur.groupBy(col("event_type")).agg(count(lit(1)).as("n_cur"))
+    val pc = (coalesce(col("c_cur"), lit(0L)) + 1).cast("double") /
+      (col("n_cur") + bins).cast("double")
+    val pr = (coalesce(col("c_ref"), lit(0L)) + 1).cast("double") /
+      (col("n_ref") + bins).cast("double")
+    spine
+      .join(binCounts(ref, "c_ref"), Seq("event_type", "b"), "left")
+      .join(binCounts(cur, "c_cur"), Seq("event_type", "b"), "left")
+      .join(broadcast(nr), "event_type").join(broadcast(nc), "event_type")
+      .withColumn("term", round((pc - pr) * log(pc / pr), 9))
+      .groupBy(col("event_type"))
+      .agg(min(col("n_ref")).as("n_ref"), min(col("n_cur")).as("n_cur"),
+        round(sum(col("term")
+          .cast(org.apache.spark.sql.types.DecimalType(27, 9))).cast("double"), 6)
+          .as("psi"))
+      .withColumn("drifted", col("psi") > lit(0.2))
+      .orderBy(col("event_type"))
+  }
+
+  val q199Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, value, CAST(ts AS DATE) AS day FROM events),
+      |ref AS (SELECT * FROM e WHERE day < DATE '2024-01-16'),
+      |cur AS (SELECT * FROM e WHERE day >= DATE '2024-01-16'),
+      |rng AS (SELECT event_type, MIN(value) AS mn, MAX(value) AS mx
+      |        FROM ref GROUP BY event_type),
+      |spine AS (SELECT event_type, r.i AS b FROM rng CROSS JOIN range(0, 10) r(i)),
+      |rb AS (
+      |  SELECT event_type, b, COUNT(*) AS c_ref FROM (
+      |    SELECT e.event_type,
+      |      CASE WHEN mx = mn THEN 0
+      |           ELSE LEAST(9, GREATEST(0,
+      |             CAST(floor((value - mn) / (mx - mn) * 10) AS INT))) END AS b
+      |    FROM ref e JOIN rng USING (event_type))
+      |  GROUP BY event_type, b),
+      |cb AS (
+      |  SELECT event_type, b, COUNT(*) AS c_cur FROM (
+      |    SELECT e.event_type,
+      |      CASE WHEN mx = mn THEN 0
+      |           ELSE LEAST(9, GREATEST(0,
+      |             CAST(floor((value - mn) / (mx - mn) * 10) AS INT))) END AS b
+      |    FROM cur e JOIN rng USING (event_type))
+      |  GROUP BY event_type, b),
+      |nr AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_ref FROM ref GROUP BY event_type),
+      |nc AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_cur FROM cur GROUP BY event_type),
+      |terms AS (
+      |  SELECT s.event_type, nr.n_ref, nc.n_cur,
+      |    ROUND((
+      |      (CAST(COALESCE(cb.c_cur, 0) + 1 AS DOUBLE) / CAST(nc.n_cur + 10 AS DOUBLE)) -
+      |      (CAST(COALESCE(rb.c_ref, 0) + 1 AS DOUBLE) / CAST(nr.n_ref + 10 AS DOUBLE))
+      |    ) * ln(
+      |      (CAST(COALESCE(cb.c_cur, 0) + 1 AS DOUBLE) / CAST(nc.n_cur + 10 AS DOUBLE)) /
+      |      (CAST(COALESCE(rb.c_ref, 0) + 1 AS DOUBLE) / CAST(nr.n_ref + 10 AS DOUBLE))
+      |    ), 9) AS term
+      |  FROM spine s
+      |  LEFT JOIN rb USING (event_type, b) LEFT JOIN cb USING (event_type, b)
+      |  JOIN nr USING (event_type) JOIN nc USING (event_type))
+      |SELECT event_type, MIN(n_ref) AS n_ref, MIN(n_cur) AS n_cur,
+      |  ROUND(CAST(SUM(CAST(term AS DECIMAL(27, 9))) AS DOUBLE), 6) AS psi,
+      |  (ROUND(CAST(SUM(CAST(term AS DECIMAL(27, 9))) AS DOUBLE), 6) > 0.2) AS drifted
+      |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_events_json_stats", q23 _, Some(q23Sql)),
     ("q24_events_daily_window", q24 _, Some(q24Sql)),
@@ -1268,6 +1375,7 @@ object Events {
     // oracle = q194's: the streamed batch-partitioned grid must
     // converge to the identical global grid (CMS linearity — the
     // q183/q175 shared-oracle precedent)
-    ("q198_stream_countmin_maintain", q198 _, Some(q194Sql))
+    ("q198_stream_countmin_maintain", q198 _, Some(q194Sql)),
+    ("q199_psi_drift", q199 _, Some(q199Sql))
   )
 }

@@ -1914,23 +1914,11 @@ object Text {
     * shuffle keys, engine-replayable collisions.
     */
   def q197(spark: SparkSession, sfDir: String): DataFrame = {
-    val n = 5
     val d = docs(spark, sfDir)
-      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("s"))
-    def windows(df: DataFrame): DataFrame = df
-      .where(size(col("s")) >= n)
-      .select(col("doc_id"), col("lang"),
-        explode(expr(s"transform(sequence(1, size(s) - ${n - 1}), " +
-          s"i -> concat_ws(' ', slice(s, i, $n)))")).as("w"))
-    val trainSet = windows(d.where(pmod(col("doc_id"), lit(10)) < 8))
-      .select("w").distinct()
-    windows(d.where(pmod(col("doc_id"), lit(10)) >= 8))
-      .join(trainSet.withColumn("hit", lit(1L)), Seq("w"), "left")
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(count(lit(1)).as("n_windows"),
-        sum(coalesce(col("hit"), lit(0L))).as("n_seen"))
-      .withColumn("novelty",
-        round(lit(1.0) - col("n_seen").cast("double") / col("n_windows"), 6))
+    graft.llm.TextStats.novelty(
+        train = d.where(pmod(col("doc_id"), lit(10)) < 8),
+        eval = d.where(pmod(col("doc_id"), lit(10)) >= 8),
+        keyCols = Seq("doc_id", "lang"), textCol = "text", n = 5)
       .orderBy(col("doc_id"))
   }
 
@@ -1955,6 +1943,40 @@ object Text {
       |  CAST(SUM(hit) AS BIGINT) AS n_seen,
       |  ROUND(1.0 - CAST(SUM(hit) AS DOUBLE) / COUNT(*), 6) AS novelty
       |FROM j GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q200
+  /** q197's novelty metric served from a PERSISTED window store
+    * ([[graft.llm.TextStats.appendNgramBatch]] /
+    * `compactNgramStore` / `noveltyAgainst`) — the never-rescan-
+    * history discipline (q109/q113/q122/q159/q175) applied to the
+    * train-overlap eval: the training slice arrives as two batches,
+    * each of which writes ONLY its own distinct windows
+    * (batchId-idempotent; window sets union by concatenation, and a
+    * replayed batch adds only duplicate rows, which the semi-join
+    * probe ignores — a SET store is replay-safe even after
+    * compaction, unlike the additive q198 grid), the store is
+    * compacted write-then-swap, and the eval slice probes it. The
+    * oracle IS q197's: the incremental build must converge to the
+    * one-shot train-window set.
+    */
+  def q200(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.llm.TextStats
+    val n = 5
+    val d = docs(spark, sfDir)
+    val store = graft.Tables.scratchDir(spark, "ngramstore", sfDir)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(store), true)
+    TextStats.appendNgramBatch(d.where(pmod(col("doc_id"), lit(10)) < 4),
+      "text", n, store, batchId = Some(0L))
+    TextStats.appendNgramBatch(d.where(pmod(col("doc_id"), lit(10)) >= 4 &&
+      pmod(col("doc_id"), lit(10)) < 8), "text", n, store, batchId = Some(1L))
+    TextStats.compactNgramStore(spark, store)
+    TextStats.noveltyAgainst(TextStats.readNgramStore(spark, store),
+        d.where(pmod(col("doc_id"), lit(10)) >= 8),
+        keyCols = Seq("doc_id", "lang"), textCol = "text", n = n)
+      .orderBy(col("doc_id"))
+  }
 
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_token_stats", q34 _, Some(q34Sql)),
@@ -2008,7 +2030,11 @@ object Text {
     // path (or its provably-needed fallback) must reproduce the full
     // ranking exactly
     ("q189_bm25_champion_lists", q189 _, Some(q90Sql)),
-    ("q197_ngram_novelty", q197 _, Some(q197Sql))
+    ("q197_ngram_novelty", q197 _, Some(q197Sql)),
+    // oracle = q197's: the incrementally-built window store must
+    // converge to the one-shot train-window set (the q183/q198
+    // shared-oracle precedent)
+    ("q200_novelty_store", q200 _, Some(q197Sql))
   )
 
 }
