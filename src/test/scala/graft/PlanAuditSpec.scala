@@ -55,7 +55,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q187_source_kl_divergence", // 1-row corpus-token-total broadcast into the KL terms
     "q188_bm25_maxscore", // q90's 1-row (N,T) broadcast + 1-row theta-threshold broadcast into the sieve
     "q189_bm25_champion_lists", // q90's 1-row (N,T) broadcast on the exhaustive-fallback path
-    "q191_entity_resolution_capped") // 1-row dropped-block report broadcast onto the decision summary
+    "q191_entity_resolution_capped", // 1-row dropped-block report broadcast onto the decision summary
+    "q194_countmin_frequency", // 1-row event-total broadcast into the envelope boolean (q85's shape)
+    "q198_stream_countmin_maintain") // q194's report tail: the same 1-row total broadcast
 
   test("no declared query plans a cartesian product; BNLJ only where intended") {
     // streaming queries execute on materialization, not plan-inspectable
