@@ -1867,7 +1867,19 @@ object Similarity {
     * [[graft.llm.VectorSearch.deleteFromIvfStore]]).
     */
   private def ivfSq8FilteredSql(memberPred: String, queryPred: String,
-                                queryIsMember: Boolean): String = {
+                                queryIsMember: Boolean): String =
+    s"""${ivfSq8FilteredCtes(memberPred, queryPred, queryIsMember)}
+       |SELECT va, rn, vb, ROUND(cos, 6) AS cos FROM (
+       |  SELECT va, vb, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rn
+       |  FROM ex) WHERE rn <= 3
+       |ORDER BY va, rn""".stripMargin
+
+  /** The WITH chain of [[ivfSq8FilteredSql]] up to `ex` (va, vb, cos —
+    * the exact cosine of every surviving top-10 candidate pair), so
+    * composed oracles (q201's MMR rounds) can extend it. */
+  private def ivfSq8FilteredCtes(memberPred: String, queryPred: String,
+                                 queryIsMember: Boolean): String = {
     val (effExpr, gcWhere) =
       if (queryIsMember)
         ("CASE WHEN ga = gb THEN f.fcnt - 1 ELSE f.fcnt END",
@@ -1936,12 +1948,7 @@ object Similarity {
        |    (${dotSqlDuck("x.embedding", "y.embedding")}) / (ANY_VALUE(x.nrm) * ANY_VALUE(y.nrm)) AS cos
        |  FROM cand c JOIN nrm x ON x.vec_id = c.va JOIN nrm y ON y.vec_id = c.vb
        |  CROSS JOIN range(0, 64) t(i)
-       |  GROUP BY c.va, c.vb)
-       |SELECT va, rn, vb, ROUND(cos, 6) AS cos FROM (
-       |  SELECT va, vb, cos,
-       |    ROW_NUMBER() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rn
-       |  FROM ex) WHERE rn <= 3
-       |ORDER BY va, rn""".stripMargin
+       |  GROUP BY c.va, c.vb)""".stripMargin
   }
 
   // ---------------------------------------------------------------- q195
@@ -2007,6 +2014,78 @@ object Similarity {
     queryPred = "ma.vec_id % 3 = 0",
     queryIsMember = false)
 
+  // ---------------------------------------------------------------- q201
+  /** BATCH MMR serving ([[graft.llm.VectorSearch.mmrSelectBatch]]) —
+    * q193's diversification run distributed over a whole query slice
+    * at once (vec_id ≡ 0 mod 50): each query's 10 IVF+SQ8 candidates
+    * arrive exact-cosine-ranked, the m² pairwise candidate cosines
+    * are computed once, and three greedy rounds pick per query the
+    * λ = 1/2 MMR argmax through bounded per-query windows — the
+    * result-page de-crowding pass a retrieval stack runs after ANN,
+    * at ANN's own scale. The oracle extends q165's contracted CTE
+    * chain (shared via the filtered builder) with the pair matrix
+    * and three unrolled selection rounds, so the per-query selection
+    * ORDER is hash-checked across every query of the slice.
+    */
+  def q201(spark: SparkSession, sfDir: String): DataFrame =
+    graft.llm.VectorSearch
+      .mmrSelectBatch(emb(spark, sfDir), "vec_id", "embedding", "label",
+        queryPred = pmod(col("vec_id"), lit(50)) === 0,
+        m = 10, rounds = 3, nprobe = 2)
+      .orderBy(col("va"), col("round"))
+
+  val q201Sql: String = {
+    val ctes = ivfSq8FilteredCtes(memberPred = "TRUE",
+      queryPred = "ma.vec_id % 50 = 0", queryIsMember = true)
+    val rounds = 3
+    val sb = new StringBuilder(ctes)
+    sb.append(s""",
+      |cand10 AS (
+      |  SELECT va, vb, cos FROM (
+      |    SELECT va, vb, cos,
+      |      ROW_NUMBER() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rn
+      |    FROM ex) WHERE rn <= 10),
+      |pc AS (
+      |  SELECT a.va, a.vb AS b1, b.vb AS b2,
+      |    (${dotSqlDuck("x.embedding", "y.embedding")}) / (ANY_VALUE(x.nrm) * ANY_VALUE(y.nrm)) AS pcos
+      |  FROM cand10 a JOIN cand10 b ON a.va = b.va AND a.vb <> b.vb
+      |  JOIN nrm x ON x.vec_id = a.vb JOIN nrm y ON y.vec_id = b.vb
+      |  CROSS JOIN range(0, 64) t(i)
+      |  GROUP BY a.va, a.vb, b.vb),
+      |s1 AS (
+      |  SELECT va, vb, cos FROM (
+      |    SELECT va, vb, cos,
+      |      ROW_NUMBER() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rr
+      |    FROM cand10) WHERE rr = 1)""".stripMargin)
+    for (r <- 2 to rounds) {
+      val selUnion = (1 until r).map(i => s"SELECT va, vb FROM s$i")
+        .mkString(" UNION ALL ")
+      sb.append(s""",
+        |m$r AS (
+        |  SELECT c.va, c.vb, c.cos, MAX(p.pcos) AS max_sim
+        |  FROM cand10 c
+        |  JOIN pc p ON p.va = c.va AND p.b1 = c.vb
+        |  JOIN ($selUnion) s ON s.va = c.va AND s.vb = p.b2
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM ($selUnion) e WHERE e.va = c.va AND e.vb = c.vb)
+        |  GROUP BY c.va, c.vb, c.cos),
+        |s$r AS (
+        |  SELECT va, vb, cos, max_sim FROM (
+        |    SELECT va, vb, cos, max_sim,
+        |      ROW_NUMBER() OVER (PARTITION BY va ORDER BY (cos - max_sim) DESC, vb) AS rr
+        |    FROM m$r) WHERE rr = 1)""".stripMargin)
+    }
+    sb.append(("""
+      |SELECT va, 1 AS round, vb, ROUND(cos, 6) AS rel_cos,
+      |  CAST(NULL AS DOUBLE) AS max_sim FROM s1""" +
+      (2 to rounds).map(r => s"""
+      |UNION ALL
+      |SELECT va, $r AS round, vb, ROUND(cos, 6) AS rel_cos,
+      |  ROUND(max_sim, 6) AS max_sim FROM s$r""").mkString + """
+      |ORDER BY va, round""").stripMargin)
+    sb.toString
+  }
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q31_cosine_knn", q31 _, Some(q31Sql)),
     ("q32_ann_lsh_buckets", q32 _, Some(q32Sql)),
@@ -2040,6 +2119,7 @@ object Similarity {
     ("q183_stream_ivf_maintain", q183 _, Some(q175Sql)),
     ("q193_mmr_diverse_topk", q193 _, Some(q193Sql)),
     ("q195_ann_store_rtbf", q195 _, Some(q195Sql)),
-    ("q196_filtered_ann_search", q196 _, Some(q196Sql))
+    ("q196_filtered_ann_search", q196 _, Some(q196Sql)),
+    ("q201_mmr_batch_serving", q201 _, Some(q201Sql))
   )
 }

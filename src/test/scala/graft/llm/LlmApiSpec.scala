@@ -795,6 +795,43 @@ class LlmApiSpec extends AnyFunSuite {
     assert(minPair(got.map(_._2).toSeq) >= minPair(topkHead))
   }
 
+  test("mmrSelectBatch rounds equal a plain-Scala greedy replay over the " +
+    "same candidate sets") {
+    val queryPred = pmod(col("vec_id"), lit(5)) === 0
+    val m = 6; val rounds = 3
+    val got = VectorSearch.mmrSelectBatch(embs, "vec_id", "embedding", "label",
+        queryPred, m = m, rounds = rounds)
+      .select("va", "round", "vb").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toList).toMap
+    // candidates from the same tier call the operator makes internally
+    val cand = VectorSearch.sq8IvfFilteredRerank(embs, "vec_id", "embedding",
+        "label", queryPred, lit(true), m = m, k = m, nprobe = 2)
+      .select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toList).toMap
+    // exact-cosine replay (the VectorDotScaled arithmetic)
+    val vecs = embs.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def sdot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) =>
+        math.round(x.toDouble * y.toDouble * 1e12) }.sum / 1e12
+    def cos(a: Long, b: Long): Double =
+      sdot(vecs(a), vecs(b)) /
+        (math.sqrt(sdot(vecs(a), vecs(a))) * math.sqrt(sdot(vecs(b), vecs(b))))
+    val want = cand.map { case (va, cs) =>
+      var sel = List.empty[Long]
+      for (r <- 1 to math.min(rounds, cs.size)) {
+        val pick =
+          if (r == 1) cs.minBy(d => (-cos(va, d), d))
+          else cs.filterNot(sel.contains)
+            .minBy(d => (-(cos(va, d) - sel.map(s => cos(d, s)).max), d))
+        sel = sel :+ pick
+      }
+      va -> sel
+    }
+    assert(got == want, "batch MMR must equal the per-query greedy replay")
+  }
+
   test("filtered ANN: pre-filter keeps top-m among matching; lit(true) " +
     "degenerates to the unfiltered tier") {
     val all = lit(true)
