@@ -795,6 +795,57 @@ class LlmApiSpec extends AnyFunSuite {
     assert(minPair(got.map(_._2).toSeq) >= minPair(topkHead))
   }
 
+  test("filtered ANN recall: pre-filtering beats post-filtering the same " +
+    "candidate budget against the exact filtered truth") {
+    val m = 5
+    val vecs = embs.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def sdot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) =>
+        math.round(x.toDouble * y.toDouble * 1e12) }.sum / 1e12
+    def cos(a: Long, b: Long): Double =
+      sdot(vecs(a), vecs(b)) /
+        (math.sqrt(sdot(vecs(a), vecs(a))) * math.sqrt(sdot(vecs(b), vecs(b))))
+    val queries = vecs.keys.filter(_ % 3 == 0).toSeq.sorted
+    val catalog = vecs.keys.filter(_ % 3 == 1).toSeq.sorted
+    // exact filtered ground truth: top-3 catalog neighbors per query
+    val truth = queries.map(q =>
+      q -> catalog.sortBy(d => (-cos(q, d), d)).take(3).toSet).toMap
+    def recall(got: Map[Long, Set[Long]]): Double =
+      queries.map(q => (got.getOrElse(q, Set.empty) & truth(q)).size).sum /
+        (3.0 * queries.size)
+    // PRE-filter: predicate inside the candidate scan (the operator)
+    val pre = VectorSearch.sq8IvfFilteredRerank(embs, "vec_id", "embedding",
+        "label", pmod(col("vec_id"), lit(3)) === 0,
+        pmod(col("vec_id"), lit(3)) === 1, m = m, k = 3, nprobe = 2)
+      .select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // POST-filter: same candidate budget m over EVERYTHING, filter after
+    val post = VectorSearch.sq8IvfRerank(embs, "vec_id", "embedding",
+        "label", m = m, k = m, nprobe = 2)
+      .where(pmod(col("va"), lit(3)) === 0 && pmod(col("vb"), lit(3)) === 1)
+      .select("va", "vb", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(t => (-t._3, t._2)).take(3).map(_._2).toSet).toMap
+    val (rPre, rPost) = (recall(pre), recall(post))
+    assert(rPre >= rPost,
+      s"pre-filter recall $rPre must not lose to post-filter $rPost")
+    // degenerate exactness: probing EVERY list with a candidate budget
+    // covering the whole catalog, the pre-filtered tier must recover
+    // the exact filtered truth (recall 1.0) — the all-lists ≡ baseline
+    // pin specialized to the filtered path
+    val nlist = embs.select("label").distinct().count().toInt
+    val full = VectorSearch.sq8IvfFilteredRerank(embs, "vec_id", "embedding",
+        "label", pmod(col("vec_id"), lit(3)) === 0,
+        pmod(col("vec_id"), lit(3)) === 1,
+        m = catalog.size, k = 3, nprobe = nlist)
+      .select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(recall(full) == 1.0,
+      "all-lists full-budget pre-filter must equal the exact filtered truth")
+  }
+
   test("mmrSelectBatch rounds equal a plain-Scala greedy replay over the " +
     "same candidate sets") {
     val queryPred = pmod(col("vec_id"), lit(5)) === 0
