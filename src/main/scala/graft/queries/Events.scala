@@ -1346,6 +1346,95 @@ object Events {
       |  (ROUND(CAST(SUM(CAST(term AS DECIMAL(27, 9))) AS DOUBLE), 6) > 0.2) AS drifted
       |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q202
+  /** Sequential-pattern support mining over per-user event sequences —
+    * the classic market-basket-with-ORDER verb (Agrawal & Srikant,
+    * "Mining sequential patterns", ICDE 1995; PrefixSpan, Pei et al.
+    * ICDE 2001): for every gapped subsequence pattern of length ≤ 3
+    * over the event-type alphabet, the number of users whose
+    * time-ordered event sequence CONTAINS it. Containment is the
+    * greedy-earliest match (provably equivalent to existence of any
+    * match), unrolled to three `array_position`-on-suffix steps of
+    * pure integer logic — deterministic and engine-portable. q92
+    * counts unordered co-occurrence and q93 adjacent transitions;
+    * this counts order-with-gaps, the pattern class both miss.
+    *
+    * Scale shape: the pattern space is enumerated, not grown — with a
+    * bounded alphabet |Σ| and length ≤ L it is Σ^1..Σ^L rows (155
+    * here), a broadcast spine; each user's sequence is assembled by
+    * ONE grouped in-row sort (bounded by per-user activity, the q25
+    * sessionization shape) and each (user, pattern) check is one
+    * in-row O(|seq|) pass. At an unbounded alphabet the same
+    * support-counting runs per PrefixSpan projection instead of a
+    * pre-enumerated spine — candidate generation changes, the
+    * per-user containment check does not.
+    */
+  def q202(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = ev(spark, sfDir)
+    val seqs = e.groupBy(col("user_id"))
+      .agg(array_sort(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))).as("s"))
+      .select(col("user_id"), expr("transform(s, x -> x.event_type)").as("seq"))
+    val types = e.select("event_type").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val pats =
+      types.map(a => (a, 1, a, "", "")) ++
+      (for { a <- types; b <- types } yield (s"$a>$b", 2, a, b, "")) ++
+      (for { a <- types; b <- types; c <- types } yield (s"$a>$b>$c", 3, a, b, c))
+    import spark.implicits._
+    val spine = pats.toDF("pattern", "len", "e1", "e2", "e3")
+    val q1 = array_position(col("seq"), col("e1"))
+    val r2 = array_position(
+      slice(col("seq"), (q1 + 1).cast("int"), size(col("seq"))), col("e2"))
+    val a2 = when(q1 > 0 && r2 > 0, q1 + r2).otherwise(lit(0L))
+    val r3 = array_position(
+      slice(col("seq"), (a2 + 1).cast("int"), size(col("seq"))), col("e3"))
+    val present = when(col("len") === 1, q1 > 0)
+      .when(col("len") === 2, a2 > 0)
+      .otherwise(a2 > 0 && r3 > 0)
+    val tot = seqs.agg(count(lit(1)).as("nu"))
+    seqs.crossJoin(broadcast(spine))
+      .where(present)
+      .groupBy(col("pattern"), col("len"))
+      .agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(tot))
+      .select(col("pattern"), col("len"), col("n_users"),
+        round(col("n_users").cast("double") / col("nu"), 6).as("ratio"))
+      .orderBy(col("len"), col("pattern"))
+  }
+
+  val q202Sql: String =
+    """WITH s AS (
+      |  SELECT user_id, list(event_type ORDER BY ts, event_id) AS seq
+      |  FROM events GROUP BY user_id),
+      |ty AS (SELECT DISTINCT event_type AS t FROM events),
+      |pat AS (
+      |  SELECT t AS pattern, 1 AS len, t AS e1, '' AS e2, '' AS e3 FROM ty
+      |  UNION ALL
+      |  SELECT a.t || '>' || b.t, 2, a.t, b.t, '' FROM ty a, ty b
+      |  UNION ALL
+      |  SELECT a.t || '>' || b.t || '>' || c.t, 3, a.t, b.t, c.t
+      |  FROM ty a, ty b, ty c),
+      |chk AS (
+      |  SELECT pattern, len,
+      |    CASE WHEN len = 1 THEN q1 > 0
+      |         WHEN len = 2 THEN a2 > 0
+      |         ELSE a2 > 0 AND
+      |           COALESCE(list_position(seq[(a2+1):], e3), 0) > 0 END AS present
+      |  FROM (
+      |    SELECT pattern, len, seq, e3, q1,
+      |      CASE WHEN q1 > 0 AND COALESCE(list_position(seq[(q1+1):], e2), 0) > 0
+      |           THEN q1 + list_position(seq[(q1+1):], e2) ELSE 0 END AS a2
+      |    FROM (
+      |      SELECT p.pattern, p.len, p.e2, p.e3, u.seq,
+      |        COALESCE(list_position(u.seq, p.e1), 0) AS q1
+      |      FROM pat p CROSS JOIN s u))),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu FROM s)
+      |SELECT pattern, len, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  ROUND(CAST(COUNT(*) AS DOUBLE) / nu, 6) AS ratio
+      |FROM chk CROSS JOIN tot WHERE present
+      |GROUP BY pattern, len, nu ORDER BY len, pattern""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_events_json_stats", q23 _, Some(q23Sql)),
     ("q24_events_daily_window", q24 _, Some(q24Sql)),
@@ -1376,6 +1465,7 @@ object Events {
     // converge to the identical global grid (CMS linearity — the
     // q183/q175 shared-oracle precedent)
     ("q198_stream_countmin_maintain", q198 _, Some(q194Sql)),
-    ("q199_psi_drift", q199 _, Some(q199Sql))
+    ("q199_psi_drift", q199 _, Some(q199Sql)),
+    ("q202_sequential_patterns", q202 _, Some(q202Sql))
   )
 }
