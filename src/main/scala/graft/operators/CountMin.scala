@@ -67,12 +67,15 @@ object CountMin {
 
   /** Point-frequency estimates for `terms` (a 1-column frame of
     * distinct terms) against a merged grid: est = MIN over the d grid
-    * rows of the term's cell. Terms join the d·w-cell grid on (r, b)
-    * — the grid side is broadcast-sized by construction. A term none
-    * of whose cells exist in the sparse grid was never observed;
-    * inner-joining keeps est for observed terms only (an absent cell
-    * for an OBSERVED term is impossible — its own increments are in
-    * every row). Output: (term string, est long). */
+    * rows of the term's cell, with an ABSENT sparse cell counting as
+    * zero (left join + coalesce). That honors [[sketch]]'s sparse-form
+    * contract for every probe, observed or not: an observed term has
+    * all d of its cells present (its own increments are in every row),
+    * so its estimate is the classic CMS min; a never-observed term is
+    * missing at least the cells where no other term collided, so its
+    * min is 0 — not a spurious collision-inflated count. Terms join
+    * the d·w-cell grid on (r, b) — the grid side is broadcast-sized by
+    * construction. Output: (term string, est long). */
   def estimates(grid: DataFrame, terms: DataFrame, termCol: String,
                 d: Int, w: Int): DataFrame = {
     GraftFunctions.ensureRegistered(terms.sparkSession)
@@ -82,9 +85,9 @@ object CountMin {
       .withColumn("b", pmod(
         call_function("poly_hash",
           concat(col("r").cast("string"), lit(":"), col("term"))), lit(w.toLong)))
-    probes.join(broadcast(grid), Seq("r", "b"))
+    probes.join(broadcast(grid), Seq("r", "b"), "left")
       .groupBy(col("term"))
-      .agg(min(col("c")).as("est"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }
 
   // ------------------------------------------------------------------
@@ -103,17 +106,48 @@ object CountMin {
   def appendBatchGrid(batch: DataFrame, termCol: String, d: Int, w: Int,
                       store: String, batchId: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
-    val g = sketch(batch, termCol, d, w)
     batchId match {
       case Some(id) =>
+        // Replay-safe by construction: a batch at or below the
+        // compaction high-water mark was already folded into the
+        // merged grid (its _SUCCESS marker is gone, but the marker
+        // file remembers it) — re-appending it would double-count.
+        if (highWater(spark, store).exists(id <= _)) return
         val sub = s"$store/grids/batch_$id"
         val success = new org.apache.hadoop.fs.Path(s"$sub/_SUCCESS")
         val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!fs.exists(success))
-          g.write.mode("overwrite").parquet(sub)
+          sketch(batch, termCol, d, w).write.mode("overwrite").parquet(sub)
       case None =>
-        g.write.mode("append").parquet(s"$store/grids")
+        sketch(batch, termCol, d, w).write.mode("append").parquet(s"$store/grids")
     }
+  }
+
+  /** Highest batchId ever folded into the merged grid by
+    * [[compactGridStore]] — absent until the first compaction. */
+  private[graft] def highWater(spark: org.apache.spark.sql.SparkSession,
+                               store: String): Option[Long] = {
+    val marker = new org.apache.hadoop.fs.Path(s"$store/compacted_upto")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toLong)
+      finally in.close()
+    }
+  }
+
+  private def writeHighWater(spark: org.apache.spark.sql.SparkSession,
+                             store: String, id: Long): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(s"$store/compacted_upto")
+    val tmp = new org.apache.hadoop.fs.Path(s"$store/compacted_upto.tmp")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
+    try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(marker)) fs.delete(marker, false)
+    if (!fs.rename(tmp, marker))
+      throw new java.io.IOException(s"cannot publish high-water mark $marker")
   }
 
   /** The store's merged grid: every persisted partial summed
@@ -128,17 +162,36 @@ object CountMin {
     * row-granular stores (dedup signatures, ANN codes), a grid store
     * has no per-row identity to self-heal on: compacting flattens the
     * per-batch `_SUCCESS` markers, so a micro-batch replayed AFTER
-    * its directory was compacted away would double-count. Two things
-    * make this safe in practice: the sprawl is d·w cells per batch
-    * (not corpus-sized), so compaction is a rare maintenance action,
-    * not a per-cycle need — and it must run only once the stream's
-    * checkpoint has committed past every absorbed batch (between
-    * runs, not inside `foreachBatch`), which is when replays can no
-    * longer occur. */
+    * its directory was compacted away would otherwise double-count.
+    * The store is replay-safe BY CONSTRUCTION instead of by caller
+    * discipline: before the swap, the highest `batch_<id>` being
+    * folded is recorded in a `compacted_upto` marker (monotone,
+    * write-then-rename), and [[appendBatchGrid]] skips any batch at
+    * or below it — a replayed micro-batch whose directory was
+    * compacted away becomes a no-op, the same exactly-once guarantee
+    * the set-based n-gram store gets from SET semantics. The marker
+    * is written BEFORE the swap: a crash between the two leaves a
+    * batch counted once in the un-compacted store and blocked from
+    * re-append — safe, never double-counted. Sprawl is d·w cells per
+    * batch (not corpus-sized), so compaction stays a rare maintenance
+    * action rather than a per-cycle need. */
   def compactGridStore(spark: org.apache.spark.sql.SparkSession,
                        store: String): Unit = {
     if (!graft.llm.TextDedup.storeNonEmpty(spark, s"$store/grids")) return
-    graft.llm.TextDedup.compactSwap(spark, s"$store/grids",
-      readMergedGrid(spark, store).coalesce(1))
+    val grids = new org.apache.hadoop.fs.Path(s"$store/grids")
+    val fs = grids.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchIds = fs.listStatus(grids).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("batch_") => s.stripPrefix("batch_").toLong }
+    val merged = readMergedGrid(spark, store).coalesce(1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    merged.count() // pin the pre-swap read before the marker blocks replays
+    if (batchIds.nonEmpty) {
+      val hw = math.max(batchIds.max, highWater(spark, store).getOrElse(Long.MinValue))
+      writeHighWater(spark, store, hw)
+    }
+    graft.llm.TextDedup.compactSwap(spark, s"$store/grids", merged)
+    merged.unpersist()
   }
 }

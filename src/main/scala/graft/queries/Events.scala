@@ -1262,7 +1262,12 @@ object Events {
     * everything after the two groupBys is bounded by types·bins, not
     * events. Types absent from the reference window have no defined
     * binning (they are new categories, the q143/q148 audits' job) and
-    * are excluded by construction.
+    * are excluded by construction. Types present in the reference but
+    * ABSENT from the current window — the maximal-drift case — are
+    * kept: nc joins LEFT with n_cur coalesced to 0, so every current
+    * bin smooths to 1/(0+10) and the PSI is finite, large, and
+    * alerting, instead of the type silently vanishing from the
+    * monitor.
     */
   def q199(spark: SparkSession, sfDir: String): DataFrame = {
     val bins = 10
@@ -1292,7 +1297,9 @@ object Events {
     spine
       .join(binCounts(ref, "c_ref"), Seq("event_type", "b"), "left")
       .join(binCounts(cur, "c_cur"), Seq("event_type", "b"), "left")
-      .join(broadcast(nr), "event_type").join(broadcast(nc), "event_type")
+      .join(broadcast(nr), "event_type")
+      .join(broadcast(nc), Seq("event_type"), "left")
+      .withColumn("n_cur", coalesce(col("n_cur"), lit(0L)))
       .withColumn("term", round((pc - pr) * log(pc / pr), 9))
       .groupBy(col("event_type"))
       .agg(min(col("n_ref")).as("n_ref"), min(col("n_cur")).as("n_cur"),
@@ -1330,17 +1337,17 @@ object Events {
       |nr AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_ref FROM ref GROUP BY event_type),
       |nc AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_cur FROM cur GROUP BY event_type),
       |terms AS (
-      |  SELECT s.event_type, nr.n_ref, nc.n_cur,
+      |  SELECT s.event_type, nr.n_ref, COALESCE(nc.n_cur, 0) AS n_cur,
       |    ROUND((
-      |      (CAST(COALESCE(cb.c_cur, 0) + 1 AS DOUBLE) / CAST(nc.n_cur + 10 AS DOUBLE)) -
+      |      (CAST(COALESCE(cb.c_cur, 0) + 1 AS DOUBLE) / CAST(COALESCE(nc.n_cur, 0) + 10 AS DOUBLE)) -
       |      (CAST(COALESCE(rb.c_ref, 0) + 1 AS DOUBLE) / CAST(nr.n_ref + 10 AS DOUBLE))
       |    ) * ln(
-      |      (CAST(COALESCE(cb.c_cur, 0) + 1 AS DOUBLE) / CAST(nc.n_cur + 10 AS DOUBLE)) /
+      |      (CAST(COALESCE(cb.c_cur, 0) + 1 AS DOUBLE) / CAST(COALESCE(nc.n_cur, 0) + 10 AS DOUBLE)) /
       |      (CAST(COALESCE(rb.c_ref, 0) + 1 AS DOUBLE) / CAST(nr.n_ref + 10 AS DOUBLE))
       |    ), 9) AS term
       |  FROM spine s
       |  LEFT JOIN rb USING (event_type, b) LEFT JOIN cb USING (event_type, b)
-      |  JOIN nr USING (event_type) JOIN nc USING (event_type))
+      |  JOIN nr USING (event_type) LEFT JOIN nc USING (event_type))
       |SELECT event_type, MIN(n_ref) AS n_ref, MIN(n_cur) AS n_cur,
       |  ROUND(CAST(SUM(CAST(term AS DECIMAL(27, 9))) AS DOUBLE), 6) AS psi,
       |  (ROUND(CAST(SUM(CAST(term AS DECIMAL(27, 9))) AS DOUBLE), 6) > 0.2) AS drifted

@@ -71,11 +71,38 @@ class CountMinSpec extends AnyFunSuite {
     CountMin.compactGridStore(spark, store)
     assert(cells(CountMin.readMergedGrid(spark, store)) == merged,
       "compaction changed the grid")
+    // a batch replayed AFTER compaction flattened its _SUCCESS marker
+    // is blocked by the high-water mark — replay-safe by construction
+    assert(CountMin.highWater(spark, store).contains(1L))
+    CountMin.appendBatchGrid(b2, "term", d, w, store, batchId = Some(1L))
+    assert(cells(CountMin.readMergedGrid(spark, store)) == merged,
+      "post-compaction replay double-counted")
     // and the store keeps absorbing after compaction
     CountMin.appendBatchGrid(b1, "term", d, w, store, batchId = Some(2L))
     val twice = cells(CountMin.merge(
       CountMin.sketch(b1, "term", d, w)
         .unionByName(CountMin.sketch(corpus, "term", d, w))))
     assert(cells(CountMin.readMergedGrid(spark, store)) == twice)
+    // second compaction advances the mark monotonically
+    CountMin.compactGridStore(spark, store)
+    assert(CountMin.highWater(spark, store).contains(2L))
+  }
+
+  test("unobserved probes estimate 0 even under partial collisions") {
+    val d = 4; val w = 8 // narrow grid: collisions in SOME rows are likely
+    val grid = CountMin.merge(CountMin.sketch(corpus, "term", d, w))
+    val probes = (1 to 30).map(i => s"never$i").toDF("term")
+    val est = CountMin.estimates(grid, probes, "term", d, w)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(est.size == 30, "every probe gets a row, observed or not")
+    // 40 distinct terms over w=8 buckets: every bucket in every row is
+    // occupied, so this narrow grid can't distinguish unobserved terms
+    // — widen until some cells are empty and assert the zero path there
+    val wide = 4096
+    val grid2 = CountMin.merge(CountMin.sketch(corpus, "term", d, wide))
+    val est2 = CountMin.estimates(grid2, probes, "term", d, wide)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(est2.values.forall(_ == 0L),
+      s"unobserved probes in a sparse grid must estimate 0: $est2")
   }
 }
