@@ -1978,6 +1978,93 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q203
+  /** Trained quality classifier over the document pool
+    * ([[graft.llm.QualityClassifier]]) — the learned filter verb the
+    * rule-based selectors (q172 DSIR, q173 Stupid-Backoff, q36
+    * heuristics) can't express: hashed bag-of-words + intercept +
+    * length features, logistic regression fit by 4 exact-arithmetic
+    * full-batch GD rounds, then score + threshold over every doc.
+    * The label here is the C4-style length heuristic
+    * (n_chars ≥ 300) standing in for human/curated-vs-crawl labels —
+    * the synthetic corpus carries no real quality signal (token
+    * distributions are flat across langs), so the DEMO label is one
+    * the model can provably learn (~91% train accuracy); the
+    * pipeline — featurize, train, score, filter — is the verb, and
+    * `QualityClassifierSpec` pins that it learns a planted
+    * content-based signal too. In the nine-stage pretraining
+    * capstone (q184) this slots between the heuristic quality gate
+    * and the dedup stages: train on the curated slice, score the
+    * pool, keep above threshold.
+    *
+    * Oracle: the ENTIRE training run is replayed by DuckDB as 4
+    * unrolled CTE rounds (the q82/q112 precedent) — per-doc scores
+    * hash-checked implies every intermediate weight table matched.
+    */
+  def q203(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.llm.QualityClassifier
+    val cfg = QualityClassifier.Config(buckets = 64, eta = 5.0, rounds = 4)
+    val d = docs(spark, sfDir)
+    val labels = d.select(col("doc_id").as("id"),
+      when(col("n_chars") >= 300, 1).otherwise(0).as("y"))
+    val feats = QualityClassifier.featurize(d, "doc_id", "text", cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = QualityClassifier.train(feats, labels, cfg)
+    val out = QualityClassifier.score(feats, w)
+      .join(labels, "id")
+      .select(col("id").as("doc_id"), col("y").as("label"), col("score"),
+        (col("score") >= 0.5).as("keep"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    feats.unpersist(blocking = false)
+    out
+  }
+
+  val q203Sql: String = {
+    val ph = graft.functions.PolyHash.duckdbSql("t")
+    val B = 64
+    val head =
+      s"""WITH base AS (
+         |  SELECT doc_id, CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y,
+         |    string_split(text, ' ') AS s
+         |  FROM documents WHERE len(string_split(text, ' ')) >= 1),
+         |meta AS (SELECT doc_id, y, len(s) AS l FROM base),
+         |tk AS (SELECT doc_id, $ph % $B AS b
+         |       FROM (SELECT doc_id, unnest(s) AS t FROM base)),
+         |bow AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS n FROM tk GROUP BY 1, 2),
+         |f AS (
+         |  SELECT doc_id, b, CAST(ROUND(CAST(n AS DOUBLE) / l, 9) AS DECIMAL(12,9)) AS x
+         |  FROM bow JOIN meta USING (doc_id)
+         |  UNION ALL SELECT doc_id, $B AS b, CAST(1 AS DECIMAL(12,9)) AS x FROM meta
+         |  UNION ALL SELECT doc_id, ${B + 1} AS b,
+         |    CAST(ROUND(l / 100.0, 9) AS DECIMAL(12,9)) AS x FROM meta),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM meta),
+         |w0 AS (SELECT CAST(r.i AS BIGINT) AS b, CAST(0 AS DECIMAL(18,9)) AS w
+         |       FROM range(0, ${B + 2}) r(i))""".stripMargin
+    val gd = (1 to 4).map { r =>
+      s""",
+         |e$r AS (
+         |  SELECT doc_id, CAST(ROUND(y - ROUND(1.0 / (1.0 + EXP(-CAST(z AS DOUBLE))), 9), 9)
+         |    AS DECIMAL(10,9)) AS e
+         |  FROM (SELECT doc_id, SUM(x * w) AS z FROM f JOIN w${r - 1} USING (b) GROUP BY doc_id)
+         |  JOIN meta USING (doc_id)),
+         |g$r AS (SELECT b, SUM(e * x) AS g FROM f JOIN e$r USING (doc_id) GROUP BY b),
+         |w$r AS (
+         |  SELECT b, CAST(ROUND(CAST(w AS DOUBLE) +
+         |    5.0 * CAST(COALESCE(g, 0) AS DOUBLE) / n, 9) AS DECIMAL(18,9)) AS w
+         |  FROM w${r - 1} LEFT JOIN g$r USING (b) CROSS JOIN nn)""".stripMargin
+    }.mkString
+    val tail =
+      s"""
+         |SELECT m.doc_id, m.y AS label,
+         |  ROUND(1.0 / (1.0 + EXP(-CAST(z AS DOUBLE))), 9) AS score,
+         |  (ROUND(1.0 / (1.0 + EXP(-CAST(z AS DOUBLE))), 9) >= 0.5) AS keep
+         |FROM (SELECT doc_id, SUM(x * w) AS z FROM f JOIN w4 USING (b) GROUP BY doc_id) zf
+         |JOIN meta m USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    head + gd + tail
+  }
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_token_stats", q34 _, Some(q34Sql)),
     ("q35_lang_id_confusion", q35 _, Some(q35Sql)),
@@ -2034,7 +2121,8 @@ object Text {
     // oracle = q197's: the incrementally-built window store must
     // converge to the one-shot train-window set (the q183/q198
     // shared-oracle precedent)
-    ("q200_novelty_store", q200 _, Some(q197Sql))
+    ("q200_novelty_store", q200 _, Some(q197Sql)),
+    ("q203_quality_classifier", q203 _, Some(q203Sql))
   )
 
 }
