@@ -136,7 +136,8 @@ object Vocab {
     * per-document position, bounded by document length.
     */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
-                merges: DataFrame, sep: String = " "): DataFrame = {
+                merges: DataFrame, sep: String = " ",
+                endOfWord: Option[String] = None): DataFrame = {
     val ms = merges.orderBy(col("rank"))
       .select(col("left"), col("right"))
       .collect().map(r => (r.getString(0), r.getString(1)))
@@ -148,8 +149,17 @@ object Vocab {
         regexp_replace(c, lit(mergePattern(l, r)),
           lit(java.util.regex.Matcher.quoteReplacement(s"$l$r")))
     }
+    // Sennrich's end-of-word marker: an extra terminal subword per
+    // word makes the FLAT subword stream invertible ([[bpeDecode]]) —
+    // without it word boundaries are lost at decode time. Appended
+    // after merge application, so segmentation is unchanged and the
+    // marker is just one more vocabulary entry with its own id.
+    val subsCol = endOfWord match {
+      case Some(m) => concat(split(symFinal, " "), array(lit(m)))
+      case None => split(symFinal, " ")
+    }
     val wordSubs = words
-      .select(col("word"), col("freq"), split(symFinal, " ").as("subs"))
+      .select(col("word"), col("freq"), subsCol.as("subs"))
     val subCounts = wordSubs
       .select(col("freq"), explode(col("subs")).as("subword"))
       .groupBy(col("subword")).agg(sum(col("freq")).as("sfreq"))
@@ -170,4 +180,26 @@ object Vocab {
       .join(broadcast(ids), "subword")
       .select(col(idCol), col("pos"), col("subword"), col("subword_id"))
   }
+
+  /** Detokenize a marker-carrying subword stream ([[bpeEncode]] with
+    * `endOfWord = Some(marker)`) back to text — the decode half of
+    * the tokenizer, from the FLAT (id, pos, subword) stream alone:
+    * subwords concatenate in pos order, each marker becomes a word
+    * boundary, and the trailing boundary is trimmed. For any text
+    * with single-space-separated non-empty words,
+    * decode(encode(text)) = text exactly.
+    *
+    * Scale shape: one per-document grouped aggregation; the in-row
+    * sort/join is bounded by document length (the q25 sessionization
+    * class), so the only shuffle is the groupBy on the doc key —
+    * fully partition-parallel at any corpus size. */
+  def bpeDecode(stream: DataFrame, idCol: String,
+                marker: String = "</w>", sep: String = " "): DataFrame =
+    stream.groupBy(col(idCol))
+      .agg(expr("array_join(transform(array_sort(collect_list(" +
+        "struct(pos, subword))), x -> x.subword), '')").as("joined"))
+      .select(col(idCol),
+        rtrim(regexp_replace(col("joined"),
+          lit(java.util.regex.Pattern.quote(marker)),
+          lit(java.util.regex.Matcher.quoteReplacement(sep)))).as("text"))
 }

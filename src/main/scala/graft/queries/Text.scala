@@ -2065,6 +2065,45 @@ object Text {
     head + gd + tail
   }
 
+  // ---------------------------------------------------------------- q204
+  /** Tokenizer round-trip at corpus scale — BPE DECODE
+    * ([[graft.llm.Vocab.bpeDecode]]): learn the same four merges as
+    * q120, encode every document with Sennrich's end-of-word marker
+    * (the extra terminal subword that makes the flat stream
+    * invertible), decode the flat (doc_id, pos, subword) stream back
+    * to text, and emit each document's decoded content hash plus an
+    * engine-side equality flag against the original. The oracle is
+    * the q114/q168 round-trip pattern: it computes the hash STRAIGHT
+    * FROM PARQUET (whitespace-normalized — BPE's token alphabet
+    * can't represent space runs; this corpus is single-spaced so
+    * normalization is the identity), so the identity
+    * decode(encode(x)) = x is hash-checked for every document — a
+    * lossy merge application, id mapping, position ordering, or
+    * marker handling anywhere in the encode/decode pair becomes a
+    * parity mismatch.
+    */
+  def q204(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val merges = graft.llm.Vocab.bpeMerges(d, "text", numMerges = 4)
+    val enc = graft.llm.Vocab.bpeEncode(d, "doc_id", "text", merges,
+      endOfWord = Some("</w>"))
+    val dec = graft.llm.Vocab.bpeDecode(enc, "doc_id")
+    val norm = d.select(col("doc_id"), expr(
+      "array_join(filter(split(text, ' '), w -> w != ''), ' ')").as("orig"))
+    dec.join(norm, "doc_id")
+      .select(col("doc_id"), GraftFunctions.polyHash("text").as("decoded_hash"),
+        (col("text") === col("orig")).as("matches"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q204Sql: String = {
+    val norm = "array_to_string(list_filter(string_split(text, ' '), w -> len(w) > 0), ' ')"
+    s"""SELECT doc_id,
+       |  ${graft.functions.PolyHash.duckdbSql(norm)} AS decoded_hash,
+       |  TRUE AS matches
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_token_stats", q34 _, Some(q34Sql)),
     ("q35_lang_id_confusion", q35 _, Some(q35Sql)),
@@ -2122,7 +2161,8 @@ object Text {
     // converge to the one-shot train-window set (the q183/q198
     // shared-oracle precedent)
     ("q200_novelty_store", q200 _, Some(q197Sql)),
-    ("q203_quality_classifier", q203 _, Some(q203Sql))
+    ("q203_quality_classifier", q203 _, Some(q203Sql)),
+    ("q204_bpe_decode_roundtrip", q204 _, Some(q204Sql))
   )
 
 }

@@ -119,6 +119,26 @@ class MergeVocabSpec extends AnyFunSuite {
     }
   }
 
+  test("marked encode + bpeDecode is the exact identity, spaces included") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "the quick brown fox"), (2L, "aaaaaa aaa the thee"),
+      (3L, "x"), (4L, "queueing sequences seen")).toDF("id", "text")
+    val merges = graft.llm.Vocab.bpeMerges(df, "text", numMerges = 5)
+    val enc = graft.llm.Vocab.bpeEncode(df, "id", "text", merges,
+      endOfWord = Some("</w>"))
+    // every word contributes exactly one marker subword
+    val markers = enc.where($"subword" === "</w>").count()
+    val words = df.select(explode(split($"text", " "))).count()
+    assert(markers == words, s"$markers markers for $words words")
+    val dec = graft.llm.Vocab.bpeDecode(enc, "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    df.collect().foreach { r =>
+      assert(dec(r.getLong(0)) == r.getString(1),
+        s"decode(encode) broke doc ${r.getLong(0)}: '${dec(r.getLong(0))}'")
+    }
+  }
+
   test("encode preserves every token occurrence with 0-based positions") {
     val s = spark
     import s.implicits._
