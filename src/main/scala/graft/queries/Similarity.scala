@@ -1081,6 +1081,118 @@ object Similarity {
       .orderBy(col("va"), col("rn"))
   }
 
+  // ---------------------------------------------------------------- q205
+  /** q166's IVF-through-a-trained-quantizer at the PRODUCTION codebook
+    * size — nlist = max(8, ⌊√N⌋), the standard IVF sizing that keeps
+    * per-query scan cost ~2√N (nprobe lists of ~N/√N vectors each)
+    * instead of the ~N/8 a fixed 8-list codebook degrades to as the
+    * corpus grows. q57/q165/q166 pin nlist at a small constant so
+    * their oracles stay tractable; this query DECLARES the √N
+    * configuration so the benchmark artifact carries the number the
+    * deploy-time knob actually ships with (the r9 sf1 probe measured
+    * the √N path ~5× cheaper end-to-end than nlist=8; this makes that
+    * measurement a standing, oracle-checked artifact instead of a
+    * one-off note). Same operator, same output shape as q166 — only
+    * k changes, and `ivfSearch` never asks where the labels came
+    * from.
+    *
+    * Scale shape: the k-means codebook is k×64 longs on the driver
+    * (141 at sf1, ~10⁴ at 100 TB — still driver-trivial); assignment
+    * stays one in-row argmin pass per Lloyd round against centroid
+    * literals, and the search keeps ivfSearch's single list_id-keyed
+    * shuffle with per-list fan-in now √N-bounded.
+    */
+  def q205(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val k = math.max(8, math.floor(math.sqrt(e.count().toDouble)).toInt)
+    val cid = graft.llm.KMeans
+      .assign(e, "vec_id", "embedding", k = k, passes = 2)
+      .select(col("vec_id"), col("cid"))
+    graft.llm.VectorSearch
+      .ivfSearch(e.join(cid, "vec_id"), "vec_id", "embedding", "cid",
+        k = 3, nprobe = 2)
+      .select(col("va"), col("rn"), col("nn"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("va"), col("rn"))
+  }
+
+  /** q166's CTE chain with the codebook size dynamic: nlist =
+    * GREATEST(8, ⌊√N⌋) computed in-query, c0 bounded by a window
+    * filter instead of a literal LIMIT. */
+  val q205Sql: String =
+    s"""WITH kk AS (
+       |  SELECT GREATEST(8, CAST(floor(sqrt(COUNT(*))) AS INT)) AS k
+       |  FROM embeddings),
+       |sv AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS sv
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(rn AS INT) - 1 AS cid, sv AS m FROM (
+       |    SELECT sv, row_number() OVER (ORDER BY vec_id) AS rn FROM sv)
+       |  WHERE rn <= (SELECT k FROM kk)),
+       |d1 AS (
+       |  SELECT v.vec_id, c.cid,
+       |    CAST(SUM((v.sv[i+1] - c.m[i+1]) * (v.sv[i+1] - c.m[i+1])) AS BIGINT) AS d2
+       |  FROM sv v CROSS JOIN c0 c CROSS JOIN range(0, 64) r(i)
+       |  GROUP BY v.vec_id, c.cid),
+       |a1 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |    FROM d1) WHERE rn = 1),
+       |c1 AS (
+       |  SELECT cid, list(m ORDER BY d) AS m FROM (
+       |    SELECT a.cid, r.i AS d,
+       |      CAST(SUM(v.sv[r.i+1]) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS m
+       |    FROM a1 a JOIN sv v USING (vec_id) CROSS JOIN range(0, 64) r(i)
+       |    GROUP BY a.cid, r.i)
+       |  GROUP BY cid),
+       |d2p AS (
+       |  SELECT v.vec_id, c.cid,
+       |    CAST(SUM((v.sv[i+1] - c.m[i+1]) * (v.sv[i+1] - c.m[i+1])) AS BIGINT) AS d2
+       |  FROM sv v CROSS JOIN c1 c CROSS JOIN range(0, 64) r(i)
+       |  GROUP BY v.vec_id, c.cid),
+       |a2 AS (
+       |  SELECT vec_id, cid, d2 FROM (
+       |    SELECT vec_id, cid, d2,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |    FROM d2p) WHERE rn = 1),
+       |kdims AS (
+       |  SELECT e.vec_id, a.cid, t.i, CAST(e.embedding[t.i + 1] AS DOUBLE) AS x
+       |  FROM embeddings e JOIN a2 a USING (vec_id)
+       |  CROSS JOIN range(0, 64) t(i)),
+       |kcents AS (
+       |  SELECT cid, i,
+       |    CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS c
+       |  FROM kdims GROUP BY cid, i),
+       |kd2 AS (
+       |  SELECT d.vec_id, c.cid,
+       |    CAST(SUM(CAST((x - c) * (x - c) AS DECIMAL(38,12))) AS DOUBLE) AS d2
+       |  FROM kdims d JOIN kcents c USING (i) GROUP BY d.vec_id, c.cid),
+       |kassign AS (
+       |  SELECT vec_id, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS arn
+       |  FROM kd2),
+       |nrm AS (
+       |  SELECT vec_id, embedding, sqrt(${dotSqlDuck("embedding", "embedding")}) AS nrm
+       |  FROM embeddings CROSS JOIN range(0, 64) t(i) GROUP BY vec_id, embedding),
+       |pairs AS (
+       |  SELECT p.vec_id AS va, h.vec_id AS vb,
+       |    (${dotSqlDuck("a.embedding", "b.embedding")}) / (ANY_VALUE(a.nrm) * ANY_VALUE(b.nrm)) AS cos
+       |  FROM kassign p JOIN kassign h
+       |    ON p.cid = h.cid AND h.arn = 1 AND p.arn <= 2
+       |    AND p.vec_id <> h.vec_id
+       |  JOIN nrm a ON a.vec_id = p.vec_id JOIN nrm b ON b.vec_id = h.vec_id
+       |  CROSS JOIN range(0, 64) t(i)
+       |  GROUP BY p.vec_id, h.vec_id),
+       |ranked AS (
+       |  SELECT va, vb, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rn
+       |  FROM pairs)
+       |SELECT va, CAST(rn AS INT) AS rn, vb AS nn, ROUND(cos, 6) AS cos
+       |FROM ranked WHERE rn <= 3 ORDER BY va, rn""".stripMargin
+
   val q166Sql: String =
     s"""WITH $kmeansCtes,
        |kdims AS (
@@ -2109,6 +2221,7 @@ object Similarity {
     ("q154_matryoshka_recall", q154 _, Some(q154Sql)),
     ("q165_ivf_sq8_search", q165 _, Some(q165Sql)),
     ("q166_ivf_kmeans_search", q166 _, Some(q166Sql)),
+    ("q205_ivf_sqrtn_search", q205 _, Some(q205Sql)),
     ("q167_fleiss_kappa", q167 _, Some(q167Sql)),
     ("q174_binary_hamming_search", q174 _, Some(q174Sql)),
     ("q175_ivf_store_incremental", q175 _, Some(q175Sql)),
