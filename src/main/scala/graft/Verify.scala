@@ -31,13 +31,44 @@ object Verify {
       .getOrElse(Seq.empty)
     def selected(name: String): Boolean =
       only.forall(_.exists(name.contains)) && !skip.exists(name.contains)
+    // optional per-query JVM-heap high-water probe (SPARK_GRAFT_HEAP_PROBE=1):
+    // resets every heap pool's peak before a query and records the summed
+    // peaks after — at local[N] the one JVM holds driver AND executor state,
+    // so this is the number that sizes SPARK_DRIVER_MEM for scale sweeps.
+    // GC between queries keeps one query's garbage from inflating the next
+    // query's attributed peak (peaks count garbage until collected).
+    val heapProbe = sys.env.get("SPARK_GRAFT_HEAP_PROBE").contains("1")
+    val heapPeaks = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans()
+      .asInstanceOf[java.util.List[java.lang.management.MemoryPoolMXBean]]
+    def resetPeaks(): Unit = pools.forEach { p =>
+      if (p.getType == java.lang.management.MemoryType.HEAP) p.resetPeakUsage()
+    }
+    def peakMb(): Long = {
+      var s = 0L
+      pools.forEach { p =>
+        if (p.getType == java.lang.management.MemoryType.HEAP)
+          s += p.getPeakUsage.getUsed
+      }
+      s / (1024 * 1024)
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
-      if (selected(name))
+      if (selected(name)) {
+        if (heapProbe) { System.gc(); resetPeaks() }
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        if (heapProbe) heapPeaks(name) = peakMb()
+      }
+    }
+    if (heapProbe) {
+      val hj = heapPeaks.map { case (k, v) => s"${Json.quote(k)}:$v" }
+        .mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/heap_peaks_mb.json"), hj)
+      heapPeaks.toSeq.sortBy(-_._2).take(15).foreach { case (k, v) =>
+        System.err.println(f"[heap] $k%-40s $v%6d MB peak") }
     }
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => selected(k) }
