@@ -687,25 +687,13 @@ object Dedup {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val d = docs(spark, sfDir).select(col("doc_id"), col("text"))
     val base = graft.Tables.scratchDir(spark, "sigstream", sfDir)
+    val stager = graft.streaming.FileStager(spark, base)
     val hfs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    hfs.delete(new org.apache.hadoop.fs.Path(base), true)
-    val srcDir = s"$base/src"
-    hfs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
-    // stage one parquet FILE per micro-batch; strictly-ordered mtimes
-    // in the past pin batch order (the file source batches by mtime)
-    def stage(slice: DataFrame, name: String, mtime: Long): Unit = {
-      val tmp = s"$base/tmp_$name"
-      slice.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = hfs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*"))(0).getPath
-      val dest = new org.apache.hadoop.fs.Path(s"$srcDir/$name.parquet")
-      hfs.rename(part, dest)
-      hfs.setTimes(dest, mtime, -1)
-      hfs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    }
+    val srcDir = stager.srcDir
     val now = System.currentTimeMillis()
-    stage(d.where(col("doc_id") % 4 =!= 0), "batch1", now - 60000)
-    stage(d.where(col("doc_id") % 4 === 0), "batch2", now - 30000)
+    stager.stage(d.where(col("doc_id") % 4 =!= 0), "batch1", now - 60000)
+    stager.stage(d.where(col("doc_id") % 4 === 0), "batch2", now - 30000)
     val store = s"$base/store"
     val pairsDir = s"$base/pairs"
     val schema = StructType(Seq(StructField("doc_id", LongType, nullable = false),

@@ -1200,25 +1200,11 @@ object Events {
     val d = 4; val w = 128
     val e = ev(spark, sfDir).select(col("event_id"), col("user_id"))
     val base = graft.Tables.scratchDir(spark, "cmsstream", sfDir)
-    val hfs = new org.apache.hadoop.fs.Path(base)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    hfs.delete(new org.apache.hadoop.fs.Path(base), true)
-    val srcDir = s"$base/src"
-    hfs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
-    // stage one parquet FILE per micro-batch; strictly-ordered mtimes
-    // in the past pin batch order (the file source batches by mtime)
-    def stage(slice: DataFrame, name: String, mtime: Long): Unit = {
-      val tmp = s"$base/tmp_$name"
-      slice.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = hfs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*"))(0).getPath
-      val dest = new org.apache.hadoop.fs.Path(s"$srcDir/$name.parquet")
-      hfs.rename(part, dest)
-      hfs.setTimes(dest, mtime, -1)
-      hfs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    }
+    val stager = graft.streaming.FileStager(spark, base)
+    val srcDir = stager.srcDir
     val now = System.currentTimeMillis()
-    stage(e.where(pmod(col("event_id"), lit(2)) === 0), "batch1", now - 60000)
-    stage(e.where(pmod(col("event_id"), lit(2)) === 1), "batch2", now - 30000)
+    stager.stage(e.where(pmod(col("event_id"), lit(2)) === 0), "batch1", now - 60000)
+    stager.stage(e.where(pmod(col("event_id"), lit(2)) === 1), "batch2", now - 30000)
     val store = s"$base/store"
     val schema = StructType(Seq(
       StructField("event_id", LongType, nullable = false),

@@ -1435,23 +1435,11 @@ object Similarity {
     import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType, StructField, StructType}
     val e = emb(spark, sfDir)
     val base = graft.Tables.scratchDir(spark, "ivfstream", sfDir)
-    val hfs = new org.apache.hadoop.fs.Path(base)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    hfs.delete(new org.apache.hadoop.fs.Path(base), true)
-    val srcDir = s"$base/src"
-    hfs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
-    def stage(slice: DataFrame, name: String, mtime: Long): Unit = {
-      val tmp = s"$base/tmp_$name"
-      slice.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = hfs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*"))(0).getPath
-      val dest = new org.apache.hadoop.fs.Path(s"$srcDir/$name.parquet")
-      hfs.rename(part, dest)
-      hfs.setTimes(dest, mtime, -1)
-      hfs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    }
+    val stager = graft.streaming.FileStager(spark, base)
+    val srcDir = stager.srcDir
     val now = System.currentTimeMillis()
-    stage(e.where(pmod(col("vec_id"), lit(10)) === 0), "batch1", now - 60000)
-    stage(e.where(pmod(col("vec_id"), lit(10)) === 5), "batch2", now - 30000)
+    stager.stage(e.where(pmod(col("vec_id"), lit(10)) === 0), "batch1", now - 60000)
+    stager.stage(e.where(pmod(col("vec_id"), lit(10)) === 5), "batch2", now - 30000)
     val store = s"$base/store"
     graft.llm.VectorSearch.buildIvfSq8Store(
       e.where(pmod(col("vec_id"), lit(5)) =!= 0), "vec_id", "embedding",

@@ -2104,6 +2104,75 @@ object Text {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q206
+  /** q203's trained quality filter SERVED STREAMING — the production
+    * "train offline, score online" shape: the classifier trains once
+    * on the static corpus (frozen (B+2)-row weight table), then the
+    * documents arrive as three file-source micro-batches and each
+    * batch is featurized and scored in `foreachBatch` against the
+    * broadcast frozen weights, appending to a batchId-idempotent
+    * score store (the q171/q183/q198 replay discipline: a replayed
+    * micro-batch whose subdirectory committed skips the write). The
+    * oracle IS q203's: streamed per-batch scoring must reproduce the
+    * one-shot corpus scoring row-for-row, which pins that
+    * featurization is genuinely per-document (any corpus-level
+    * statistic leaking into [[graft.llm.QualityClassifier.featurize]]
+    * would make batch and corpus features diverge) and that serving
+    * never retrains.
+    *
+    * Scale shape: per micro-batch work is one in-row featurize pass +
+    * one broadcast join — no history read, no state beyond the O(B)
+    * weight table; the score store appends forever without
+    * compaction pressure (one row per doc, row-granular identity).
+    */
+  def q206(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.llm.QualityClassifier
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val cfg = QualityClassifier.Config(buckets = 64, eta = 5.0, rounds = 4)
+    val d = docs(spark, sfDir)
+    val labels = d.select(col("doc_id").as("id"),
+      when(col("n_chars") >= 300, 1).otherwise(0).as("y"))
+    val feats = QualityClassifier.featurize(d, "doc_id", "text", cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = QualityClassifier.train(feats, labels, cfg)
+    feats.unpersist(blocking = false)
+    val base = graft.Tables.scratchDir(spark, "qcstream", sfDir)
+    val stager = graft.streaming.FileStager(spark, base)
+    val now = System.currentTimeMillis()
+    val src = d.select(col("doc_id"), col("n_chars"), col("text"))
+    stager.stage(src.where(col("doc_id") % 3 === 0), "batch1", now - 90000)
+    stager.stage(src.where(col("doc_id") % 3 === 1), "batch2", now - 60000)
+    stager.stage(src.where(col("doc_id") % 3 === 2), "batch3", now - 30000)
+    val store = s"$base/scores"
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_chars", LongType, nullable = false),
+      StructField("text", StringType, nullable = false)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stager.srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val bf = QualityClassifier.featurize(batch, "doc_id", "text", cfg)
+        val scored = QualityClassifier.score(bf, w)
+          .join(batch.select(col("doc_id").as("id"),
+            when(col("n_chars") >= 300, 1).otherwise(0).as("y")), "id")
+          .select(col("id").as("doc_id"), col("y").as("label"),
+            col("score"), (col("score") >= 0.5).as("keep"))
+        val sub = s"$store/batch_$bid"
+        val ok = new org.apache.hadoop.fs.Path(s"$sub/_SUCCESS")
+        if (!ok.getFileSystem(batch.sparkSession.sparkContext
+            .hadoopConfiguration).exists(ok))
+          scored.write.mode("overwrite").parquet(sub)
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.option("recursiveFileLookup", "true").parquet(store)
+      .orderBy(col("doc_id"))
+  }
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_token_stats", q34 _, Some(q34Sql)),
     ("q35_lang_id_confusion", q35 _, Some(q35Sql)),
@@ -2162,7 +2231,11 @@ object Text {
     // shared-oracle precedent)
     ("q200_novelty_store", q200 _, Some(q197Sql)),
     ("q203_quality_classifier", q203 _, Some(q203Sql)),
-    ("q204_bpe_decode_roundtrip", q204 _, Some(q204Sql))
+    ("q204_bpe_decode_roundtrip", q204 _, Some(q204Sql)),
+    // oracle = q203's: streamed frozen-weight scoring must reproduce
+    // the one-shot corpus scoring row-for-row (the q159/q188/q198
+    // shared-oracle precedent)
+    ("q206_stream_quality_scoring", q206 _, Some(q203Sql))
   )
 
 }
