@@ -2001,7 +2001,11 @@ object Text {
     * unrolled CTE rounds (the q82/q112 precedent) — per-doc scores
     * hash-checked implies every intermediate weight table matched.
     */
-  def q203(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Shared train-and-score pass behind q203/q207/q208: the q203
+    * configuration trained on the corpus and every doc scored —
+    * (doc_id, label int, score double), eagerly pinned so each
+    * consumer aggregates a 1-scan-deep plan. */
+  private def classifierScored(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.llm.QualityClassifier
     val cfg = QualityClassifier.Config(buckets = 64, eta = 5.0, rounds = 4)
     val d = docs(spark, sfDir)
@@ -2012,15 +2016,21 @@ object Text {
     val w = QualityClassifier.train(feats, labels, cfg)
     val out = QualityClassifier.score(feats, w)
       .join(labels, "id")
-      .select(col("id").as("doc_id"), col("y").as("label"), col("score"),
-        (col("score") >= 0.5).as("keep"))
-      .orderBy(col("doc_id"))
+      .select(col("id").as("doc_id"), col("y").as("label"), col("score"))
       .localCheckpoint(true)
     feats.unpersist(blocking = false)
     out
   }
 
-  val q203Sql: String = {
+  def q203(spark: SparkSession, sfDir: String): DataFrame =
+    classifierScored(spark, sfDir)
+      .withColumn("keep", col("score") >= 0.5)
+      .orderBy(col("doc_id"))
+
+  /** The q203 training replay up to a `scored` CTE — shared oracle
+    * prefix for q203 (keep/threshold), q207 (calibration bins) and
+    * q208 (threshold sweep). */
+  private val q203Ctes: String = {
     val ph = graft.functions.PolyHash.duckdbSql("t")
     val B = 64
     val head =
@@ -2055,15 +2065,19 @@ object Text {
          |  FROM w${r - 1} LEFT JOIN g$r USING (b) CROSS JOIN nn)""".stripMargin
     }.mkString
     val tail =
-      s"""
-         |SELECT m.doc_id, m.y AS label,
-         |  ROUND(1.0 / (1.0 + EXP(-CAST(z AS DOUBLE))), 9) AS score,
-         |  (ROUND(1.0 / (1.0 + EXP(-CAST(z AS DOUBLE))), 9) >= 0.5) AS keep
-         |FROM (SELECT doc_id, SUM(x * w) AS z FROM f JOIN w4 USING (b) GROUP BY doc_id) zf
-         |JOIN meta m USING (doc_id)
-         |ORDER BY doc_id""".stripMargin
+      s""",
+         |scored AS (
+         |  SELECT m.doc_id, m.y AS label,
+         |    ROUND(1.0 / (1.0 + EXP(-CAST(z AS DOUBLE))), 9) AS score
+         |  FROM (SELECT doc_id, SUM(x * w) AS z FROM f JOIN w4 USING (b) GROUP BY doc_id) zf
+         |  JOIN meta m USING (doc_id))""".stripMargin
     head + gd + tail
   }
+
+  val q203Sql: String =
+    s"""$q203Ctes
+       |SELECT doc_id, label, score, (score >= 0.5) AS keep
+       |FROM scored ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q204
   /** Tokenizer round-trip at corpus scale — BPE DECODE
@@ -2173,6 +2187,131 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact score-decile bin: the scale-9 score is lifted to an exact
+    * integer (round kills the float ulp) before the decile division,
+    * so 0.3 lands in bin 3 in both engines — `floor(score*10)` on raw
+    * doubles would bin 0.3 as 2 (0.3·10 = 2.999…96 in IEEE). */
+  private val binExpr =
+    "least(9, cast(round(score * 1000000000) as bigint) div 100000000)"
+  private val binExprDuck =
+    "LEAST(9, CAST(round(score * 1000000000) AS BIGINT) // 100000000)"
+
+  // ---------------------------------------------------------------- q207
+  /** Calibration audit of the trained quality classifier (q203) —
+    * the reliability-diagram verb (Guo et al., "On Calibration of
+    * Modern Neural Networks", ICML 2017) every production filter
+    * needs before its scores can be thresholded or mixed: scores
+    * bucketed into deciles, each bin reporting its size, mean
+    * predicted probability and empirical positive rate, and the
+    * |confidence − accuracy| gap whose n-weighted sum is ECE. The
+    * logistic filter is trusted only where the gap is small; a large
+    * top-bin gap means the 0.5 cut of q203 keeps junk with
+    * confidence. Arithmetic discipline: bin membership is decided in
+    * exact integers (see [[binExpr]]), bin means accumulate the
+    * scale-9 score decimals exactly then round once at 6.
+    *
+    * Scale shape: one aggregation of the scored pool to ≤10 bin rows
+    * — partial-aggregated, corpus-independent output; composes with
+    * q206's streamed scores unchanged (the store holds the same
+    * (doc_id, label, score) rows).
+    */
+  def q207(spark: SparkSession, sfDir: String): DataFrame =
+    classifierScored(spark, sfDir)
+      .withColumn("bin", expr(binExpr))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("label")).as("pos"),
+        round(sum(col("score").cast("decimal(12,9)")).cast("double") /
+          count(lit(1)), 6).as("avg_score"))
+      .withColumn("pos_rate", round(col("pos").cast("double") / col("n"), 6))
+      .withColumn("gap", round(abs(col("avg_score") - col("pos_rate")), 6))
+      .select(col("bin").cast("int").as("bin"), col("n"), col("pos"),
+        col("avg_score"), col("pos_rate"), col("gap"))
+      .orderBy(col("bin"))
+
+  val q207Sql: String =
+    s"""$q203Ctes,
+       |agg AS (
+       |  SELECT $binExprDuck AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(label) AS BIGINT) AS pos,
+       |    ROUND(CAST(SUM(CAST(score AS DECIMAL(12,9))) AS DOUBLE) / COUNT(*), 6) AS avg_score
+       |  FROM scored GROUP BY 1)
+       |SELECT CAST(bin AS INT) AS bin, n, pos, avg_score,
+       |  ROUND(CAST(pos AS DOUBLE) / n, 6) AS pos_rate,
+       |  ROUND(ABS(avg_score - ROUND(CAST(pos AS DOUBLE) / n, 6)), 6) AS gap
+       |FROM agg ORDER BY bin""".stripMargin
+
+  // ---------------------------------------------------------------- q208
+  /** Operating-point sweep for the trained filter (q203) — the
+    * precision/recall/F1 curve over decile thresholds that picks the
+    * production cut: at each threshold t ∈ {0.0, 0.1, …, 0.9}, a doc
+    * is kept iff score ≥ t, and the sweep reports the confusion
+    * counts and rates. All counts are exact integer cumulative sums
+    * down the decile spine; each rate is one rational rounded at 6
+    * (F1 computed directly as 2tp/(2tp+fp+fn) — never from the
+    * already-rounded precision/recall). Empty cells guard to NULL.
+    *
+    * Scale shape: the corpus reduces to ≤10 bin rows in one partial
+    * aggregation; the cumulative window runs over the 10-row decile
+    * spine (bounded by construction, not by data — allowlisted in
+    * `PlanAuditSpec` with this justification).
+    */
+  def q208(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agg = classifierScored(spark, sfDir)
+      .withColumn("bin", expr(binExpr))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("label")).as("pos"))
+    val spine = spark.range(0, 10).select(col("id").as("t10"))
+    val j = spine
+      .join(agg.withColumnRenamed("bin", "t10"), Seq("t10"), "left")
+      .na.fill(0L, Seq("n", "pos"))
+    val cum = Window.orderBy(col("t10").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    j.withColumn("tp", sum(col("pos")).over(cum))
+      .withColumn("fp", sum(col("n") - col("pos")).over(cum))
+      .withColumn("fn", sum(col("pos")).over(all) - col("tp"))
+      .select(col("t10").cast("int").as("t10"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") === 0, lit(null))
+          .otherwise(round(col("tp").cast("double") / (col("tp") + col("fp")), 6))
+          .as("prec"),
+        when(col("tp") + col("fn") === 0, lit(null))
+          .otherwise(round(col("tp").cast("double") / (col("tp") + col("fn")), 6))
+          .as("rec"),
+        when(lit(2) * col("tp") + col("fp") + col("fn") === 0, lit(null))
+          .otherwise(round(lit(2.0) * col("tp") /
+            (lit(2) * col("tp") + col("fp") + col("fn")), 6))
+          .as("f1"))
+      .orderBy(col("t10"))
+  }
+
+  val q208Sql: String =
+    s"""$q203Ctes,
+       |agg AS (
+       |  SELECT $binExprDuck AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(label) AS BIGINT) AS pos
+       |  FROM scored GROUP BY 1),
+       |filled AS (
+       |  SELECT s.i AS t10, COALESCE(a.n, 0) AS n, COALESCE(a.pos, 0) AS pos
+       |  FROM range(0, 10) s(i) LEFT JOIN agg a ON a.bin = s.i),
+       |cum AS (
+       |  SELECT t10,
+       |    CAST(SUM(pos) OVER (ORDER BY t10 DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+       |    CAST(SUM(n - pos) OVER (ORDER BY t10 DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp,
+       |    CAST(SUM(pos) OVER () AS BIGINT) AS allpos
+       |  FROM filled)
+       |SELECT CAST(t10 AS INT) AS t10, tp, fp, (allpos - tp) AS fn,
+       |  CASE WHEN tp + fp = 0 THEN NULL
+       |       ELSE ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS prec,
+       |  CASE WHEN allpos = 0 THEN NULL
+       |       ELSE ROUND(CAST(tp AS DOUBLE) / allpos, 6) END AS rec,
+       |  CASE WHEN 2 * tp + fp + (allpos - tp) = 0 THEN NULL
+       |       ELSE ROUND(2.0 * tp / (2 * tp + fp + (allpos - tp)), 6) END AS f1
+       |FROM cum ORDER BY t10""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_token_stats", q34 _, Some(q34Sql)),
     ("q35_lang_id_confusion", q35 _, Some(q35Sql)),
@@ -2235,7 +2374,9 @@ object Text {
     // oracle = q203's: streamed frozen-weight scoring must reproduce
     // the one-shot corpus scoring row-for-row (the q159/q188/q198
     // shared-oracle precedent)
-    ("q206_stream_quality_scoring", q206 _, Some(q203Sql))
+    ("q206_stream_quality_scoring", q206 _, Some(q203Sql)),
+    ("q207_classifier_calibration", q207 _, Some(q207Sql)),
+    ("q208_threshold_sweep", q208 _, Some(q208Sql))
   )
 
 }

@@ -173,7 +173,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q86_concurrency_sweep" -> "carry-in prefix sum over per-day bucket aggregates (time-span-bounded, not row-count-bounded)",
       "q100_weighted_allocation" -> "window over per-language strata (|langs|, not corpus)",
       "q158_rrf_fusion" -> "rank windows over the topK=20 fused candidates, not the corpus",
-      "q160_neyman_sample" -> "apportionment window over per-stratum rows (|strata|, not corpus)")
+      "q160_neyman_sample" -> "apportionment window over per-stratum rows (|strata|, not corpus)",
+      "q208_threshold_sweep" -> "cumulative confusion counts over the 10-row decile spine (bounded by construction, not by data)")
     val skip = Set("q40_stream_daily_window", "q41_stream_sliding_window",
       "q42_stream_session_window", "q43_stream_dedup_daily",
       "q69_stream_stream_join", "q76_stream_static_join",
