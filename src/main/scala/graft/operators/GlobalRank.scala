@@ -61,6 +61,41 @@ object GlobalRank {
       .withColumn(rankCol, col("__grank"))
       .drop("__grank", "__total")
 
+  /** Adds `outCol` (bigint): the EXCLUSIVE prefix sum of `valueCol`
+    * over the global `sortCols` order — Σ of `valueCol` over all rows
+    * strictly before this one — fully partition-parallel by the same
+    * three-step layout as the rank: range-repartition, per-partition
+    * windowed prefix, partition-total offsets (a partition-count-sized
+    * table, never data rows). `SUM(v) OVER (ORDER BY …)` without
+    * PARTITION BY funnels everything through one partition — the same
+    * scale cliff this operator family exists to remove.
+    *
+    * The total order must be deterministic AND unique (ties would make
+    * the exclusive prefix depend on arbitrary intra-tie order) — pass
+    * a unique key last in `sortCols`, or pre-aggregate to unique keys
+    * as the AUC consumer (q209) does. */
+  def withPrefixSum(df: DataFrame, sortCols: Seq[Column], valueCol: String,
+                    outCol: String): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(parts, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val local = ranged.withColumn("__lps",
+      coalesce(sum(col(valueCol)).over(
+        Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val offsets = ranged.groupBy(col("__pid"))
+      .agg(sum(col(valueCol)).as("__psum"))
+      .withColumn("__offset",
+        coalesce(sum(col("__psum")).over(
+          Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    local.join(broadcast(offsets), "__pid")
+      .withColumn(outCol, (col("__offset") + col("__lps")).cast("long"))
+      .drop("__pid", "__lps", "__offset")
+  }
+
   /** Adds `tileCol` (int, 1..tiles) with EXACT `NTILE(tiles)`
     * semantics — the first `n mod tiles` tiles get the extra
     * remainder row — but fully partition-parallel: the tile is pure

@@ -2312,6 +2312,67 @@ object Text {
        |       ELSE ROUND(2.0 * tp / (2 * tp + fp + (allpos - tp)), 6) END AS f1
        |FROM cum ORDER BY t10""".stripMargin
 
+  // ---------------------------------------------------------------- q209
+  /** Exact ROC-AUC of the trained quality classifier — the
+    * threshold-free ranking metric completing the q207/q208 eval
+    * family (Hanley & McNeil 1982: AUC = P(score⁺ > score⁻), the
+    * Mann-Whitney U statistic). Computed EXACTLY from the pair
+    * identity: 2·U = Σ_groups 2·pos_g·cumneg_<g + pos_g·neg_g (ties
+    * count half, kept integer by the doubling), over per-distinct-
+    * score groups; AUC = 2U / (2·npos·nneg), one rational rounded
+    * at 6.
+    *
+    * Scale shape: the pool reduces to per-distinct-score groups in
+    * one partial aggregation; the cumulative negative count below
+    * each group is [[graft.operators.GlobalRank.withPrefixSum]] —
+    * range-repartitioned, per-partition windowed, offset by a
+    * partition-count-sized table — so NO data-sized single-partition
+    * window anywhere (a naked `SUM() OVER (ORDER BY score)` would be
+    * exactly the cliff the GlobalRank family removes). The (npos,
+    * nneg) totals ride a 1-row broadcast. 2·npos·nneg overflows
+    * int64 beyond ~2·10⁹ positives×negatives — widen the U sum to
+    * decimal at that scale (q172's documented trade).
+    */
+  def q209(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = classifierScored(spark, sfDir)
+    val groups = scored.groupBy(col("score"))
+      .agg(sum(col("label")).cast("long").as("pos_g"),
+        sum(lit(1L) - col("label")).cast("long").as("neg_g"))
+    val withCum = graft.operators.GlobalRank
+      .withPrefixSum(groups, Seq(col("score")), "neg_g", "cumneg")
+    val tot = scored.agg(sum(col("label")).cast("long").as("npos"),
+      sum(lit(1L) - col("label")).cast("long").as("nneg"))
+    withCum
+      .select((lit(2L) * col("pos_g") * col("cumneg") +
+        col("pos_g") * col("neg_g")).as("u2"))
+      .agg(sum(col("u2")).as("u2"))
+      .crossJoin(broadcast(tot))
+      .select(col("npos"), col("nneg"),
+        (col("npos") * col("nneg")).as("pairs"),
+        round(col("u2").cast("double") /
+          (lit(2.0) * col("npos") * col("nneg")), 6).as("auc"))
+  }
+
+  val q209Sql: String =
+    s"""$q203Ctes,
+       |groups AS (
+       |  SELECT score, CAST(SUM(label) AS BIGINT) AS pos_g,
+       |    CAST(SUM(1 - label) AS BIGINT) AS neg_g
+       |  FROM scored GROUP BY score),
+       |cum AS (
+       |  SELECT pos_g, neg_g,
+       |    CAST(COALESCE(SUM(neg_g) OVER (ORDER BY score
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumneg
+       |  FROM groups),
+       |tot AS (
+       |  SELECT CAST(SUM(label) AS BIGINT) AS npos,
+       |    CAST(SUM(1 - label) AS BIGINT) AS nneg
+       |  FROM scored),
+       |u AS (SELECT CAST(SUM(2 * pos_g * cumneg + pos_g * neg_g) AS BIGINT) AS u2 FROM cum)
+       |SELECT npos, nneg, (npos * nneg) AS pairs,
+       |  ROUND(CAST(u2 AS DOUBLE) / (2.0 * npos * nneg), 6) AS auc
+       |FROM u CROSS JOIN tot""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_token_stats", q34 _, Some(q34Sql)),
     ("q35_lang_id_confusion", q35 _, Some(q35Sql)),
@@ -2376,7 +2437,8 @@ object Text {
     // shared-oracle precedent)
     ("q206_stream_quality_scoring", q206 _, Some(q203Sql)),
     ("q207_classifier_calibration", q207 _, Some(q207Sql)),
-    ("q208_threshold_sweep", q208 _, Some(q208Sql))
+    ("q208_threshold_sweep", q208 _, Some(q208Sql)),
+    ("q209_classifier_auc", q209 _, Some(q209Sql))
   )
 
 }

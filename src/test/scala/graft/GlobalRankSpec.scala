@@ -26,6 +26,23 @@ class GlobalRankSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("withPrefixSum matches the single-partition exclusive running sum") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 500).map(i => (((i * 37) % 101).toLong * 1000 + i, (i % 13).toLong))
+      .toDF("key", "v") // unique keys, as the contract requires
+    val got = GlobalRank.withPrefixSum(df, Seq(col("key")), "v", "ps")
+      .select("key", "ps").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = df.withColumn("ps",
+        coalesce(sum(col("v")).over(Window.orderBy(col("key"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("key", "ps").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // empty input stays empty with the column present
+    val empty = GlobalRank.withPrefixSum(df.limit(0), Seq(col("key")), "v", "ps")
+    assert(empty.columns.contains("ps") && empty.count() == 0)
+  }
+
   test("withNtile matches NTILE for every (n, tiles) remainder shape") {
     val s = spark
     import s.implicits._

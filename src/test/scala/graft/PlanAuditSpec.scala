@@ -58,7 +58,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q191_entity_resolution_capped", // 1-row dropped-block report broadcast onto the decision summary
     "q194_countmin_frequency", // 1-row event-total broadcast into the envelope boolean (q85's shape)
     "q198_stream_countmin_maintain", // q194's report tail: the same 1-row total broadcast
-    "q202_sequential_patterns") // |Σ|^≤3 pattern spine (155 rows) + 1-row user-total broadcast
+    "q202_sequential_patterns", // |Σ|^≤3 pattern spine (155 rows) + 1-row user-total broadcast
+    "q209_classifier_auc") // 1-row (npos, nneg) totals broadcast into the AUC denominator
 
   test("no declared query plans a cartesian product; BNLJ only where intended") {
     // streaming queries execute on materialization, not plan-inspectable
