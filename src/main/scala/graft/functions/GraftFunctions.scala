@@ -47,6 +47,7 @@ object GraftFunctions {
     "cdc_chunk_hashes" -> (children => CdcChunkHashes(children(0),
       children(1).eval().asInstanceOf[Int], children(2).eval().asInstanceOf[Int])),
     "multi_needle_count" -> (children => MultiNeedleCount(children(0), children(1))),
+    "nfc_normalize" -> (children => NfcNormalize(children.head)),
     "packed_sign_word" -> (children => PackedSignWord(children(0),
       children(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         .toLongArray(),
@@ -97,6 +98,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("multi_needle_count"),
       new ExpressionInfo(classOf[MultiNeedleCount].getName, "multi_needle_count"),
       (children: Seq[Expression]) => MultiNeedleCount(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => NfcNormalize(children.head)))
     // the custom as-of planner operator (graft.plans.AsOfJoinPlan);
     // AsOf.join also self-registers via experimental.extraStrategies
     // for sessions built without spark.sql.extensions

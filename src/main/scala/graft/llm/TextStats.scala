@@ -162,6 +162,52 @@ object TextStats {
         (col("cnt") / col("ctx_cnt")).as("cond_p"))
   }
 
+  /** Interpolated Kneser–Ney bigram model (Kneser & Ney 1995; the
+    * Chen & Goodman 1998 interpolated form) — the smoothing that
+    * backs off to CONTINUATION counts rather than raw unigram
+    * frequency, so "Francisco" (frequent but only ever after "San")
+    * stops stealing probability from genuinely versatile words:
+    * {{{
+    * P(w2|w1) = (c(w1,w2) − D)/c(w1·)
+    *          + D · N₁₊(w1·)/c(w1·) · N₁₊(·w2)/N₁₊(··)
+    * }}}
+    * with absolute discount D (every observed bigram has c ≥ 1 ≥ D so
+    * the max(·,0) clamp is vacuous). All sufficient statistics are
+    * re-aggregations of the (w1,w2) count table: c(w1·) and the left
+    * fan-out N₁₊(w1·) group by w1, the continuation count N₁₊(·w2)
+    * groups by w2, and the bigram-type total N₁₊(··) is one row —
+    * after the single corpus-sized pair shuffle everything is bounded
+    * by vocabulary², never corpus size. Complements [[bigramModel]]
+    * (MLE) and the add-one smoothing in [[bigramSurprise]].
+    *
+    * Output: w1, w2, cnt, ctx_cnt, n1p_left, cont_cnt, p_kn (double;
+    * the caller rounds — each term is a bigint-derived double division
+    * in a fixed association order, so it is engine-exact).
+    */
+  def kneserNeyBigram(df: DataFrame, textCol: String,
+                      discount: Double = 0.75): DataFrame = {
+    val pairs = df
+      .select(toks(textCol).as("t"))
+      .where(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(slice(t, 1, size(t) - 1), (w, i) -> struct(w AS w1, t[i + 1] AS w2))")).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+    val counts = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+    val ctx = counts.groupBy(col("w1"))
+      .agg(sum(col("cnt")).as("ctx_cnt"), count(lit(1)).as("n1p_left"))
+    val cont = counts.groupBy(col("w2")).agg(count(lit(1)).as("cont_cnt"))
+    val types = counts.agg(count(lit(1)).as("n_bigram_types"))
+    // association order mirrors the oracle SQL exactly:
+    // (cnt−D)/ctx + ((D·n1p)/ctx) · (cont/B)
+    counts.join(ctx, "w1").join(cont, "w2")
+      .crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"), col("cnt"), col("ctx_cnt"),
+        col("n1p_left"), col("cont_cnt"),
+        ((col("cnt").cast("double") - lit(discount)) / col("ctx_cnt") +
+          lit(discount) * col("n1p_left").cast("double") / col("ctx_cnt") *
+            (col("cont_cnt").cast("double") / col("n_bigram_types"))).as("p_kn"))
+  }
+
   /** Per-document bigram LM familiarity: the mean add-one-smoothed
     * conditional probability P(w2 | w1) = (cnt+1)/(ctx+V) of the
     * document's own adjacent-token pairs under the corpus bigram model

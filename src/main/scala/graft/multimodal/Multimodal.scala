@@ -702,6 +702,74 @@ object Multimodal {
        |FROM y GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** q212: frame-level audio features over REAL decoded WAV bytes —
+    * per-frame energy (Σ v² over 32-sample frames, final frame
+    * partial) and signal zero crossings, the first stage of any
+    * speech/VAD pipeline (frame energy gates voice activity, ZCR
+    * separates voiced from unvoiced). All-integer arithmetic on the
+    * 16-bit PCM samples, so the oracle replays the q121 sawtooth
+    * generator exactly; every value still passes through a real
+    * RIFF/WAVE byte stream and `javax.sound.sampled` decode. Same
+    * embarrassingly-parallel partition pass as q121 — one decoder
+    * pass per row, no shuffle before the final order.
+    */
+  def audioFrameFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val blobs = syntheticWavBlobs(spark, sfDir)
+    import blobs.sparkSession.implicits._
+    val frame = 32
+    blobs.mapPartitions { it =>
+      it.map { blob =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(blob.data))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1
+            && !fmt.isBigEndian,
+          s"doc ${blob.doc_id}: expected mono 16-bit little-endian PCM, got $fmt")
+        val pcm = ais.readAllBytes()
+        val n = pcm.length / 2
+        var zc = 0L; var total = 0L; var maxF = 0L; var nFrames = 0
+        var cur = 0L; var prevNonNeg = true
+        var i = 0
+        while (i < n) {
+          val s = (pcm(2 * i + 1).toInt << 8) | (pcm(2 * i) & 0xff)
+          val nonNeg = s >= 0
+          if (i > 0 && nonNeg != prevNonNeg) zc += 1
+          prevNonNeg = nonNeg
+          cur += s.toLong * s
+          if (i % frame == frame - 1 || i == n - 1) {
+            total += cur; if (cur > maxF) maxF = cur; cur = 0L; nFrames += 1
+          }
+          i += 1
+        }
+        (blob.doc_id, nFrames, zc, total, maxF)
+      }
+    }.toDF("doc_id", "n_frames", "zero_crossings", "energy_total",
+        "energy_max_frame")
+      .orderBy(col("doc_id"))
+  }
+
+  val q212Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id, 64 + doc_id % 128 AS n, 1 + doc_id % 7 AS k
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, n, i, ((i * k) % 2048) - 1024 AS v
+      |  FROM p CROSS JOIN range(0, 192) t(i) WHERE i < n),
+      |fr AS (SELECT doc_id, i // 32 AS f, SUM(v * v) AS fe
+      |       FROM s GROUP BY doc_id, i // 32),
+      |fa AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_frames,
+      |         CAST(SUM(fe) AS BIGINT) AS energy_total,
+      |         CAST(MAX(fe) AS BIGINT) AS energy_max_frame
+      |       FROM fr GROUP BY doc_id),
+      |z AS (SELECT doc_id,
+      |        CAST(SUM(CASE WHEN pv IS NOT NULL AND ((pv >= 0) <> (v >= 0))
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+      |      FROM (SELECT doc_id, v,
+      |              LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM s)
+      |      GROUP BY doc_id)
+      |SELECT doc_id, n_frames, zero_crossings, energy_total, energy_max_frame
+      |FROM fa JOIN z USING (doc_id) ORDER BY doc_id""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q44_multimodal_features", featureTable _, Some(q44Sql)),
     ("q108_imageio_decode", imageDecode _, Some(q108Sql)),
@@ -709,5 +777,6 @@ object Multimodal {
     ("q138_image_phash_dedup", imagePerceptualDedup _, Some(q138Sql)),
     ("q169_image_resize", imageResize _, Some(q169Sql)),
     ("q170_audio_resample", audioResample _, Some(q170Sql)),
-    ("q182_audio_polyphase_resample", audioPolyphaseResample _, Some(q182Sql)))
+    ("q182_audio_polyphase_resample", audioPolyphaseResample _, Some(q182Sql)),
+    ("q212_audio_frame_features", audioFrameFeatures _, Some(q212Sql)))
 }

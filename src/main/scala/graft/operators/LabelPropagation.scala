@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Synchronous label-propagation community detection (Raghavan,
+  * Albert & Kumara 2007), determinized for oracle checking.
+  *
+  * Every node starts as its own community; each round a node adopts
+  * the label that is MOST FREQUENT among its neighbors' current
+  * labels, ties breaking toward the smallest label value. The
+  * classic formulation updates asynchronously in random visit order —
+  * unreproducible across engines — so this is the synchronous
+  * variant with a total tie order: both engines compute the identical
+  * label table after any fixed number of rounds (the unrolled-oracle
+  * precedent of q82 PageRank / q112 BPE). Frequency voting is what
+  * separates this from connected components (q54/q155's min-label
+  * flood): LPA splits dense regions into multiple communities where
+  * CC would merge everything reachable.
+  *
+  * Scale design: each round is one shuffle join (edges ⋈ labels on
+  * the neighbor endpoint), one partially-aggregated (node, label)
+  * count, and a node-partitioned window argmax — all keyed on node
+  * ids, no driver state, intermediate sizes bounded by |E| and |V|.
+  * Rounds are a declared constant, so the lineage depth is fixed and
+  * no convergence test (a driver-side global) is needed.
+  */
+object LabelPropagation {
+
+  /** @param edges two columns `src`, `dst` (long node ids). Directed:
+    *              node `src` hears the label of `dst`. Pass both
+    *              directions for an undirected graph; every node must
+    *              appear as some `src` or it drops from the output.
+    * @param iters number of synchronous voting rounds (≥ 0)
+    * @return (node, label) after `iters` rounds
+    */
+  def run(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to iters) {
+      val votes = e
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      labels = votes
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("src"))
+            .orderBy(col("cnt").desc, col("label"))))
+        .where(col("rk") === 1)
+        .select(col("src").as("node"), col("label"))
+    }
+    labels
+  }
+}

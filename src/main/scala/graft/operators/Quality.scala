@@ -148,6 +148,52 @@ object Quality {
         Seq(col("n_rows"), col("generalized"), col("at_risk")): _*)
   }
 
+  /** l-diversity audit (Machanavajjhala et al. 2007) — k-anonymity's
+    * companion: a quasi-identifier group that is large enough can
+    * still leak its sensitive attribute if (nearly) every row agrees
+    * on it. Per QI group this reports both classical forms: DISTINCT
+    * l-diversity (number of distinct sensitive values ≥ l) and
+    * ENTROPY l-diversity (−Σ p·ln p ≥ ln l, which additionally
+    * rejects groups where one value dominates). Entropy follows the
+    * engine's portable-log discipline (q173/q187/q199): each double
+    * term rounded once at scale 9, then exact DECIMAL accumulation so
+    * summation order cannot move the hash; the ≥ ln l comparison is
+    * made on the scale-6-rounded entropy in both engines.
+    *
+    * Shape at scale: one partially-aggregated (QI × sensitive) cell
+    * shuffle, then a QI-partitioned window for group sizes and one
+    * QI-bounded re-aggregation — the kAnonymity two-level shape.
+    * Output: qi…, n_rows, n_sensitive, entropy, distinct_ok,
+    * entropy_ok.
+    */
+  def lDiversity(df: DataFrame, qi: Seq[String], sensitive: Column,
+                 l: Int): DataFrame = {
+    require(qi.nonEmpty, "need at least one quasi-identifier column")
+    val qiCols = qi.map(col)
+    val cells = df.groupBy(qiCols :+ sensitive.as("__sens"): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val sized = cells.withColumn("n_rows",
+      sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(qiCols: _*)))
+    val p = col("cnt").cast("double") / col("n_rows").cast("double")
+    // 0.0 − Σ, not −Σ: a pure group sums to IEEE −0.0 under negation,
+    // and engines disagree on whether −0.0 survives a ROUND — the
+    // subtraction form yields +0.0 everywhere. The ln(l) cutoff is the
+    // JVM-computed double, interpolated verbatim into the oracle SQL
+    // by the caller so both engines compare against the same constant.
+    sized
+      .withColumn("term", round(p * log(p), 9))
+      .groupBy(qiCols :+ col("n_rows"): _*)
+      .agg(count(lit(1)).as("n_sensitive"),
+        round(lit(0.0) - sum(col("term")
+          .cast(org.apache.spark.sql.types.DecimalType(27, 9))).cast("double"), 6)
+          .as("entropy"))
+      .withColumn("distinct_ok", col("n_sensitive") >= l)
+      .withColumn("entropy_ok", col("entropy") >= lit(math.log(l.toDouble)))
+      .select(qiCols ++ Seq(col("n_rows"), col("n_sensitive"), col("entropy"),
+        col("distinct_ok"), col("entropy_ok")): _*)
+  }
+
   /** One row per constraint: `constraint_name`, `metric`, `passed`,
     * ordered by name.
     */

@@ -989,6 +989,51 @@ object Analytics {
       |SELECT kind, key, score FROM (SELECT * FROM ts UNION ALL SELECT * FROM tp)
       |ORDER BY kind, score DESC, key""".stripMargin
 
+  // ---------------------------------------------------------------- q211
+  /** Deterministic synchronous label propagation
+    * ([[graft.operators.LabelPropagation]], 3 rounds) over the same
+    * parity-encoded part↔supplier graph as q82 — community detection
+    * by neighbor-frequency voting, the graph-clustering complement to
+    * q54/q155's connected components (which would flood each whole
+    * component with one label; LPA splits dense regions). Output: the
+    * 20 largest communities. The oracle unrolls the identical three
+    * argmax rounds as CTEs.
+    */
+  def q211(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = t(spark, sfDir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val fwd = pairs.select((col("l_partkey") * 2).as("src"),
+      (col("l_suppkey") * 2 + 1).as("dst"))
+    val rev = pairs.select((col("l_suppkey") * 2 + 1).as("src"),
+      (col("l_partkey") * 2).as("dst"))
+    graft.operators.LabelPropagation.run(fwd.union(rev), iters = 3)
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("n_nodes").desc, col("community"))
+      .limit(20)
+  }
+
+  val q211Sql: String = {
+    def round(prev: String): String =
+      s"""SELECT node, label FROM (
+         |  SELECT e.src AS node, r.label, COUNT(*) AS cnt,
+         |    ROW_NUMBER() OVER (PARTITION BY e.src
+         |      ORDER BY COUNT(*) DESC, r.label) AS rk
+         |  FROM e JOIN $prev r ON e.dst = r.node
+         |  GROUP BY e.src, r.label) WHERE rk = 1""".stripMargin
+    s"""WITH e AS (
+       |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem
+       |  UNION
+       |  SELECT DISTINCT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst FROM lineitem),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+       |l1 AS (${round("l0")}),
+       |l2 AS (${round("l1")}),
+       |l3 AS (${round("l2")})
+       |SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes
+       |FROM l3 GROUP BY label
+       |ORDER BY n_nodes DESC, community LIMIT 20""".stripMargin
+  }
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q77_ordered_listagg", q77 _, Some(q77Sql)),
     ("q78_hll_mergeable", q78 _, Some(q78Sql)),
@@ -1011,6 +1056,7 @@ object Analytics {
     ("q140_personalized_pagerank", q140 _, Some(q140Sql)),
     ("q143_referential_integrity", q143 _, Some(q143Sql)),
     ("q153_schema_evolution", q153 _, Some(q153Sql)),
-    ("q157_hits_bipartite", q157 _, Some(q157Sql))
+    ("q157_hits_bipartite", q157 _, Some(q157Sql)),
+    ("q211_label_propagation", q211 _, Some(q211Sql))
   )
 }

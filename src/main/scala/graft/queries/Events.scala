@@ -1428,6 +1428,85 @@ object Events {
       |FROM chk CROSS JOIN tot WHERE present
       |GROUP BY pattern, len, nu ORDER BY len, pattern""".stripMargin
 
+  // ---------------------------------------------------------------- q214
+  /** Exact two-sample Kolmogorov–Smirnov drift test per event_type —
+    * q199's rank-statistic sibling: PSI sees drift through a fixed
+    * 10-bin grid (it can miss a shift that stays inside bins), KS is
+    * the binning-free supremum |F_ref − F_cur| over the pooled
+    * empirical CDFs, with the classical α = 0.05 rejection threshold
+    * 1.358·√((n₁+n₂)/(n₁·n₂)). Same reference/current windows as q199
+    * (split at 2024-01-16). Types present in the reference but absent
+    * from the current window — the maximal-drift blind spot q199 was
+    * called on in round 12 — fall out naturally here: F_cur ≡ 0 gives
+    * KS = 1 and an alert. New types with no reference distribution
+    * remain the q143/q148 audits' job.
+    *
+    * Scale shape: one (type, value) partial-agg shuffle collapses
+    * events to distinct values; the CDFs are type-PARTITIONED windows
+    * over those; n₁/n₂ are type-bounded broadcasts. All comparisons
+    * are integer-derived double divisions — engine-exact; √ is IEEE
+    * correctly-rounded in both engines.
+    */
+  def q214(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val split = lit("2024-01-16").cast("date")
+    val e = ev(spark, sfDir)
+      .select(col("event_type"), col("value"),
+        (to_date(col("ts")) < split).cast("long").as("is_ref"))
+    val cells = e.groupBy(col("event_type"), col("value"))
+      .agg(sum(col("is_ref")).as("c1"),
+        sum(lit(1L) - col("is_ref")).as("c2"))
+    val totals = e.groupBy(col("event_type"))
+      .agg(sum(col("is_ref")).as("n_ref"),
+        sum(lit(1L) - col("is_ref")).as("n_cur"))
+      .where(col("n_ref") > 0)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val f1 = sum(col("c1")).over(w).cast("double") / col("n_ref")
+    val f2 = when(col("n_cur") === 0, lit(0.0))
+      .otherwise(sum(col("c2")).over(w).cast("double") / col("n_cur"))
+    val crit = lit(1.358) *
+      sqrt((col("n_ref") + col("n_cur")).cast("double") /
+        (col("n_ref") * col("n_cur")).cast("double"))
+    cells.join(broadcast(totals), "event_type")
+      .withColumn("gap", abs(f1 - f2))
+      .groupBy(col("event_type"), col("n_ref"), col("n_cur"))
+      .agg(round(max(col("gap")), 6).as("ks"))
+      .withColumn("drifted",
+        when(col("n_cur") === 0, lit(true)).otherwise(col("ks") > crit))
+      .select(col("event_type"), col("n_ref"), col("n_cur"), col("ks"),
+        col("drifted"))
+      .orderBy(col("event_type"))
+  }
+
+  val q214Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, value,
+      |    CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 1 ELSE 0 END AS is_ref
+      |  FROM events),
+      |cells AS (
+      |  SELECT event_type, value, CAST(SUM(is_ref) AS BIGINT) AS c1,
+      |    CAST(SUM(1 - is_ref) AS BIGINT) AS c2
+      |  FROM e GROUP BY event_type, value),
+      |totals AS (
+      |  SELECT event_type, CAST(SUM(is_ref) AS BIGINT) AS n_ref,
+      |    CAST(SUM(1 - is_ref) AS BIGINT) AS n_cur
+      |  FROM e GROUP BY event_type HAVING SUM(is_ref) > 0),
+      |gaps AS (
+      |  SELECT c.event_type, t.n_ref, t.n_cur,
+      |    ABS(
+      |      CAST(SUM(c1) OVER (PARTITION BY c.event_type ORDER BY value) AS DOUBLE) / n_ref -
+      |      CASE WHEN n_cur = 0 THEN 0.0
+      |           ELSE CAST(SUM(c2) OVER (PARTITION BY c.event_type ORDER BY value) AS DOUBLE) / n_cur
+      |      END) AS gap
+      |  FROM cells c JOIN totals t USING (event_type))
+      |SELECT event_type, n_ref, n_cur, ROUND(MAX(gap), 6) AS ks,
+      |  CASE WHEN n_cur = 0 THEN true
+      |       ELSE ROUND(MAX(gap), 6) >
+      |         1.358 * sqrt(CAST(n_ref + n_cur AS DOUBLE) / CAST(n_ref * n_cur AS DOUBLE))
+      |  END AS drifted
+      |FROM gaps GROUP BY event_type, n_ref, n_cur
+      |ORDER BY event_type""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_events_json_stats", q23 _, Some(q23Sql)),
     ("q24_events_daily_window", q24 _, Some(q24Sql)),
@@ -1459,6 +1538,7 @@ object Events {
     // q183/q175 shared-oracle precedent)
     ("q198_stream_countmin_maintain", q198 _, Some(q194Sql)),
     ("q199_psi_drift", q199 _, Some(q199Sql)),
-    ("q202_sequential_patterns", q202 _, Some(q202Sql))
+    ("q202_sequential_patterns", q202 _, Some(q202Sql)),
+    ("q214_ks_drift", q214 _, Some(q214Sql))
   )
 }

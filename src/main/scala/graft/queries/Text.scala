@@ -2373,6 +2373,119 @@ object Text {
        |  ROUND(CAST(u2 AS DOUBLE) / (2.0 * npos * nneg), 6) AS auc
        |FROM u CROSS JOIN tot""".stripMargin
 
+  // ---------------------------------------------------------------- q210
+  /** Interpolated Kneser–Ney bigram probabilities
+    * ([[graft.llm.TextStats.kneserNeyBigram]], D = 0.75) for the 50
+    * most frequent bigrams — the production LM smoothing (continuation
+    * -count backoff) next to q74's MLE model and q89's add-one filter.
+    * Every factor is a bigint-derived double division in an
+    * association order mirrored exactly by the oracle.
+    */
+  def q210(spark: SparkSession, sfDir: String): DataFrame =
+    graft.llm.TextStats.kneserNeyBigram(docs(spark, sfDir), "text")
+      .select(col("w1"), col("w2"), col("cnt"), col("ctx_cnt"),
+        col("n1p_left"), col("cont_cnt"), round(col("p_kn"), 6).as("p_kn"))
+      .orderBy(col("cnt").desc, col("w1"), col("w2"))
+      .limit(50)
+
+  val q210Sql: String =
+    """WITH d AS (SELECT string_split(text, ' ') AS s FROM documents),
+      |bg AS (SELECT unnest(s[1:len(s)-1]) AS w1, unnest(s[2:len(s)]) AS w2
+      |       FROM d WHERE len(s) >= 2),
+      |c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY w1, w2),
+      |ctx AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS ctx_cnt,
+      |          CAST(COUNT(*) AS BIGINT) AS n1p_left
+      |        FROM c GROUP BY w1),
+      |cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS cont_cnt FROM c GROUP BY w2),
+      |b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bigram_types FROM c)
+      |SELECT w1, w2, cnt, ctx_cnt, n1p_left, cont_cnt,
+      |  ROUND((CAST(cnt AS DOUBLE) - 0.75) / ctx_cnt
+      |      + 0.75 * CAST(n1p_left AS DOUBLE) / ctx_cnt
+      |        * (CAST(cont_cnt AS DOUBLE) / n_bigram_types), 6) AS p_kn
+      |FROM c JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN b
+      |ORDER BY cnt DESC, w1, w2 LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------- q213
+  /** Unicode NFC normalization over the corpus — the native
+    * [[graft.functions.NfcNormalize]] expression (JDK UAX #15) checked
+    * byte-for-byte against DuckDB's utf8proc `nfc_normalize`. The
+    * corpus is ASCII-clean, so the query first DECOMPOSES it
+    * deterministically (a combining acute U+0301 after every a/e/o/u —
+    * the NFD form of á/é/ó/ú), then normalizes: NFC must re-compose
+    * every pair into one codepoint, while vowel-free documents (zh)
+    * exercise the zero-copy already-normalized fast path. Per-lang
+    * codepoint totals before/after make any disagreement visible at
+    * single-character resolution.
+    *
+    * Scale shape: embarrassingly per-row inside whole-stage codegen —
+    * the one shuffle is the |langs|-bounded final group-by.
+    */
+  def q213(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("lang"),
+        regexp_replace(col("text"), "([aeou])", "$1\u0301").as("synth"))
+      .select(col("lang"), col("synth"),
+        expr("nfc_normalize(synth)").as("norm"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("synth"))).cast("bigint").as("chars_nfd"),
+        sum(length(col("norm"))).cast("bigint").as("chars_nfc"),
+        sum(when(col("norm") === col("synth"), 1L).otherwise(0L))
+          .cast("bigint").as("n_already_nfc"))
+      .orderBy(col("lang"))
+
+  val q213Sql: String =
+    """WITH s AS (
+      |  SELECT lang,
+      |    regexp_replace(text, '([aeou])', '\1' || chr(769), 'g') AS synth
+      |  FROM documents),
+      |n AS (SELECT lang, synth, nfc_normalize(synth) AS norm FROM s)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(length(synth)) AS BIGINT) AS chars_nfd,
+      |  CAST(SUM(length(norm)) AS BIGINT) AS chars_nfc,
+      |  CAST(SUM(CASE WHEN norm = synth THEN 1 ELSE 0 END) AS BIGINT) AS n_already_nfc
+      |FROM n GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q215
+  /** l-diversity audit ([[graft.operators.Quality.lDiversity]], l = 3)
+    * over the customer table: quasi-identifiers (nation, market
+    * segment), sensitive attribute = account-balance thousands bucket.
+    * The release-safety check k-anonymity (q145) cannot make: a large
+    * QI group whose members all share one balance bucket still leaks.
+    * Reports both classical forms — distinct-value count and entropy
+    * (portable-log discipline) — per QI group.
+    */
+  def q215(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Quality
+      .lDiversity(graft.Tables.load(spark, sfDir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"),
+        floor(col("c_acctbal") / 1000), l = 3)
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+
+  val q215Sql: String =
+    s"""WITH base AS (
+       |  SELECT c_nationkey, c_mktsegment,
+       |    CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS sens
+       |  FROM customer),
+       |cell AS (
+       |  SELECT c_nationkey, c_mktsegment, sens, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM base GROUP BY c_nationkey, c_mktsegment, sens),
+       |g AS (
+       |  SELECT *, CAST(SUM(cnt) OVER (
+       |    PARTITION BY c_nationkey, c_mktsegment) AS BIGINT) AS n_rows
+       |  FROM cell),
+       |t AS (
+       |  SELECT c_nationkey, c_mktsegment, n_rows,
+       |    CAST(COUNT(*) AS BIGINT) AS n_sensitive,
+       |    ROUND(CAST(0 AS DOUBLE) - CAST(SUM(CAST(ROUND(
+       |      (cnt / CAST(n_rows AS DOUBLE)) * LN(cnt / CAST(n_rows AS DOUBLE)),
+       |      9) AS DECIMAL(27, 9))) AS DOUBLE), 6) AS entropy
+       |  FROM g GROUP BY c_nationkey, c_mktsegment, n_rows)
+       |SELECT c_nationkey, c_mktsegment, n_rows, n_sensitive, entropy,
+       |  n_sensitive >= 3 AS distinct_ok,
+       |  entropy >= ${math.log(3.0)} AS entropy_ok
+       |FROM t ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_token_stats", q34 _, Some(q34Sql)),
     ("q35_lang_id_confusion", q35 _, Some(q35Sql)),
@@ -2438,7 +2551,10 @@ object Text {
     ("q206_stream_quality_scoring", q206 _, Some(q203Sql)),
     ("q207_classifier_calibration", q207 _, Some(q207Sql)),
     ("q208_threshold_sweep", q208 _, Some(q208Sql)),
-    ("q209_classifier_auc", q209 _, Some(q209Sql))
+    ("q209_classifier_auc", q209 _, Some(q209Sql)),
+    ("q210_kneser_ney_bigram", q210 _, Some(q210Sql)),
+    ("q213_unicode_normalize", q213 _, Some(q213Sql)),
+    ("q215_l_diversity", q215 _, Some(q215Sql))
   )
 
 }

@@ -58,6 +58,44 @@ class ExpressionSpec extends AnyFunSuite {
     assert(r.getLong(1) == 2L)
   }
 
+  test("nfc_normalize: composes NFD sequences, idempotent, ASCII zero-copy") {
+    GraftFunctions.ensureRegistered(spark)
+    val nfd = "cafe\u0301" // e + combining acute (NFD)
+    val nfc = "caf\u00e9"  // precomposed (NFC)
+    val r = spark.sql(
+      s"SELECT nfc_normalize('$nfd'), length(nfc_normalize('$nfd')), " +
+        s"nfc_normalize('$nfc'), nfc_normalize('plain ascii'), " +
+        "nfc_normalize(''), nfc_normalize(cast(null as string))").head()
+    assert(r.getString(0) == nfc)
+    assert(r.getInt(1) == 4)
+    assert(r.getString(2) == nfc) // already-NFC fast path: unchanged
+    assert(r.getString(3) == "plain ascii")
+    assert(r.getString(4) == "")
+    assert(r.isNullAt(5))
+    // idempotence: NFC(NFC(x)) == NFC(x) over a mixed corpus
+    val mixed = Seq("a\u0301e\u0301", "\ufb01n", "\ud55c\uad6d\uc5b4", "x\u0300\u0301")
+    mixed.foreach { v =>
+      val once = spark.sql(s"SELECT nfc_normalize('$v')").head().getString(0)
+      val twice = spark.sql(
+        s"SELECT nfc_normalize(nfc_normalize('$v'))").head().getString(0)
+      assert(once == twice, s"not idempotent on ${v.codePoints().toArray.toSeq}")
+    }
+  }
+
+  test("nfc_normalize: interpreted eval matches codegen and the JDK") {
+    GraftFunctions.ensureRegistered(spark)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val cases = Seq("cafe\u0301", "caf\u00e9", "ascii", "", "a\u030a", "\ud55c")
+    cases.foreach { v =>
+      val interp = NfcNormalize(Literal(v)).eval(null).toString
+      val gen = spark.sql(s"SELECT nfc_normalize(v) FROM VALUES ('$v') t(v)")
+        .head().getString(0)
+      assert(interp == gen, s"eval paths disagree on ${v.codePoints().toArray.toSeq}")
+      assert(interp == java.text.Normalizer
+        .normalize(v, java.text.Normalizer.Form.NFC))
+    }
+  }
+
   test("minhash_sig: null array elements are skipped, not hashed as 0") {
     GraftFunctions.ensureRegistered(spark)
     // registered SQL function is callable on arbitrary array<bigint>;
