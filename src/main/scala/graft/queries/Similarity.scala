@@ -2186,6 +2186,114 @@ object Similarity {
     sb.toString
   }
 
+  // ---------------------------------------------------------------- q216
+  /** Principal-direction estimation over the embedding corpus — the
+    * whitening/decorrelation diagnostic that precedes PQ/IVF index
+    * tuning (Jégou et al. 2011 §5 recommend rotating away a dominant
+    * direction) — in fully exact arithmetic:
+    *
+    *  1. quantize once: q = ⌊256·x + 0.5⌋ (|q| ≤ 136 here);
+    *  2. DISTRIBUTED covariance: the (i ≤ j) upper triangle of
+    *     S = Σ q qᵀ is generated IN-ROW (one `explode` of 2080 pair
+    *     products per vector, no self-join) and partially aggregated
+    *     map-side, so the shuffle carries 2080 keys × partitions —
+    *     never corpus rows. C = N·S − m mᵀ in exact longs. This pass
+    *     is the 100 TB part: one scan, one bounded-key shuffle;
+    *  3. two exact power-iteration matvecs from the uniform vector
+    *     (w = C·1 in longs, z = C·w in DECIMAL(38,0) — overflow
+    *     bounds documented at each step for N up to ~10⁸ at this
+    *     quantization), with the moment eigenvalue estimate
+    *     λ̂ = (uᵀC²u)/(uᵀCu) = wᵀw / Σw.
+    *
+    * Convergence honesty: two unnormalized matvecs are what exact
+    * integer/decimal arithmetic affords (a third overflows 38 digits);
+    * on a flat spectrum this is a direction ESTIMATE — production
+    * would keep iterating in floats with renormalization. The declared
+    * query pins the exact-arithmetic core: the covariance pass, both
+    * matvec loadings (scaled to max |·| = 1), per-dimension variance
+    * shares (C_ii/trace), and λ̂.
+    */
+  def q216(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val q = emb(spark, sfDir).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 256 + 0.5) AS BIGINT))")
+        .as("qv"))
+    val n = q.agg(count(lit(1)).as("n"))
+    val m = q.select(posexplode(col("qv")).as(Seq("i", "qi")))
+      .groupBy(col("i")).agg(sum(col("qi")).as("m"))
+    val sUpper = q.select(explode(expr(
+        """flatten(transform(sequence(0, 63), i ->
+          |  transform(sequence(i, 63), j ->
+          |    struct(i AS i, j AS j, qv[i] * qv[j] AS p))))""".stripMargin)).as("t"))
+      .groupBy(col("t.i").as("i"), col("t.j").as("j"))
+      .agg(sum(col("t.p")).as("s"))
+    val cUpper = sUpper
+      .join(broadcast(m.select(col("i"), col("m").as("m_i"))), "i")
+      .join(broadcast(m.select(col("i").as("j"), col("m").as("m_j"))), "j")
+      .crossJoin(broadcast(n))
+      .select(col("i"), col("j"),
+        (col("n") * col("s") - col("m_i") * col("m_j")).as("c"))
+    val cFull = cUpper.select(col("i"), col("j"), col("c"))
+      .union(cUpper.where(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("c")))
+    val w = cFull.groupBy(col("i")).agg(sum(col("c")).as("w"))
+    val z = cFull
+      .join(broadcast(w.select(col("i").as("j"), col("w").cast(dec).as("wj"))), "j")
+      .groupBy(col("i")).agg(sum(col("c").cast(dec) * col("wj")).as("z"))
+    val trace = cUpper.where(col("i") === col("j"))
+      .agg(sum(col("c")).cast("double").as("trace"))
+    val tot = w.agg(
+      sum(col("w").cast(dec) * col("w").cast(dec)).as("wtw"),
+      sum(col("w").cast(dec)).as("sw"),
+      max(abs(col("w"))).cast("double").as("wmax"))
+    val zm = z.agg(max(abs(col("z"))).cast("double").as("zmax"))
+    w.join(z, "i")
+      .join(broadcast(cUpper.where(col("i") === col("j"))
+        .select(col("i"), col("c").as("c_ii"))), "i")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(zm))
+      .crossJoin(broadcast(trace))
+      .select(col("i").as("dim"),
+        round(col("w").cast("double") / col("wmax"), 6).as("loading_1"),
+        round(col("z").cast("double") / col("zmax"), 6).as("loading_2"),
+        round(col("c_ii").cast("double") / col("trace"), 6).as("var_share"),
+        round(col("wtw").cast("double") / col("sw").cast("double"), 6)
+          .as("lambda_est"))
+      .orderBy(col("dim"))
+  }
+
+  val q216Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id, r.i AS i,
+      |    CAST(FLOOR(CAST(embedding[r.i + 1] AS DOUBLE) * 256 + 0.5) AS BIGINT) AS q
+      |  FROM embeddings CROSS JOIN range(0, 64) r(i)),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+      |m AS (SELECT i, CAST(SUM(q) AS BIGINT) AS m FROM q GROUP BY i),
+      |s AS (SELECT a.i AS i, b.i AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS s
+      |      FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |      GROUP BY a.i, b.i),
+      |cu AS (SELECT s.i, s.j, n.n * s.s - mi.m * mj.m AS c
+      |       FROM s CROSS JOIN n
+      |       JOIN m mi ON s.i = mi.i JOIN m mj ON s.j = mj.i),
+      |c AS (SELECT i, j, c FROM cu UNION ALL
+      |      SELECT j AS i, i AS j, c FROM cu WHERE i <> j),
+      |w AS (SELECT i, CAST(SUM(c) AS BIGINT) AS w FROM c GROUP BY i),
+      |z AS (SELECT c.i, SUM(CAST(c.c AS HUGEINT) * wj.w) AS z
+      |      FROM c JOIN w wj ON c.j = wj.i GROUP BY c.i),
+      |tr AS (SELECT CAST(SUM(c) AS DOUBLE) AS trace FROM cu WHERE i = j),
+      |tot AS (SELECT SUM(CAST(w AS HUGEINT) * w) AS wtw,
+      |               SUM(CAST(w AS HUGEINT)) AS sw,
+      |               CAST(MAX(ABS(w)) AS DOUBLE) AS wmax FROM w),
+      |zm AS (SELECT CAST(MAX(ABS(z)) AS DOUBLE) AS zmax FROM z)
+      |SELECT w.i AS dim,
+      |  ROUND(CAST(w.w AS DOUBLE) / wmax, 6) AS loading_1,
+      |  ROUND(CAST(z.z AS DOUBLE) / zmax, 6) AS loading_2,
+      |  ROUND(CAST(cd.c AS DOUBLE) / trace, 6) AS var_share,
+      |  ROUND(CAST(wtw AS DOUBLE) / CAST(sw AS DOUBLE), 6) AS lambda_est
+      |FROM w JOIN z ON w.i = z.i
+      |JOIN (SELECT i, c FROM cu WHERE i = j) cd ON w.i = cd.i
+      |CROSS JOIN tot CROSS JOIN zm CROSS JOIN tr
+      |ORDER BY dim""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q31_cosine_knn", q31 _, Some(q31Sql)),
     ("q32_ann_lsh_buckets", q32 _, Some(q32Sql)),
@@ -2221,6 +2329,7 @@ object Similarity {
     ("q193_mmr_diverse_topk", q193 _, Some(q193Sql)),
     ("q195_ann_store_rtbf", q195 _, Some(q195Sql)),
     ("q196_filtered_ann_search", q196 _, Some(q196Sql)),
-    ("q201_mmr_batch_serving", q201 _, Some(q201Sql))
+    ("q201_mmr_batch_serving", q201 _, Some(q201Sql)),
+    ("q216_pca_power_iteration", q216 _, Some(q216Sql))
   )
 }

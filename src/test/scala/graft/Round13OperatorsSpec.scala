@@ -86,6 +86,23 @@ class Round13OperatorsSpec extends AnyFunSuite {
     assert(after(2) == Map(10L -> 10L, 11L -> 11L, 12L -> 11L, 13L -> 11L, 14L -> 11L))
   }
 
+  test("q216 PCA pass: loadings scaled to unit max, variance shares sum to 1") {
+    val df = graft.queries.Similarity.q216(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(rows.length == 64)
+    val l1 = rows.map(_.getDouble(1))
+    val l2 = rows.map(_.getDouble(2))
+    val vs = rows.map(_.getDouble(3))
+    val lam = rows.map(_.getDouble(4)).distinct
+    assert(l1.forall(v => math.abs(v) <= 1.0) && l1.exists(v => math.abs(v) == 1.0))
+    assert(l2.forall(v => math.abs(v) <= 1.0) && l2.exists(v => math.abs(v) == 1.0))
+    // diagonal of a covariance matrix is non-negative; shares sum to 1
+    assert(vs.forall(_ >= 0.0))
+    assert(math.abs(vs.sum - 1.0) < 1e-4, s"var shares sum to ${vs.sum}")
+    // one λ̂ for the whole table, and it is a positive-definite-form ratio
+    assert(lam.length == 1 && lam.head > 0.0)
+  }
+
   test("lDiversity: homogeneous group fails, diverse group passes") {
     val s = spark
     import s.implicits._
