@@ -1507,6 +1507,75 @@ object Events {
       |FROM gaps GROUP BY event_type, n_ref, n_cur
       |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q217
+  /** Sequential probability-ratio test (Wald 1945) monitor — the
+    * always-valid alternative to q177's fixed-horizon CUPED analysis:
+    * per experiment arm (user_id parity), each event is a Bernoulli
+    * trial (success = purchase) and the monitor tracks the cumulative
+    * log-likelihood ratio of H₁: p = 0.20 against H₀: p = 0.18,
+    * stopping the day it crosses Wald's α = β = 0.05 boundaries
+    * ±ln 19. The LLR is computed per day from CUMULATIVE counts in a
+    * single expression — k·ln(p₁/p₀) + (n−k)·ln((1−p₁)/(1−p₀)) — so
+    * there is no float accumulation to drift: two long×constant
+    * products and one add, with the JVM-evaluated log constants
+    * interpolated verbatim into the oracle SQL.
+    *
+    * Scale shape: events partially aggregate to (arm × day) cells
+    * map-side; the running totals are arm-PARTITIONED windows over
+    * those time-bounded cells. Nothing downstream of the first
+    * group-by is corpus-sized.
+    */
+  def q217(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (p0, p1) = (0.18, 0.20)
+    val c1 = math.log(p1 / p0)
+    val c2 = math.log((1 - p1) / (1 - p0))
+    val bound = math.log(19.0) // (1-β)/α = β/(1-α)⁻¹ at α = β = 0.05
+    val daily = ev(spark, sfDir)
+      .select((col("user_id") % 2).cast("int").as("variant"),
+        to_date(col("ts")).as("day"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("s"))
+      .groupBy(col("variant"), col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("s")).as("k"))
+    val w = Window.partitionBy(col("variant")).orderBy(col("day"))
+    daily
+      .withColumn("n_cum", sum(col("n")).over(w))
+      .withColumn("k_cum", sum(col("k")).over(w))
+      .withColumn("llr", round(
+        col("k_cum") * lit(c1) + (col("n_cum") - col("k_cum")) * lit(c2), 6))
+      .withColumn("decision",
+        when(col("llr") >= bound, "accept_h1")
+          .when(col("llr") <= -bound, "accept_h0")
+          .otherwise("continue"))
+      .select(col("variant"), col("day"), col("n_cum"), col("k_cum"),
+        col("llr"), col("decision"))
+      .orderBy(col("variant"), col("day"))
+  }
+
+  val q217Sql: String = {
+    val c1 = math.log(0.20 / 0.18)
+    val c2 = math.log(0.80 / 0.82)
+    val bound = math.log(19.0)
+    s"""WITH daily AS (
+       |  SELECT CAST(user_id % 2 AS INT) AS variant, CAST(ts AS DATE) AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS k
+       |  FROM events GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT variant, day,
+       |    CAST(SUM(n) OVER (PARTITION BY variant ORDER BY day) AS BIGINT) AS n_cum,
+       |    CAST(SUM(k) OVER (PARTITION BY variant ORDER BY day) AS BIGINT) AS k_cum
+       |  FROM daily)
+       |SELECT variant, day, n_cum, k_cum,
+       |  ROUND(k_cum * CAST($c1 AS DOUBLE) + (n_cum - k_cum) * CAST($c2 AS DOUBLE), 6) AS llr,
+       |  CASE WHEN ROUND(k_cum * CAST($c1 AS DOUBLE) + (n_cum - k_cum) * CAST($c2 AS DOUBLE), 6) >= CAST($bound AS DOUBLE)
+       |         THEN 'accept_h1'
+       |       WHEN ROUND(k_cum * CAST($c1 AS DOUBLE) + (n_cum - k_cum) * CAST($c2 AS DOUBLE), 6) <= -CAST($bound AS DOUBLE)
+       |         THEN 'accept_h0'
+       |       ELSE 'continue' END AS decision
+       |FROM cum ORDER BY variant, day""".stripMargin
+  }
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_events_json_stats", q23 _, Some(q23Sql)),
     ("q24_events_daily_window", q24 _, Some(q24Sql)),
@@ -1539,6 +1608,7 @@ object Events {
     ("q198_stream_countmin_maintain", q198 _, Some(q194Sql)),
     ("q199_psi_drift", q199 _, Some(q199Sql)),
     ("q202_sequential_patterns", q202 _, Some(q202Sql)),
-    ("q214_ks_drift", q214 _, Some(q214Sql))
+    ("q214_ks_drift", q214 _, Some(q214Sql)),
+    ("q217_sprt_monitor", q217 _, Some(q217Sql))
   )
 }
