@@ -2219,20 +2219,32 @@ object Similarity {
       expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 256 + 0.5) AS BIGINT))")
         .as("qv"))
     val n = q.agg(count(lit(1)).as("n"))
+    // 64 rows, two broadcast consumers — pin so the corpus scan runs once
     val m = q.select(posexplode(col("qv")).as(Seq("i", "qi")))
       .groupBy(col("i")).agg(sum(col("qi")).as("m"))
-    val sUpper = q.select(explode(expr(
-        """flatten(transform(sequence(0, 63), i ->
-          |  transform(sequence(i, 63), j ->
-          |    struct(i AS i, j AS j, qv[i] * qv[j] AS p))))""".stripMargin)).as("t"))
-      .groupBy(col("t.i").as("i"), col("t.j").as("j"))
-      .agg(sum(col("t.p")).as("s"))
+      .localCheckpoint()
+    // CHAINED generators, not a nested higher-order transform: Spark
+    // evaluates lambda functions interpreted, and an interpreted
+    // 2080-struct-per-row fold was measured 2 orders slower than the
+    // codegen'd posexplode→posexplode pipeline below (sf1 probe,
+    // round 13). Same shape either way: all pair products generated
+    // in-stage, partial-aggregated map-side, shuffle = 2080 keys ×
+    // partitions — never corpus rows.
+    val sUpper = q
+      .select(col("qv"), posexplode(col("qv")).as(Seq("i", "qi")))
+      .select(col("i"), col("qi"), posexplode(col("qv")).as(Seq("j", "qj")))
+      .where(col("j") >= col("i"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("qi") * col("qj")).as("s"))
+    // 2080 rows; eagerly pinned — four consumers below (w, z, trace,
+    // diagonal) must not each replay the corpus-sized covariance pass
     val cUpper = sUpper
       .join(broadcast(m.select(col("i"), col("m").as("m_i"))), "i")
       .join(broadcast(m.select(col("i").as("j"), col("m").as("m_j"))), "j")
       .crossJoin(broadcast(n))
       .select(col("i"), col("j"),
         (col("n") * col("s") - col("m_i") * col("m_j")).as("c"))
+      .localCheckpoint()
     val cFull = cUpper.select(col("i"), col("j"), col("c"))
       .union(cUpper.where(col("i") =!= col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("c")))
