@@ -97,16 +97,23 @@ object QualityClassifier {
           round(col("y") - sigmoid9(col("z")), 9).cast("decimal(10,9)").as("e"))
       val g = feats.join(e, "id")
         .groupBy(col("b")).agg(sum(col("e") * col("x")).as("g"))
+      // (B+2) rows, checkpointed EVERY round: w_r references w_{r-1}
+      // twice (through the error term and the update), so an unpinned
+      // loop builds an exponentially self-referencing DAG — round r
+      // re-evaluates the whole weight lineage ~2^r times (measured at
+      // sf1: 75→25 s for the train-and-score pass once pinned). Each
+      // checkpoint is a 66-row local materialization that runs the
+      // round's two aggregations exactly once — the q82 PageRank
+      // static-table pattern applied to the model state.
       w = w.join(g, Seq("b"), "left")
         .select(col("b"),
           round(col("w").cast("double") +
             (lit(cfg.eta) * coalesce(col("g"), lit(0)).cast("double")) /
               lit(n.toDouble), 9)
             .cast("decimal(18,9)").as("w"))
+        .localCheckpoint(true)
     }
-    // (B+2) rows: materialize so scoring starts from a shallow plan
-    // instead of replaying the training lineage per reference
-    w.localCheckpoint(true)
+    w
   }
 
   /** Per-doc quality score σ₉(Σ_b x·w) ∈ [0, 1] under a trained
