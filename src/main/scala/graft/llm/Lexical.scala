@@ -119,6 +119,53 @@ object Lexical {
             .cast("double"))
 
   /** Decimal-summed per-doc aggregation + deterministic top-k. */
+  /** Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    * Lafferty 2001) — the language-modeling family next to BM25's
+    * probabilistic-relevance family:
+    * {{{ score(d) = Σ_{t∈q} ln( (tf_{t,d} + μ·cf_t/T) / (dl_d + μ) ) }}}
+    * with μ = 2000 (the standard Dirichlet prior mass). Unlike BM25,
+    * a candidate is scored on EVERY query term — a missing term
+    * contributes its background probability, which is what lets the
+    * smoothed LM rank partial matches sensibly — so candidates
+    * (docs matching ≥ 1 term) are expanded against the |q|-row term
+    * table and left-joined with the postings. Portable-log
+    * discipline: each term's ln is rounded once at scale 9 and the
+    * per-doc sum accumulates in exact DECIMAL.
+    *
+    * Scale shape: identical to BM25's — one tokenize pass partially
+    * aggregated to (doc, term) postings, |q|-row and 1-row statistic
+    * broadcasts, candidate set bounded by the postings.
+    */
+  def qldSearch(df: DataFrame, idCol: String, textCol: String,
+                terms: Seq[String], mu: Double = 2000.0,
+                topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val toks = df.select(col(idCol), split(col(textCol), " ").as("t"))
+      .select(col(idCol), size(col("t")).cast("long").as("dl"),
+        explode(col("t")).as("tok"))
+    val qtoks = toks.where(col("tok").isin(terms: _*))
+    val hits = qtoks.groupBy(col(idCol), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val cf = qtoks.groupBy(col("tok")).agg(count(lit(1)).as("cf"))
+    val corpus = df.select(size(split(col(textCol), " ")).cast("long").as("dl"))
+      .agg(sum(col("dl")).as("tt"))
+    val spine = hits.select(col(idCol), col("dl")).distinct()
+      .crossJoin(broadcast(cf))
+    spine
+      .join(hits, Seq(idCol, "dl", "tok"), "left")
+      .withColumn("tf", coalesce(col("tf"), lit(0L)))
+      .crossJoin(broadcast(corpus))
+      .withColumn("term_ln", round(log(
+        (col("tf").cast("double") + lit(mu) * col("cf").cast("double") / col("tt")) /
+          (col("dl").cast("double") + lit(mu))), 9))
+      .groupBy(col(idCol))
+      .agg(count(when(col("tf") > 0, 1)).cast("int").as("n_terms"),
+        round(sum(col("term_ln").cast(DecimalType(27, 9))).cast("double"), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+  }
+
   private def scoreTail(ts: DataFrame, idCol: String, topK: Int): DataFrame =
     ts.groupBy(col(idCol))
       .agg(count(lit(1)).cast("int").as("n_terms"),

@@ -1576,6 +1576,68 @@ object Events {
        |FROM cum ORDER BY variant, day""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q219
+  /** Hill tail-index estimator (Hill 1975) per event_type — the
+    * heavy-tail diagnostic behind capacity planning and loss-risk
+    * monitoring: over the k = 100 largest positive values,
+    * {{{ α̂ = k / Σ_{i≤k} ln(x_(i) / x_(k+1)) }}}
+    * (α̂ ≈ the Pareto exponent; smaller = heavier tail). Complements
+    * q180's Zipf rank-frequency fit (token frequencies) with the
+    * VALUE-distribution tail, and q75's z-scores (which assume thin
+    * tails — exactly what this estimator checks). The top-k multiset
+    * is well-defined under ties (ordering is by value alone), so the
+    * estimate is engine-exact under the portable-log discipline.
+    * Types with fewer than k+1 positive values are excluded (no
+    * (k+1)-th order statistic to anchor the tail).
+    *
+    * Scale shape: per-type top-(k+1) via a type-partitioned window
+    * over the positive-value subset — at web scale the same selection
+    * runs as the q91 two-pass histogram threshold; everything after
+    * the rank filter is k·|types| rows.
+    */
+  def q219(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 100
+    val pos = ev(spark, sfDir)
+      .where(col("value") > 0)
+      .select(col("event_type"), col("value"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value").desc)
+    val ranked = pos.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k + 1)
+    val thresh = ranked.where(col("rn") === k + 1)
+      .select(col("event_type"), col("value").as("x_k1"))
+    ranked.where(col("rn") <= k)
+      .join(thresh, "event_type")
+      .withColumn("t", round(log(col("value") / col("x_k1")), 9))
+      .groupBy(col("event_type"), col("x_k1"))
+      .agg(count(lit(1)).cast("int").as("n_tail"),
+        round(lit(k.toDouble) /
+          sum(col("t").cast(org.apache.spark.sql.types.DecimalType(27, 9)))
+            .cast("double"), 6).as("alpha"))
+      .select(col("event_type"), col("n_tail"), round(col("x_k1"), 6).as("x_k1"),
+        col("alpha"))
+      .orderBy(col("event_type"))
+  }
+
+  val q219Sql: String =
+    """WITH pos AS (
+      |  SELECT event_type, value FROM events WHERE value > 0),
+      |ranked AS (
+      |  SELECT event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC) AS rn
+      |  FROM pos),
+      |top AS (SELECT * FROM ranked WHERE rn <= 101),
+      |thresh AS (SELECT event_type, value AS x_k1 FROM top WHERE rn = 101)
+      |SELECT t.event_type, CAST(COUNT(*) AS INT) AS n_tail,
+      |  ROUND(x_k1, 6) AS x_k1,
+      |  ROUND(CAST(100 AS DOUBLE) /
+      |    CAST(SUM(CAST(ROUND(ln(t.value / th.x_k1), 9) AS DECIMAL(27,9))) AS DOUBLE),
+      |    6) AS alpha
+      |FROM top t JOIN thresh th USING (event_type)
+      |WHERE t.rn <= 100
+      |GROUP BY t.event_type, th.x_k1
+      |ORDER BY t.event_type""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_events_json_stats", q23 _, Some(q23Sql)),
     ("q24_events_daily_window", q24 _, Some(q24Sql)),
@@ -1609,6 +1671,7 @@ object Events {
     ("q199_psi_drift", q199 _, Some(q199Sql)),
     ("q202_sequential_patterns", q202 _, Some(q202Sql)),
     ("q214_ks_drift", q214 _, Some(q214Sql)),
-    ("q217_sprt_monitor", q217 _, Some(q217Sql))
+    ("q217_sprt_monitor", q217 _, Some(q217Sql)),
+    ("q219_hill_tail_index", q219 _, Some(q219Sql))
   )
 }

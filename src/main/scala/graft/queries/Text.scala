@@ -2486,6 +2486,41 @@ object Text {
        |  entropy >= ${math.log(3.0)} AS entropy_ok
        |FROM t ORDER BY c_nationkey, c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------- q218
+  /** Dirichlet-smoothed query-likelihood retrieval
+    * ([[graft.llm.Lexical.qldSearch]], μ = 2000, same query terms as
+    * q90) — the language-modeling ranking family beside BM25's
+    * probabilistic-relevance family: a candidate is scored on every
+    * query term, missing terms contributing their background
+    * probability, which is what makes partial matches rank sensibly.
+    */
+  def q218(spark: SparkSession, sfDir: String): DataFrame =
+    graft.llm.Lexical.qldSearch(docs(spark, sfDir), "doc_id", "text",
+      Seq("spark", "vector", "customer"), topK = 20)
+
+  val q218Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+      |    unnest(string_split(text, ' ')) AS tok FROM documents),
+      |qt AS (SELECT * FROM toks WHERE tok IN ('spark', 'vector', 'customer')),
+      |hits AS (SELECT doc_id, dl, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      |         FROM qt GROUP BY 1, 2, 3),
+      |cf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cf FROM qt GROUP BY tok),
+      |corpus AS (SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tt
+      |           FROM documents),
+      |sp AS (SELECT c.doc_id, c.dl, cf.tok, cf.cf
+      |       FROM (SELECT DISTINCT doc_id, dl FROM hits) c CROSS JOIN cf),
+      |sc AS (SELECT sp.doc_id, sp.dl, sp.tok, sp.cf, COALESCE(h.tf, 0) AS tf
+      |       FROM sp LEFT JOIN hits h
+      |         ON sp.doc_id = h.doc_id AND sp.tok = h.tok)
+      |SELECT doc_id,
+      |  CAST(COUNT(CASE WHEN tf > 0 THEN 1 END) AS INT) AS n_terms,
+      |  ROUND(CAST(SUM(CAST(ROUND(ln(
+      |    (CAST(tf AS DOUBLE) + 2000.0 * CAST(cf AS DOUBLE) / tt) /
+      |    (CAST(dl AS DOUBLE) + 2000.0)), 9) AS DECIMAL(27,9))) AS DOUBLE), 6) AS score
+      |FROM sc CROSS JOIN corpus
+      |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_token_stats", q34 _, Some(q34Sql)),
     ("q35_lang_id_confusion", q35 _, Some(q35Sql)),
@@ -2554,7 +2589,8 @@ object Text {
     ("q209_classifier_auc", q209 _, Some(q209Sql)),
     ("q210_kneser_ney_bigram", q210 _, Some(q210Sql)),
     ("q213_unicode_normalize", q213 _, Some(q213Sql)),
-    ("q215_l_diversity", q215 _, Some(q215Sql))
+    ("q215_l_diversity", q215 _, Some(q215Sql)),
+    ("q218_qld_search", q218 _, Some(q218Sql))
   )
 
 }
