@@ -2521,6 +2521,74 @@ object Text {
       |FROM sc CROSS JOIN corpus
       |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q220
+  /** Split-conformal calibration of the trained classifier (Vovk et
+    * al. 2005; the Angelopoulos & Bates 2023 split recipe) — the
+    * distribution-free uncertainty layer that completes the q203
+    * evaluation suite: a deterministic 20% calibration split
+    * (doc_id mod 5), nonconformity = 1 − score of the TRUE class,
+    * conformal threshold = the ⌈(n+1)(1−α)⌉-th smallest calibration
+    * nonconformity at α = 0.1 (an exact order statistic via
+    * [[graft.operators.GlobalRank]] — partition-parallel, never a
+    * single-partition sort), then the two conformal guarantees
+    * measured on the held-out 80%: achieved coverage (≥ 1−α in
+    * expectation under exchangeability) and mean prediction-set size
+    * (the efficiency metric — a set of 2 on a binary task means the
+    * classifier abstained). Every comparison is between scale-9
+    * doubles both engines compute identically.
+    */
+  def q220(spark: SparkSession, sfDir: String): DataFrame = {
+    val withE = classifierScored(spark, sfDir)
+      .withColumn("e_true", when(col("label") === 1,
+        round(lit(1.0) - col("score"), 9)).otherwise(col("score")))
+    val cal = withE.where(col("doc_id") % 5 === 0)
+    val hold = withE.where(col("doc_id") % 5 =!= 0)
+    val nc = cal.agg(count(lit(1)).as("n_cal"))
+    val thr = graft.operators.GlobalRank
+      .withGlobalRank(cal.select(col("doc_id"), col("e_true")),
+        Seq(col("e_true"), col("doc_id")), "rk")
+      .crossJoin(broadcast(nc))
+      .where(col("rk") === expr("(9 * (n_cal + 1) + 9) div 10"))
+      .select(col("n_cal"), col("rk").as("m"), col("e_true").as("thr"))
+    hold.crossJoin(broadcast(thr))
+      .groupBy(col("n_cal"), col("m"), col("thr"))
+      .agg(count(lit(1)).as("n_eval"),
+        round(sum(when(col("e_true") <= col("thr"), 1L).otherwise(0L)) /
+          count(lit(1)).cast("double"), 6).as("coverage"),
+        round(sum(when(round(lit(1.0) - col("score"), 9) <= col("thr"), 1L)
+            .otherwise(0L) +
+          when(col("score") <= col("thr"), 1L).otherwise(0L)) /
+          count(lit(1)).cast("double"), 6).as("avg_set_size"))
+      .select(col("n_cal"), col("m"), col("thr"), col("n_eval"),
+        col("coverage"), col("avg_set_size"))
+  }
+
+  val q220Sql: String =
+    s"""$q203Ctes,
+       |ev AS (
+       |  SELECT doc_id, label, score,
+       |    CASE WHEN label = 1 THEN ROUND(1.0 - score, 9) ELSE score END AS e_true
+       |  FROM scored),
+       |cal AS (SELECT * FROM ev WHERE doc_id % 5 = 0),
+       |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal),
+       |rkd AS (
+       |  SELECT e_true,
+       |    ROW_NUMBER() OVER (ORDER BY e_true, doc_id) AS rk
+       |  FROM cal),
+       |th AS (
+       |  SELECT n_cal, CAST(rk AS BIGINT) AS m, e_true AS thr
+       |  FROM rkd CROSS JOIN nc
+       |  WHERE rk = (9 * (n_cal + 1) + 9) // 10),
+       |hold AS (SELECT * FROM ev WHERE doc_id % 5 <> 0)
+       |SELECT n_cal, m, thr, CAST(COUNT(*) AS BIGINT) AS n_eval,
+       |  ROUND(SUM(CASE WHEN e_true <= thr THEN 1 ELSE 0 END) /
+       |    CAST(COUNT(*) AS DOUBLE), 6) AS coverage,
+       |  ROUND(SUM((CASE WHEN ROUND(1.0 - score, 9) <= thr THEN 1 ELSE 0 END) +
+       |            (CASE WHEN score <= thr THEN 1 ELSE 0 END)) /
+       |    CAST(COUNT(*) AS DOUBLE), 6) AS avg_set_size
+       |FROM hold CROSS JOIN th
+       |GROUP BY n_cal, m, thr""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_token_stats", q34 _, Some(q34Sql)),
     ("q35_lang_id_confusion", q35 _, Some(q35Sql)),
@@ -2590,7 +2658,8 @@ object Text {
     ("q210_kneser_ney_bigram", q210 _, Some(q210Sql)),
     ("q213_unicode_normalize", q213 _, Some(q213Sql)),
     ("q215_l_diversity", q215 _, Some(q215Sql)),
-    ("q218_qld_search", q218 _, Some(q218Sql))
+    ("q218_qld_search", q218 _, Some(q218Sql)),
+    ("q220_conformal_coverage", q220 _, Some(q220Sql))
   )
 
 }

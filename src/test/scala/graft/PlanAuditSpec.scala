@@ -62,7 +62,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q209_classifier_auc", // 1-row (npos, nneg) totals broadcast into the AUC denominator
     "q210_kneser_ney_bigram", // 1-row bigram-type-total broadcast into the continuation term
     "q216_pca_power_iteration", // 1-row N/trace/λ-stat broadcasts onto the 64-dim loading table
-    "q218_qld_search") // |q|-row term-stat + 1-row corpus-total broadcasts (q90's shape)
+    "q218_qld_search", // |q|-row term-stat + 1-row corpus-total broadcasts (q90's shape)
+    "q220_conformal_coverage") // 1-row n_cal + 1-row conformal-threshold broadcasts
 
   test("no declared query plans a cartesian product; BNLJ only where intended") {
     // streaming queries execute on materialization, not plan-inspectable
