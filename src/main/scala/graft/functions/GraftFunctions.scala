@@ -47,7 +47,14 @@ object GraftFunctions {
     "cdc_chunk_hashes" -> (children => CdcChunkHashes(children(0),
       children(1).eval().asInstanceOf[Int], children(2).eval().asInstanceOf[Int])),
     "multi_needle_count" -> (children => MultiNeedleCount(children(0), children(1))),
-    "nfc_normalize" -> (children => NfcNormalize(children.head)),
+    // arity-checked: children.head would silently IGNORE extra
+    // arguments (nfc_normalize('a','b') passing analysis), unlike the
+    // sibling children(i) entries which at least fail on missing ones
+    "nfc_normalize" -> (children => children match {
+      case Seq(c) => NfcNormalize(c)
+      case _ => throw new IllegalArgumentException(
+        s"nfc_normalize expects exactly 1 argument, got ${children.length}")
+    }),
     "packed_sign_word" -> (children => PackedSignWord(children(0),
       children(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         .toLongArray(),

@@ -124,13 +124,22 @@ object Lexical {
     * probabilistic-relevance family:
     * {{{ score(d) = Σ_{t∈q} ln( (tf_{t,d} + μ·cf_t/T) / (dl_d + μ) ) }}}
     * with μ = 2000 (the standard Dirichlet prior mass). Unlike BM25,
-    * a candidate is scored on EVERY query term — a missing term
-    * contributes its background probability, which is what lets the
-    * smoothed LM rank partial matches sensibly — so candidates
-    * (docs matching ≥ 1 term) are expanded against the |q|-row term
-    * table and left-joined with the postings. Portable-log
-    * discipline: each term's ln is rounded once at scale 9 and the
-    * per-doc sum accumulates in exact DECIMAL.
+    * a candidate is scored on every query term THAT OCCURS IN THE
+    * CORPUS — a term the candidate lacks contributes its background
+    * probability μ·cf/T/(dl+μ), which is what lets the smoothed LM
+    * rank partial matches sensibly — so candidates (docs matching
+    * ≥ 1 term) are expanded against the corpus-frequency table and
+    * left-joined with the postings. A query term with ZERO corpus
+    * frequency is dropped entirely (no cf row reaches the spine):
+    * its smoothed probability is 0 and ln(0) diverges, so exclusion
+    * is the only well-defined score — document-frequency-zero terms
+    * rank nothing apart anyway. Portable-log discipline: each term's
+    * ln is rounded once at scale 9 and the per-doc sum accumulates
+    * in exact DECIMAL.
+    *
+    * `mu` is a real parameter of this operator, but the DECLARED
+    * oracle (`Text.q218Sql`) hardcodes μ = 2000 — the q218 call must
+    * not drift from the default or parity breaks silently.
     *
     * Scale shape: identical to BM25's — one tokenize pass partially
     * aggregated to (doc, term) postings, |q|-row and 1-row statistic

@@ -30,8 +30,15 @@ object LabelPropagation {
 
   /** @param edges two columns `src`, `dst` (long node ids). Directed:
     *              node `src` hears the label of `dst`. Pass both
-    *              directions for an undirected graph; every node must
-    *              appear as some `src` or it drops from the output.
+    *              directions for an undirected graph. The node spine
+    *              is the distinct `src` set; a node whose neighbors
+    *              carry no votes in some round (possible on directed
+    *              inputs where every `dst` of a node never occurs as
+    *              a `src`) KEEPS its previous label rather than
+    *              dropping from the table — so the output always has
+    *              exactly one row per spine node. For undirected
+    *              (both-directions) input every node votes every
+    *              round and the keep-prior branch never fires.
     * @param iters number of synchronous voting rounds (≥ 0)
     * @return (node, label) after `iters` rounds
     */
@@ -44,12 +51,20 @@ object LabelPropagation {
         .join(labels.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src"), col("label"))
         .agg(count(lit(1)).as("cnt"))
-      labels = votes
+      val winners = votes
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("src"))
             .orderBy(col("cnt").desc, col("label"))))
         .where(col("rk") === 1)
-        .select(col("src").as("node"), col("label"))
+        .select(col("src").as("node"), col("label").as("new_label"))
+      // `labels` feeds BOTH the vote join above and the keep-prior
+      // coalesce below — pin it each round or the plan self-references
+      // twice per round and replays ~2^rounds times (the classifier
+      // lineage trap, round 13)
+      labels = labels.join(winners, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("new_label"), col("label")).as("label"))
+        .localCheckpoint()
     }
     labels
   }

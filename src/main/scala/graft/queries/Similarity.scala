@@ -2200,9 +2200,17 @@ object Similarity {
     *     never corpus rows. C = N·S − m mᵀ in exact longs. This pass
     *     is the 100 TB part: one scan, one bounded-key shuffle;
     *  3. two exact power-iteration matvecs from the uniform vector
-    *     (w = C·1 in longs, z = C·w in DECIMAL(38,0) — overflow
-    *     bounds documented at each step for N up to ~10⁸ at this
-    *     quantization), with the moment eigenvalue estimate
+    *     (w = C·1 in longs, z = C·w in DECIMAL(38,0)). Worst-case
+    *     overflow bound, NO cancellation assumed: |C_ij| ≤ N·S_ij +
+    *     |m_i·m_j| ≤ 2·N²·136², so the int64 entries of C (and w's
+    *     64-term sums) hold only to N ≈ 2×10⁷ at this quantization —
+    *     and the HUGEINT/DECIMAL(38,0) z-step inherits the same
+    *     factor. For CENTERED data (|Σ q_i| ≪ N·136, i.e. |m_i m_j|
+    *     and the N·S cross term shrink toward N·Var ≈ N·136²) the
+    *     bound relaxes to N ≈ 10⁸⁺; past either limit Spark's
+    *     non-ANSI decimal NULLs silently while DuckDB errors, so
+    *     scale-up must re-derive the bound, not trust this one. The
+    *     moment eigenvalue estimate is
     *     λ̂ = (uᵀC²u)/(uᵀCu) = wᵀw / Σw.
     *
     * Convergence honesty: two unnormalized matvecs are what exact

@@ -86,6 +86,21 @@ class Round13OperatorsSpec extends AnyFunSuite {
     assert(after(2) == Map(10L -> 10L, 11L -> 11L, 12L -> 11L, 13L -> 11L, 14L -> 11L))
   }
 
+  test("LabelPropagation directed input: a voteless node keeps its prior label") {
+    val s = spark
+    import s.implicits._
+    // Directed chain 1→2→3: node 2's only dst (3) never occurs as a
+    // src, so 3 has no label row and 2 gets ZERO votes in round 1 —
+    // pre-fix it vanished from the table (and 1 cascaded away in round
+    // 2). The spine left-join keeps both at their prior labels.
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    def after(iters: Int): Map[Long, Long] =
+      graft.operators.LabelPropagation.run(edges, iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after(1) == Map(1L -> 2L, 2L -> 2L)) // 1 hears 2; 2 voteless, keeps 2
+    assert(after(2) == Map(1L -> 2L, 2L -> 2L)) // stable; nobody dropped
+  }
+
   test("q216 PCA pass: loadings scaled to unit max, variance shares sum to 1") {
     val df = graft.queries.Similarity.q216(spark, "/root/testdata/sf0.001")
     val rows = df.collect()

@@ -82,6 +82,17 @@ class ExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("nfc_normalize: wrong arity fails analysis instead of ignoring args") {
+    GraftFunctions.ensureRegistered(spark)
+    // pre-fix, nfc_normalize('a','b') silently dropped the 2nd arg
+    val e = intercept[Exception] {
+      spark.sql("SELECT nfc_normalize('a', 'b')").head()
+    }
+    assert(e.getMessage.contains("nfc_normalize expects exactly 1 argument"),
+      s"unexpected failure mode: ${e.getMessage}")
+    intercept[Exception] { spark.sql("SELECT nfc_normalize()").head() }
+  }
+
   test("nfc_normalize: interpreted eval matches codegen and the JDK") {
     GraftFunctions.ensureRegistered(spark)
     import org.apache.spark.sql.catalyst.expressions.Literal
