@@ -10,14 +10,18 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing is real — schema, typed Dataset, batched
   * `mapPartitions` (the JVM analogue of a Pandas-UDF `mapInPandas`
   * pass: fixed-size batches per partition, one codec instance per
-  * partition, columnar-friendly output). Three codecs sit behind
-  * [[MediaCodec]]: [[ImageIoCodec]] is a REAL PNG/JPEG decoder on the
-  * JDK's built-in `javax.imageio` (q108 round-trips actual PNG bytes
-  * through it under an oracle); [[WavCodec]] is a REAL WAV/PCM
-  * decoder on the JDK's `javax.sound.sampled` (q121, same trick for
-  * audio); [[FakeFrameCodec]] remains the deterministic stand-in for
-  * the one modality the JDK lacks a codec for (video — an ffmpeg
-  * binding would plug in the same way).
+  * partition, columnar-friendly output). Four codecs sit behind
+  * [[MediaCodec]], one per modality, ALL REAL: [[ImageIoCodec]]
+  * decodes PNG/JPEG on the JDK's built-in `javax.imageio` (q108
+  * round-trips actual PNG bytes through it under an oracle);
+  * [[WavCodec]] decodes WAV/PCM on the JDK's `javax.sound.sampled`
+  * (q121, same trick for audio); [[AviMjpegCodec]] decodes
+  * MJPEG-in-AVI video — a RIFF container walk ([[AviMjpeg]]) plus a
+  * per-frame `javax.imageio` JPEG decode (q221, same trick through
+  * real compressed video bytes); and [[ByteBlockCodec]] is the
+  * modality-agnostic fixed-block chunker for OPAQUE blobs a pipeline
+  * hasn't onboarded a decoder for yet (q44 runs it over raw text
+  * bytes — block geometry and mean-byte stats need no format).
   */
 final case class MediaBlob(doc_id: Long, media_type: String, data: Array[Byte])
 
@@ -30,14 +34,18 @@ trait MediaCodec extends Serializable {
   def decode(blob: MediaBlob): MediaFeatures
 }
 
-/** STUB codec — deterministic fake standing in for a real decoder.
-  * Frames are 256-byte blocks; the "feature" is the mean byte value of
-  * `featureDim` SAMPLED frames (every `frameStride`-th — the
-  * frame-sampling knob a video pipeline needs: stride 1 reads the
+/** Modality-agnostic OPAQUE-blob codec: fixed 256-byte blocks stand
+  * in for frames, the "feature" is the mean byte value of
+  * `featureDim` SAMPLED blocks (every `frameStride`-th — the
+  * frame-sampling knob any media pipeline needs: stride 1 reads the
   * clip head, stride k spreads the same feature budget across k× the
-  * duration); the header is the first 4 bytes.
+  * duration); the header is the first 4 bytes. This is the metadata
+  * pass a 100 TB ingest runs over formats it has not onboarded a
+  * real decoder for — geometry, sampling and byte statistics need no
+  * format knowledge. Real decoders ([[ImageIoCodec]], [[WavCodec]],
+  * [[AviMjpegCodec]]) drop into the identical partition pass.
   */
-final class FakeFrameCodec(val mediaType: String = "fake/frames",
+final class ByteBlockCodec(val mediaType: String = "application/octet-stream",
                            val frameStride: Int = 1,
                            val featureDim: Int = 8) extends MediaCodec {
   require(frameStride >= 1, "frameStride must be >= 1")
@@ -110,9 +118,8 @@ final class ImageIoCodec(val featureDim: Int = 8) extends MediaCodec {
   * as the feature vector, every value computed from decoded 16-bit
   * samples. Sums stay exact in Float well past this data's
   * |sample| ≤ 1024 × nSamples ≤ 192 range (< 2²⁴), so the declared
-  * query casts them back to BIGINT losslessly. Video remains behind
-  * [[FakeFrameCodec]] — the JDK ships no video codec; ffmpeg would
-  * plug in the same way.
+  * query casts them back to BIGINT losslessly. Video gets the same
+  * treatment via [[AviMjpegCodec]].
   */
 final class WavCodec(val featureDim: Int = 8) extends MediaCodec {
   require(featureDim >= 5,
@@ -147,6 +154,211 @@ final class WavCodec(val featureDim: Int = 8) extends MediaCodec {
     feature(4) = maxAbs.toFloat
     MediaFeatures(blob.doc_id, mediaType, blob.data.length.toLong, n,
       blob.data.take(4), feature)
+  }
+}
+
+/** Minimal-but-valid AVI (RIFF) container support for MJPEG video —
+  * the same chunk-walker discipline as the JDK's RIFF/WAVE path that
+  * backs [[WavCodec]], written out because the JDK ships no AVI
+  * demuxer. Layout follows the public AVI RIFF spec (Microsoft
+  * "AVI RIFF File Reference"): `RIFF('AVI ' LIST('hdrl' 'avih'
+  * LIST('strl' 'strh' 'strf')) LIST('movi' '00dc'…) 'idx1')`, all
+  * sizes little-endian, chunks padded to even offsets. The writer
+  * emits one video stream ('vids'/'MJPG', 30 fps) with a keyframe
+  * index; the reader is a defensive walker — it verifies the RIFF
+  * and 'AVI ' magics, scans top-level chunks for the 'movi' list,
+  * recurses into 'rec ' sublists, honors pad bytes, and yields every
+  * `##dc`/`##db` frame chunk as an opaque byte slice for the caller
+  * to decode.
+  */
+object AviMjpeg {
+  private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  private final class W {
+    val bos = new java.io.ByteArrayOutputStream()
+    def cc(s: String): Unit = bos.write(fourcc(s))
+    def u32(v: Long): Unit = {
+      bos.write((v & 0xff).toInt); bos.write(((v >> 8) & 0xff).toInt)
+      bos.write(((v >> 16) & 0xff).toInt); bos.write(((v >> 24) & 0xff).toInt)
+    }
+    def u16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def bytes(b: Array[Byte]): Unit = bos.write(b)
+  }
+
+  /** One MJPEG video stream, `frames` = already-encoded JPEG images
+    * of identical `width`×`height`, 30 fps. */
+  def writeAvi(frames: Seq[Array[Byte]], width: Int, height: Int): Array[Byte] = {
+    require(frames.nonEmpty, "an AVI needs at least one frame")
+    val maxFrame = frames.map(_.length).max
+    def chunk(id: String, body: W => Unit): Array[Byte] = {
+      val w = new W; body(w)
+      val payload = w.bos.toByteArray
+      val out = new W
+      out.cc(id); out.u32(payload.length.toLong); out.bytes(payload)
+      if (payload.length % 2 == 1) out.bos.write(0) // even alignment
+      out.bos.toByteArray
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] = {
+      val out = new W
+      out.cc("LIST"); out.u32(4L + body.length); out.cc(kind); out.bytes(body)
+      out.bos.toByteArray
+    }
+    val avih = chunk("avih", w => {
+      w.u32(33333L); w.u32(30L * maxFrame) // usec/frame, max bytes/sec
+      w.u32(0L); w.u32(0x10L)              // padding, AVIF_HASINDEX
+      w.u32(frames.length.toLong); w.u32(0L); w.u32(1L) // frames, initial, streams
+      w.u32(maxFrame.toLong); w.u32(width.toLong); w.u32(height.toLong)
+      (1 to 4).foreach(_ => w.u32(0L))     // reserved
+    })
+    val strh = chunk("strh", w => {
+      w.cc("vids"); w.cc("MJPG")
+      w.u32(0L); w.u16(0); w.u16(0); w.u32(0L) // flags, priority, language, initial
+      w.u32(1L); w.u32(30L); w.u32(0L)          // scale, rate, start
+      w.u32(frames.length.toLong); w.u32(maxFrame.toLong)
+      w.u32(0xffffffffL); w.u32(0L)             // quality = -1, samplesize
+      w.u16(0); w.u16(0); w.u16(width); w.u16(height) // rcFrame
+    })
+    val strf = chunk("strf", w => {
+      w.u32(40L); w.u32(width.toLong); w.u32(height.toLong)
+      w.u16(1); w.u16(24); w.cc("MJPG")
+      w.u32(width.toLong * height * 3); w.u32(0L); w.u32(0L); w.u32(0L); w.u32(0L)
+    })
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val frameChunks = frames.map(f => chunk("00dc", _.bytes(f)))
+    val movi = list("movi", frameChunks.reduce(_ ++ _))
+    // idx1 offsets are relative to the 'movi' fourcc position
+    var off = 4L
+    val idxEntries = new W
+    frames.zip(frameChunks).foreach { case (f, c) =>
+      idxEntries.cc("00dc"); idxEntries.u32(0x10L) // AVIIF_KEYFRAME
+      idxEntries.u32(off); idxEntries.u32(f.length.toLong)
+      off += c.length
+    }
+    val idx1 = chunk("idx1", _.bytes(idxEntries.bos.toByteArray))
+    val payload = hdrl ++ movi ++ idx1
+    val out = new W
+    out.cc("RIFF"); out.u32(4L + payload.length); out.cc("AVI ")
+    out.bytes(payload)
+    out.bos.toByteArray
+  }
+
+  private def le32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  private def ccAt(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, "US-ASCII")
+
+  /** All `##dc`/`##db` frame payloads of the (first) 'movi' list, in
+    * stream order. Throws on a non-AVI or truncated container. */
+  def readFrames(avi: Array[Byte]): Seq[Array[Byte]] = {
+    require(avi.length >= 12 && ccAt(avi, 0) == "RIFF" && ccAt(avi, 8) == "AVI ",
+      s"not an AVI container (${avi.length} bytes)")
+    val riffEnd = math.min(avi.length.toLong, 8L + le32(avi, 4))
+    val frames = Seq.newBuilder[Array[Byte]]
+    def isFrameId(id: String): Boolean =
+      id.length == 4 && id(0).isDigit && id(1).isDigit &&
+        id(2) == 'd' && (id(3) == 'c' || id(3) == 'b')
+    def walkFrames(from: Long, to: Long): Unit = {
+      var p = from
+      while (p + 8 <= to) {
+        val id = ccAt(avi, p.toInt)
+        val size = le32(avi, p.toInt + 4)
+        require(p + 8 + size <= to, s"truncated chunk '$id' at $p")
+        if (id == "LIST" && size >= 4 && ccAt(avi, p.toInt + 8) == "rec ")
+          walkFrames(p + 12, p + 8 + size)
+        else if (isFrameId(id))
+          frames += java.util.Arrays.copyOfRange(avi, p.toInt + 8, (p + 8 + size).toInt)
+        p += 8 + size + (size % 2) // chunks align to even offsets
+      }
+    }
+    var p = 12L
+    var found = false
+    while (!found && p + 8 <= riffEnd) {
+      val id = ccAt(avi, p.toInt)
+      val size = le32(avi, p.toInt + 4)
+      require(p + 8 + size <= riffEnd, s"truncated chunk '$id' at $p")
+      if (id == "LIST" && size >= 4 && ccAt(avi, p.toInt + 8) == "movi") {
+        walkFrames(p + 12, p + 8 + size)
+        found = true
+      }
+      p += 8 + size + (size % 2)
+    }
+    require(found, "no 'movi' list in AVI container")
+    frames.result()
+  }
+
+  /** JPEG-encode at libjpeg quality 100 (compression quality 1.0 →
+    * all-ones quantization tables). At this setting a frame built of
+    * solid gray 16×16-aligned bands ROUND-TRIPS EXACTLY: gray maps to
+    * (Y, 128, 128) exactly under libjpeg's fixed-point color
+    * transform (the Y weights sum to FIX(1.0) and the chroma weights
+    * cancel), constant MCUs have zero AC energy, and DC survives
+    * quantization step 1 — so decoded pixel sums are arithmetic the
+    * DuckDB oracle can replay. Pinned empirically for all 256 gray
+    * values in `MultimodalSuite`.
+    */
+  def encodeJpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(1.0f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    writer.dispose()
+    ios.flush()
+    bos.toByteArray
+  }
+}
+
+/** REAL video codec: MJPEG-in-AVI over the JDK's `javax.imageio` —
+  * [[AviMjpeg.readFrames]] walks the RIFF container, each `00dc`
+  * frame decodes through the built-in JPEG reader, and the feature
+  * vector aggregates the decoded bitmaps exactly as [[ImageIoCodec]]
+  * does for stills: `[width, height, sumR, sumG, sumB]` with the
+  * channel sums accumulated ACROSS frames. Geometry must be
+  * consistent across frames (one video stream). Sums stay exact in
+  * Float below 2²⁴ — the q221 clips peak below 2×10⁶. `n_frames` is
+  * the real decoded frame count, the knob [[ByteBlockCodec]] could
+  * only fake.
+  */
+final class AviMjpegCodec(val featureDim: Int = 8) extends MediaCodec {
+  require(featureDim >= 5, "featureDim must fit [w, h, sumR, sumG, sumB]")
+  override val mediaType: String = "video/x-msvideo"
+
+  override def decode(blob: MediaBlob): MediaFeatures = {
+    val frames = AviMjpeg.readFrames(blob.data)
+    require(frames.nonEmpty, s"doc ${blob.doc_id}: AVI with no frames")
+    var w = -1; var h = -1
+    var sr = 0L; var sg = 0L; var sb = 0L
+    frames.foreach { jpg =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+      require(img != null, s"undecodable MJPEG frame for doc ${blob.doc_id}")
+      if (w < 0) { w = img.getWidth; h = img.getHeight }
+      else require(img.getWidth == w && img.getHeight == h,
+        s"doc ${blob.doc_id}: frame geometry drift ${img.getWidth}x${img.getHeight} vs ${w}x$h")
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sr += (rgb >> 16) & 0xff
+          sg += (rgb >> 8) & 0xff
+          sb += rgb & 0xff
+          x += 1
+        }
+        y += 1
+      }
+    }
+    val feature = new Array[Float](featureDim)
+    feature(0) = w.toFloat
+    feature(1) = h.toFloat
+    feature(2) = sr.toFloat
+    feature(3) = sg.toFloat
+    feature(4) = sb.toFloat
+    MediaFeatures(blob.doc_id, mediaType, blob.data.length.toLong,
+      frames.length, blob.data.take(4), feature)
   }
 }
 
@@ -185,7 +397,7 @@ object Multimodal {
     * see inside a blob.
     */
   def featureTable(spark: SparkSession, sfDir: String): DataFrame =
-    extractFeatures(documentBlobs(spark, sfDir), new FakeFrameCodec)
+    extractFeatures(documentBlobs(spark, sfDir), new ByteBlockCodec)
       .toDF()
       .select(col("doc_id"), col("media_type"), col("n_bytes"),
         col("n_frames"))
@@ -770,8 +982,86 @@ object Multimodal {
       |SELECT doc_id, n_frames, zero_crossings, energy_total, energy_max_frame
       |FROM fa JOIN z USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Synthetic MJPEG-in-AVI blobs, one clip per document: `nf` frames
+    * of `w×h` gray video, each frame split into 16-pixel-tall solid
+    * bands whose gray value derives arithmetically from (doc_id,
+    * frame, band). Every frame is JPEG-compressed at quality 1.0
+    * ([[AviMjpeg.encodeJpeg]] — the setting under which 16px-aligned
+    * gray bands round-trip EXACTLY, pinned in `MultimodalSuite`) and
+    * muxed into a real RIFF/AVI container inside the partition pass.
+    * Deterministic by construction, so the decoded per-channel pixel
+    * sums are SQL-recomputable — q108's real-codec-under-an-oracle
+    * trick, for video.
+    */
+  def syntheticAviBlobs(spark: SparkSession, sfDir: String): Dataset[MediaBlob] = {
+    import spark.implicits._
+    graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val nf = 1 + (id % 5).toInt
+          val w = 16 * (1 + (id % 3).toInt)
+          val h = 16 * (1 + (id % 2).toInt)
+          val frames = (0 until nf).map { f =>
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              val v = ((id * 31 + f * 17 + (y / 16) * 7) % 256).toInt
+              val rgb = (v << 16) | (v << 8) | v
+              var x = 0
+              while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+              y += 1
+            }
+            AviMjpeg.encodeJpeg(img)
+          }
+          MediaBlob(id, "video/x-msvideo", AviMjpeg.writeAvi(frames, w, h))
+        }
+      }
+  }
+
+  /** q221: MJPEG-encode + AVI-mux → RIFF walk + batched per-frame
+    * `javax.imageio` JPEG decode → frame count, geometry and
+    * across-frame per-channel pixel sums. Every output value passes
+    * through a real compressed AVI byte stream; the oracle replays
+    * the band arithmetic the clips were built from (exact because
+    * quality-1.0 JPEG round-trips the aligned gray bands — see
+    * [[AviMjpeg.encodeJpeg]]). Embarrassingly parallel — one
+    * partition pass, no shuffle until the final order. This retires
+    * the engine's last stubbed modality: all four media families
+    * (image/audio/video/opaque) now decode real bytes.
+    */
+  def videoDecode(spark: SparkSession, sfDir: String): DataFrame =
+    extractFeatures(syntheticAviBlobs(spark, sfDir), new AviMjpegCodec)
+      .toDF()
+      .select(col("doc_id"), col("n_frames"),
+        element_at(col("feature"), 1).cast("int").as("width"),
+        element_at(col("feature"), 2).cast("int").as("height"),
+        element_at(col("feature"), 3).cast("bigint").as("sum_r"),
+        element_at(col("feature"), 4).cast("bigint").as("sum_g"),
+        element_at(col("feature"), 5).cast("bigint").as("sum_b"))
+      .orderBy(col("doc_id"))
+
+  val q221Sql: String =
+    """WITH g AS (
+      |  SELECT doc_id, 1 + doc_id % 5 AS nf,
+      |    16 * (1 + doc_id % 3) AS w, 16 * (1 + doc_id % 2) AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, nf, w, h,
+      |    (doc_id * 31 + f.i * 17 + b.i * 7) % 256 AS v
+      |  FROM g CROSS JOIN range(0, 5) f(i) CROSS JOIN range(0, 2) b(i)
+      |  WHERE f.i < nf AND b.i < h // 16)
+      |SELECT doc_id, CAST(MAX(nf) AS INT) AS n_frames,
+      |  CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+      |  CAST(SUM(w * 16 * v) AS BIGINT) AS sum_r,
+      |  CAST(SUM(w * 16 * v) AS BIGINT) AS sum_g,
+      |  CAST(SUM(w * 16 * v) AS BIGINT) AS sum_b
+      |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q44_multimodal_features", featureTable _, Some(q44Sql)),
+    ("q221_video_mjpeg_decode", videoDecode _, Some(q221Sql)),
     ("q108_imageio_decode", imageDecode _, Some(q108Sql)),
     ("q121_wav_decode", audioDecode _, Some(q121Sql)),
     ("q138_image_phash_dedup", imagePerceptualDedup _, Some(q138Sql)),

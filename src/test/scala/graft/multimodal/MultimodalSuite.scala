@@ -9,7 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class MultimodalSuite extends AnyFunSuite {
 
   private lazy val spark = TestSpark.hive
-  private val codec = new FakeFrameCodec
+  private val codec = new ByteBlockCodec
 
   test("codec: frame geometry and mean-byte features") {
     val bytes = Array.tabulate(300)(i => (i % 256).toByte) // 2 frames: 256 + 44
@@ -57,8 +57,8 @@ class MultimodalSuite extends AnyFunSuite {
     // stride 2 reads frames 0,2 — sampling, not truncation
     val bytes = Array.tabulate(4 * 256)(i => (i / 256 + 1).toByte)
     val blob = MediaBlob(1L, "x", bytes)
-    val dense = new FakeFrameCodec(featureDim = 2).decode(blob)
-    val strided = new FakeFrameCodec(frameStride = 2, featureDim = 2).decode(blob)
+    val dense = new ByteBlockCodec(featureDim = 2).decode(blob)
+    val strided = new ByteBlockCodec(frameStride = 2, featureDim = 2).decode(blob)
     assert(dense.feature.toSeq == Seq(1.0f, 2.0f))
     assert(strided.feature.toSeq == Seq(1.0f, 3.0f))
     assert(dense.n_frames == 4 && strided.n_frames == 4)
@@ -142,6 +142,105 @@ class MultimodalSuite extends AnyFunSuite {
       assert(r.getAs[Long]("sum_s") == vs.sum.toLong)
       assert(r.getAs[Long]("sum_abs") == vs.map(math.abs).sum.toLong)
       assert(r.getAs[Long]("max_abs") == vs.map(math.abs).max.toLong)
+    }
+  }
+
+  test("quality-1.0 JPEG round-trips aligned gray bands exactly (oracle premise)") {
+    // the q221 oracle replays pre-encode arithmetic, which is only
+    // sound if the lossy codec is exact on this input family — pin it
+    // for every gray value and both band counts
+    for (v0 <- 0 until 256 by 7; nb <- 1 to 2) {
+      val w = 48; val h = 16 * nb
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (v0 + (y / 16) * 97) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val dec = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(AviMjpeg.encodeJpeg(img)))
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (v0 + (y / 16) * 97) % 256
+        assert((dec.getRGB(x, y) & 0xffffff) == ((v << 16) | (v << 8) | v),
+          s"JPEG drift at ($x,$y) v=$v nb=$nb")
+      }
+    }
+    // and the full 0..255 solid sweep, cheap at 8x8
+    for (v <- 0 until 256) {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      val dec = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(AviMjpeg.encodeJpeg(img)))
+      assert((dec.getRGB(3, 5) & 0xffffff) == ((v << 16) | (v << 8) | v))
+    }
+  }
+
+  test("AVI container: mux/demux round-trips frame bytes, honors padding") {
+    // odd-length frame payloads force the even-alignment pad path
+    val frames = Seq(
+      Array.tabulate(7)(i => i.toByte),
+      Array.tabulate(256)(i => (255 - i).toByte),
+      Array.tabulate(33)(i => (i * 3).toByte))
+    val avi = AviMjpeg.writeAvi(frames, 16, 16)
+    assert(avi.take(4).map(_.toChar).mkString == "RIFF")
+    assert(avi.slice(8, 12).map(_.toChar).mkString == "AVI ")
+    // declared RIFF size covers the file exactly
+    val riffSize = (avi(4) & 0xffL) | ((avi(5) & 0xffL) << 8) |
+      ((avi(6) & 0xffL) << 16) | ((avi(7) & 0xffL) << 24)
+    assert(riffSize + 8 == avi.length.toLong)
+    val back = AviMjpeg.readFrames(avi)
+    assert(back.length == 3)
+    back.zip(frames).foreach { case (b, f) => assert(b.toSeq == f.toSeq) }
+    // defensive walker: garbage and truncation are rejected, not misread
+    intercept[IllegalArgumentException] {
+      AviMjpeg.readFrames("not an avi at all".getBytes)
+    }
+    // clipping only the trailing idx1 keeps every frame readable (the
+    // walker stops at movi) — cut INTO the movi list to hit the
+    // truncation guard (idx1 = 8 header + 3×16-byte entries = 56)
+    intercept[IllegalArgumentException] {
+      AviMjpeg.readFrames(avi.take(avi.length - 60))
+    }
+  }
+
+  test("AviMjpegCodec: decodes real MJPEG-in-AVI bytes to exact frame stats") {
+    // 2 frames of 32x16 gray video: frame 0 solid 100, frame 1 two
+    // 16px bands — wait, h=16 is one band; use h=32 for two bands
+    val w = 32; val h = 32
+    def frame(vTop: Int, vBot: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = if (y < 16) vTop else vBot
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      AviMjpeg.encodeJpeg(img)
+    }
+    val avi = AviMjpeg.writeAvi(Seq(frame(100, 30), frame(255, 0)), w, h)
+    val f = new AviMjpegCodec().decode(MediaBlob(9L, "video/x-msvideo", avi))
+    assert(f.n_frames == 2 && f.n_bytes == avi.length.toLong)
+    assert(f.header.toSeq == avi.take(4).toSeq)
+    val expect = (w * 16 * (100 + 30 + 255 + 0)).toFloat
+    assert(f.feature.toSeq.take(5) == Seq(w.toFloat, h.toFloat, expect, expect, expect))
+  }
+
+  test("q221: distributed AVI encode/decode matches the band arithmetic") {
+    val rows = Multimodal.videoDecode(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val nf = 1 + (id % 5).toInt
+      val w = 16 * (1 + (id % 3).toInt)
+      val h = 16 * (1 + (id % 2).toInt)
+      val sum = (for (f <- 0 until nf; b <- 0 until h / 16)
+        yield w.toLong * 16 * ((id * 31 + f * 17 + b * 7) % 256)).sum
+      assert(r.getAs[Int]("n_frames") == nf)
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
+      assert(r.getAs[Long]("sum_r") == sum)
+      assert(r.getAs[Long]("sum_g") == sum)
+      assert(r.getAs[Long]("sum_b") == sum)
     }
   }
 
