@@ -80,7 +80,17 @@ object KMeans {
     // legitimately produce (the sf1 scale probe hit it through q184's
     // decontamination stage)
     if (cents.isEmpty) return cents
+    lloyd(sv, idCol, cents, passes)
+  }
 
+  /** `passes - 1` Lloyd updates over a pre-quantized (idCol, sv)
+    * frame from caller-provided initial centroids — the shared tail
+    * of [[train]] (first-k seed) and [[trainParallelInit]]
+    * (k-means|| seed). */
+  private def lloyd(sv: DataFrame, idCol: String,
+                    init: Seq[(Int, Array[Long])],
+                    passes: Int): Seq[(Int, Array[Long])] = {
+    var cents = init
     for (_ <- 1 until passes) {
       val a = sv.select(col(idCol), col("sv"),
         assignExpr(col("sv"), cents).getField("cid").as("cid"))
@@ -96,6 +106,105 @@ object KMeans {
       }.toIndexedSeq
     }
     cents
+  }
+
+  /** k-means‖ (scalable k-means++) initialization, determinized
+    * (Bahmani, Moseley, Vattani, Kumar & Vassilvitskii, "Scalable
+    * K-Means++", VLDB 2012), followed by the shared Lloyd tail — the
+    * production replacement for [[train]]'s documented first-k-by-id
+    * seed:
+    *
+    *  1. C ← the min-id vector (deterministic singleton seed);
+    *  2. `rounds` oversampling rounds: each point x is drawn with
+    *     probability min(1, ℓ·d²(x,C)/φ), φ = Σ d², using a
+    *     DETERMINISTIC Bernoulli draw in place of the paper's RNG —
+    *     point x enters iff `(poly_hash('kpp<r>:' ++ id) mod 2²⁰)·φ
+    *     < ℓ·d²·2²⁰`, exact integer arithmetic on both engines
+    *     (φ ≤ N·64·(2.4·10⁶)² needs 128-bit: DECIMAL(38,0) here,
+    *     HUGEINT in the oracle; the products stay ≤ ~10²⁶ ≪ 10³⁸).
+    *     A point already in C has d² = 0 and can never re-enter;
+    *  3. weights: every point assigns to its nearest candidate
+    *     (tie → smallest candidate id), w(c) = |assigned|;
+    *  4. recluster the ~ℓ·rounds candidates to k centers with
+    *     WEIGHTED GREEDY MAXIMIN (first pick = max weight, then
+    *     argmax w(c)·d²(c, picked), ties → min id) — the
+    *     deterministic, oracle-replayable stand-in for the paper's
+    *     randomized weighted k-means++ recluster;
+    *  5. `passes − 1` Lloyd updates from those k centers (cid =
+    *     pick order).
+    *
+    * Execution shape at 100 TB — the point of k-means‖: each round
+    * is ONE scan computing in-row d² against ≤ ℓ·rounds candidate
+    * literals plus a candidate-sized collect (codebook-scale, like
+    * MLlib's `initKMeansParallel`); the recluster runs on ≤ ℓ·rounds
+    * driver-side rows. No scan ever shuffles corpus rows. A corpus
+    * with fewer than k distinct candidates trains a smaller codebook
+    * (empty corpus → empty codebook, as [[train]]).
+    */
+  def trainParallelInit(df: DataFrame, idCol: String, vecCol: String,
+                        k: Int = 8, ell: Int = 8, rounds: Int = 3,
+                        passes: Int = 2): Seq[(Int, Array[Long])] = {
+    require(k >= 1 && ell >= 1 && rounds >= 1 && passes >= 1,
+      "k, ell, rounds and passes must be >= 1")
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val M = 1048576L // 2^20 draw resolution
+    // pinned: re-scanned once per round + twice after
+    val sv = df.select(col(idCol), quantize(col(vecCol)).as("sv"))
+      .localCheckpoint()
+    val seed = sv.orderBy(col(idCol)).limit(1).collect()
+    if (seed.isEmpty) return Seq.empty
+    var cand: Seq[(Long, Array[Long])] =
+      seed.toIndexedSeq.map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    for (r <- 1 to rounds) {
+      val cents = cand.sortBy(_._1).zipWithIndex
+        .map { case ((_, v), i) => (i, v) }
+      val d2 = sv.select(col(idCol), col("sv"),
+        assignExpr(col("sv"), cents).getField("d2").as("d2"))
+      val phi = d2.agg(sum(col("d2").cast(dec))).head().getDecimal(0)
+      if (phi != null && phi.signum > 0) {
+        val draw = call_function("poly_hash",
+          concat(lit(s"kpp$r:"), col(idCol).cast("string"))) % lit(M)
+        val selected = d2
+          .where(draw.cast(dec) * lit(phi) <
+            col("d2").cast(dec) * lit(ell * M))
+          .select(col(idCol), col("sv")).collect()
+        cand = cand ++ selected.toIndexedSeq
+          .map(r2 => (r2.getLong(0), r2.getSeq[Long](1).toArray))
+      }
+    }
+    // weights: candidate-sized aggregate of an in-row assignment
+    val byId = cand.sortBy(_._1)
+    val wRows = sv.select(assignExpr(col("sv"),
+        byId.zipWithIndex.map { case ((_, v), i) => (i, v) })
+        .getField("cid").as("cid"))
+      .groupBy(col("cid")).agg(count(lit(1)).as("w")).collect()
+    val w = wRows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    final case class Cand(id: Long, vec: Array[Long], w: Long)
+    val cs = byId.zipWithIndex.map { case ((id, v), i) =>
+      Cand(id, v, w.getOrElse(i, 0L))
+    }
+    def dist2(a: Array[Long], b: Array[Long]): BigInt = {
+      var s = BigInt(0); var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += BigInt(d) * d; i += 1 }
+      s
+    }
+    // weighted greedy maximin over the tiny candidate set
+    val first = cs.maxBy(c => (c.w, -c.id))
+    val picked = scala.collection.mutable.ArrayBuffer(first)
+    while (picked.length < math.min(k, cs.length)) {
+      // already-picked ids are excluded outright (their maximin score
+      // is 0, but so is a zero-weight or duplicate-vector candidate's
+      // — exclusion keeps the pick well-defined in that degenerate
+      // case too, mirrored by the oracle's anti-join)
+      val remaining = cs.filterNot(c => picked.exists(_.id == c.id))
+      val next = remaining.maxBy { c =>
+        (BigInt(c.w) * picked.map(p => dist2(c.vec, p.vec)).min, -c.id)
+      }
+      picked += next
+    }
+    lloyd(sv, idCol, picked.toIndexedSeq.zipWithIndex
+      .map { case (c, i) => (i, c.vec) }, passes)
   }
 
   /** In-row assignment of every row to its nearest centroid in a

@@ -2314,6 +2314,126 @@ object Similarity {
       |CROSS JOIN tot CROSS JOIN zm CROSS JOIN tr
       |ORDER BY dim""".stripMargin
 
+  // ---------------------------------------------------------------- q222
+  /** k-means‖ (scalable k-means++) initialization + Lloyd, end to
+    * end under the oracle ([[graft.llm.KMeans.trainParallelInit]]):
+    * deterministic min-id seed, 3 oversampling rounds of poly-hash
+    * Bernoulli draws with ℓ = k = 8, candidate weighting, weighted
+    * greedy-maximin recluster to k centers, one Lloyd update, final
+    * assignment — q61's summary shape (n / rep_id / wss per cluster)
+    * so the two inits are directly comparable; the spec pins the
+    * inertia (Σ wss) improvement over q61's first-k-by-id seed. The
+    * oracle unrolls every stage as CTEs: per-round min-distance +
+    * HUGEINT φ + hash-threshold selection, the candidate weight
+    * pass, 7 anti-joined maximin picks, then the q61 Lloyd chain
+    * from the picked centers.
+    */
+  def q222(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    graft.llm.KMeans
+      .clusterSummary(
+        graft.llm.KMeans.assignWith(e, "vec_id", "embedding",
+          graft.llm.KMeans.trainParallelInit(e, "vec_id", "embedding",
+            k = 8, ell = 8, rounds = 3, passes = 2)),
+        "vec_id")
+      .select(col("cluster_id"), col("n"), col("rep_id"), col("wss"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val q222Sql: String = {
+    val M = 1048576L // 2^20 draw resolution — must match trainParallelInit
+    val ell = 8
+    def dmin(name: String, cands: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT p.vid AS vec_id, MIN(p.d2) AS d2 FROM (
+         |    SELECT v.vec_id AS vid, c.vec_id AS cid,
+         |      CAST(SUM((v.sv[i+1]-c.sv[i+1])*(v.sv[i+1]-c.sv[i+1])) AS BIGINT) AS d2
+         |    FROM sv v CROSS JOIN $cands c CROSS JOIN range(0, 64) r(i)
+         |    GROUP BY 1, 2) p
+         |  GROUP BY 1)""".stripMargin
+    def round(r: Int): String = {
+      val h = graft.functions.PolyHash
+        .duckdbSql(s"'kpp$r:' || CAST(v.vec_id AS VARCHAR)")
+      s"""${dmin(s"d$r", s"k${r - 1}")},
+         |p$r AS MATERIALIZED (SELECT SUM(CAST(d2 AS HUGEINT)) AS phi FROM d$r),
+         |s$r AS MATERIALIZED (
+         |  SELECT v.vec_id, v.sv FROM sv v JOIN d$r dd USING (vec_id) CROSS JOIN p$r
+         |  WHERE CAST(($h) % $M AS HUGEINT) * phi
+         |      < CAST(dd.d2 AS HUGEINT) * ${ell * M}),
+         |k$r AS MATERIALIZED (SELECT * FROM k${r - 1} UNION ALL SELECT * FROM s$r)""".stripMargin
+    }
+    def pick(j: Int): String =
+      s"""m$j AS MATERIALIZED (
+         |  SELECT c.vec_id, ANY_VALUE(c.sv) AS sv,
+         |    CAST(ANY_VALUE(c.w) AS HUGEINT) * MIN(cd.d2) AS score
+         |  FROM cw c JOIN cd ON cd.ia = c.vec_id
+         |  JOIN g${j - 1} p ON cd.ib = p.vec_id
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM g${j - 1})
+         |  GROUP BY c.vec_id),
+         |g$j AS MATERIALIZED (SELECT * FROM g${j - 1} UNION ALL
+         |  SELECT vec_id, sv, $j AS ord FROM (
+         |    SELECT vec_id, sv FROM m$j ORDER BY score DESC, vec_id LIMIT 1))""".stripMargin
+    s"""WITH sv AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS sv
+       |  FROM embeddings),
+       |k0 AS MATERIALIZED (SELECT vec_id, sv FROM sv ORDER BY vec_id LIMIT 1),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)},
+       |pair AS MATERIALIZED (
+       |  SELECT v.vec_id AS vid, c.vec_id AS cid,
+       |    CAST(SUM((v.sv[i+1]-c.sv[i+1])*(v.sv[i+1]-c.sv[i+1])) AS BIGINT) AS d2
+       |  FROM sv v CROSS JOIN k3 c CROSS JOIN range(0, 64) r(i)
+       |  GROUP BY 1, 2),
+       |wa AS MATERIALIZED (SELECT vid, cid FROM (
+       |  SELECT vid, cid, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn
+       |  FROM pair) WHERE rn = 1),
+       |cw AS MATERIALIZED (
+       |  SELECT c.vec_id, c.sv, COALESCE(w.w, 0) AS w FROM k3 c
+       |  LEFT JOIN (SELECT cid, CAST(COUNT(*) AS BIGINT) AS w FROM wa GROUP BY cid) w
+       |    ON c.vec_id = w.cid),
+       |cd AS MATERIALIZED (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |    CAST(SUM((a.sv[i+1]-b.sv[i+1])*(a.sv[i+1]-b.sv[i+1])) AS BIGINT) AS d2
+       |  FROM k3 a CROSS JOIN k3 b CROSS JOIN range(0, 64) r(i)
+       |  GROUP BY 1, 2),
+       |g0 AS MATERIALIZED (SELECT vec_id, sv, 0 AS ord FROM cw ORDER BY w DESC, vec_id LIMIT 1),
+       |${(1 to 7).map(pick).mkString(",\n")},
+       |c0p AS MATERIALIZED (SELECT ord AS cid, sv AS m FROM g7),
+       |dl1 AS MATERIALIZED (
+       |  SELECT v.vec_id, c.cid,
+       |    CAST(SUM((v.sv[i+1] - c.m[i+1]) * (v.sv[i+1] - c.m[i+1])) AS BIGINT) AS d2
+       |  FROM sv v CROSS JOIN c0p c CROSS JOIN range(0, 64) r(i)
+       |  GROUP BY v.vec_id, c.cid),
+       |al1 AS MATERIALIZED (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |    FROM dl1) WHERE rn = 1),
+       |cl1 AS MATERIALIZED (
+       |  SELECT cid, list(m ORDER BY d) AS m FROM (
+       |    SELECT a.cid, r.i AS d,
+       |      CAST(SUM(v.sv[r.i+1]) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS m
+       |    FROM al1 a JOIN sv v USING (vec_id) CROSS JOIN range(0, 64) r(i)
+       |    GROUP BY a.cid, r.i)
+       |  GROUP BY cid),
+       |dl2 AS MATERIALIZED (
+       |  SELECT v.vec_id, c.cid,
+       |    CAST(SUM((v.sv[i+1] - c.m[i+1]) * (v.sv[i+1] - c.m[i+1])) AS BIGINT) AS d2
+       |  FROM sv v CROSS JOIN cl1 c CROSS JOIN range(0, 64) r(i)
+       |  GROUP BY v.vec_id, c.cid),
+       |al2 AS MATERIALIZED (
+       |  SELECT vec_id, cid, d2 FROM (
+       |    SELECT vec_id, cid, d2,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |    FROM dl2) WHERE rn = 1)
+       |SELECT cid AS cluster_id, COUNT(*) AS n, MIN(vec_id) AS rep_id,
+       |  CAST(SUM(d2) AS BIGINT) AS wss
+       |FROM al2 GROUP BY cid ORDER BY cluster_id""".stripMargin
+  }
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q31_cosine_knn", q31 _, Some(q31Sql)),
     ("q32_ann_lsh_buckets", q32 _, Some(q32Sql)),
@@ -2350,6 +2470,7 @@ object Similarity {
     ("q195_ann_store_rtbf", q195 _, Some(q195Sql)),
     ("q196_filtered_ann_search", q196 _, Some(q196Sql)),
     ("q201_mmr_batch_serving", q201 _, Some(q201Sql)),
-    ("q216_pca_power_iteration", q216 _, Some(q216Sql))
+    ("q216_pca_power_iteration", q216 _, Some(q216Sql)),
+    ("q222_kmeans_parallel_init", q222 _, Some(q222Sql))
   )
 }
