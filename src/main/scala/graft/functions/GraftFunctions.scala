@@ -47,6 +47,12 @@ object GraftFunctions {
     "cdc_chunk_hashes" -> (children => CdcChunkHashes(children(0),
       children(1).eval().asInstanceOf[Int], children(2).eval().asInstanceOf[Int])),
     "multi_needle_count" -> (children => MultiNeedleCount(children(0), children(1))),
+    "unigram_segment" -> (children => UnigramViterbi(children(0),
+      children(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toObjectArray(org.apache.spark.sql.types.StringType).map(_.toString),
+      children(2).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray(),
+      children(3).eval().asInstanceOf[Int])),
     // arity-checked: children.head would silently IGNORE extra
     // arguments (nfc_normalize('a','b') passing analysis), unlike the
     // sibling children(i) entries which at least fail on missing ones

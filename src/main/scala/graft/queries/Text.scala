@@ -2589,6 +2589,240 @@ object Text {
        |FROM hold CROSS JOIN th
        |GROUP BY n_cal, m, thr""".stripMargin
 
+  // ------------------------------------------------------ q223/q224/q225
+  // Unigram-LM tokenizer (SentencePiece family) — oracle CTE builders.
+  // The DP unrolls over word positions (words are truncated to
+  // UnigramMaxW codepoints BEFORE the distinct, both engines), each
+  // position joining the ≤ UnigramMaxP prior best-states against the
+  // round's vocabulary; backtracking unrolls the same depth. Every
+  // stage is MATERIALIZED: the b-chain references each prior level up
+  // to 4 times and DuckDB's default CTE inlining would re-expand it
+  // exponentially (the q222 lesson).
+  private val UnigramMaxW = 12 // max word codepoints (bounds the DP unroll)
+  private val UnigramMaxP = 4  // max piece codepoints
+  private val UnigramMulti = 64 // multi-char seed vocabulary size
+  private val UnigramRounds = 2 // hard-EM rounds
+
+  /** One Viterbi DP + backtrack over `dw` against vocabulary scores
+    * `lpTab`, producing `{p}pieces` = (word, k, piece) with k the
+    * 1-based step FROM THE WORD END. */
+  private def unigramDpCtes(p: String, lpTab: String): String = {
+    val bs = (1 to UnigramMaxW).map { i =>
+      val priors = (math.max(0, i - UnigramMaxP) until i)
+        .map(j => s"SELECT * FROM ${p}b$j").mkString(" UNION ALL ")
+      s"""${p}b$i AS MATERIALIZED (
+         |  SELECT word, i, s, j FROM (
+         |    SELECT b.word, $i AS i, b.s + v.lp AS s, b.i AS j,
+         |      ROW_NUMBER() OVER (PARTITION BY b.word
+         |        ORDER BY b.s + v.lp DESC, b.i) AS rn
+         |    FROM ($priors) b
+         |    JOIN $lpTab v ON v.piece = substr(b.word, b.i + 1, $i - b.i)
+         |    WHERE length(b.word) >= $i) WHERE rn = 1)""".stripMargin
+    }
+    val ball = s"""${p}ball AS MATERIALIZED (${(1 to UnigramMaxW)
+      .map(i => s"SELECT * FROM ${p}b$i").mkString(" UNION ALL ")})"""
+    val ts = (1 to UnigramMaxW).map { k =>
+      s"""${p}p$k AS MATERIALIZED (
+         |  SELECT t.word, b.j, t.i, $k AS k,
+         |    substr(t.word, b.j + 1, t.i - b.j) AS piece
+         |  FROM ${p}t${k - 1} t JOIN ${p}ball b ON b.word = t.word AND b.i = t.i
+         |  WHERE t.i > 0),
+         |${p}t$k AS (SELECT word, j AS i FROM ${p}p$k)""".stripMargin
+    }
+    val pieces = s"""${p}pieces AS MATERIALIZED (${(1 to UnigramMaxW)
+      .map(i => s"SELECT word, k, piece FROM ${p}p$i").mkString(" UNION ALL ")})"""
+    (s"""${p}b0 AS MATERIALIZED (
+        |  SELECT word, 0 AS i, CAST(0 AS DECIMAL(27,9)) AS s, 0 AS j FROM dw)""".stripMargin
+      +: bs) ++ Seq(
+      ball,
+      s"${p}t0 AS (SELECT word, length(word) AS i FROM dw)") ++
+      ts :+ pieces
+  }.mkString(",\n")
+
+  /** lp table of a vocabulary CTE: portable-log piece scores. */
+  private def unigramLpCte(name: String, vocab: String): String =
+    s"""$name AS MATERIALIZED (
+       |  SELECT piece,
+       |    CAST(ROUND(ln(CAST(cnt AS DOUBLE) / t.t), 9) AS DECIMAL(27,9)) AS lp
+       |  FROM $vocab CROSS JOIN
+       |    (SELECT CAST(SUM(cnt) AS DOUBLE) AS t FROM $vocab) t)""".stripMargin
+
+  /** The full training chain: corpus → seed → `UnigramRounds` of
+    * (lp → DP → votes → pruned/floored vocab). Ends at v$UnigramRounds. */
+  private def unigramTrainCtes: String = {
+    val head =
+      s"""w0 AS MATERIALIZED (
+         |  SELECT substr(word, 1, $UnigramMaxW) AS word,
+         |    CAST(COUNT(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE length(word) > 0 GROUP BY 1),
+         |dw AS MATERIALIZED (SELECT word FROM w0),
+         |sub AS MATERIALIZED (
+         |  SELECT substr(word, s.i + 1, l.j) AS piece,
+         |    CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM w0 CROSS JOIN range(0, $UnigramMaxW) s(i)
+         |    CROSS JOIN range(1, ${UnigramMaxP + 1}) l(j)
+         |  WHERE s.i + l.j <= length(word) GROUP BY 1),
+         |v0 AS MATERIALIZED (
+         |  SELECT piece, cnt FROM sub WHERE length(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rn
+         |    FROM sub WHERE length(piece) >= 2) WHERE rn <= $UnigramMulti)""".stripMargin
+    val rounds = (1 to UnigramRounds).map { r =>
+      s"""${unigramLpCte(s"lp${r - 1}", s"v${r - 1}")},
+         |${unigramDpCtes(s"r${r}_", s"lp${r - 1}")},
+         |votes$r AS MATERIALIZED (
+         |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM r${r}_pieces JOIN w0 USING (word) GROUP BY piece),
+         |v$r AS MATERIALIZED (
+         |  SELECT v.piece, GREATEST(COALESCE(vt.cnt, 0), 1) AS cnt
+         |  FROM v${r - 1} v LEFT JOIN votes$r vt USING (piece)
+         |  WHERE length(v.piece) = 1
+         |  UNION ALL
+         |  SELECT v.piece, vt.cnt FROM v${r - 1} v JOIN votes$r vt USING (piece)
+         |  WHERE length(v.piece) >= 2)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
+
+  /** Encode chain on top of training: segment `dw` under the final
+    * vocabulary and aggregate per-word piece stats. */
+  private def unigramEncodeCtes: String =
+    s"""${unigramLpCte("lpf", s"v$UnigramRounds")},
+       |${unigramDpCtes("enc_", "lpf")},
+       |wnp AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS np
+       |        FROM enc_pieces GROUP BY word),
+       |wfp AS MATERIALIZED (
+       |  SELECT p.word, ANY_VALUE(w.np) AS np,
+       |    CAST(SUM((w.np - p.k + 1) *
+       |      (${graft.functions.PolyHash.duckdbSql("p.piece")})) AS BIGINT) AS fp,
+       |    CASE WHEN string_agg(p.piece, '' ORDER BY p.k DESC) = p.word
+       |         THEN 0 ELSE 1 END AS rt_fail
+       |  FROM enc_pieces p JOIN wnp w USING (word) GROUP BY p.word)""".stripMargin
+
+  /** Unigram-LM tokenizer TRAINING ([[graft.llm.UnigramLM.train]]):
+    * all-substring seed vocabulary (every char + top-64 multi-char by
+    * weighted count), then 2 rounds of determinized Viterbi hard-EM —
+    * segment every distinct word under ln(c/T) scores (portable-log
+    * fixed-point, exact max-plus DP), recount pieces from the Viterbi
+    * segmentations, prune unused multi-char pieces, floor chars at 1.
+    * Output: the final (piece, cnt) vocabulary. The oracle unrolls
+    * the ENTIRE training — seed, both DP/backtrack rounds, prune —
+    * as ~90 materialized CTEs, so seeding, scoring, tie-breaks,
+    * pruning and the char floor are all hash-checked.
+    */
+  def q223(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = spark
+    import s.implicits._
+    graft.llm.UnigramLM
+      .train(docs(spark, sfDir), "text", rounds = UnigramRounds,
+        maxWordLen = UnigramMaxW, maxPieceLen = UnigramMaxP,
+        maxMulti = UnigramMulti)
+      .map(p => (p.piece, p.cnt)).toDF("piece", "cnt")
+      .orderBy(col("piece"))
+  }
+
+  val q223Sql: String =
+    s"""WITH $unigramTrainCtes
+       |SELECT piece, cnt FROM v$UnigramRounds ORDER BY piece""".stripMargin
+
+  /** Unigram-LM ENCODE + round-trip ([[graft.llm.UnigramLM.encode]] /
+    * `decode`): the trained tokenizer segments the corpus; per
+    * document the query pins the word count, total piece count, an
+    * order-sensitive fingerprint Σ (piece_index+1)·poly_hash(piece)
+    * over every word's segmentation, and the number of words whose
+    * pieces do NOT concatenate back to the word (must be 0 — the
+    * decode identity, asserted through real data rather than by
+    * construction). Scale: train on the distinct-word table, one
+    * broadcast of the word→pieces map onto the token stream.
+    */
+  def q224(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val vocab = graft.llm.UnigramLM.train(d, "text", rounds = UnigramRounds,
+      maxWordLen = UnigramMaxW, maxPieceLen = UnigramMaxP,
+      maxMulti = UnigramMulti)
+    val wp = graft.llm.UnigramLM
+      .wordPieces(d, "text", vocab, UnigramMaxW, UnigramMaxP)
+      .localCheckpoint() // one segmentation pass, three consumers
+    val wordStats = wp
+      .select(col("word"), posexplode(col("pieces")).as(Seq("ppos", "piece")))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("np"),
+        sum((col("ppos") + 1) * GraftFunctions.polyHash("piece")).as("fp"))
+      .join(wp.select(col("word"),
+        when(concat_ws("", col("pieces")) === col("word"), 0L)
+          .otherwise(1L).as("rt_fail")), "word")
+    d.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+      .select(col("doc_id"), substring(col("w"), 1, UnigramMaxW).as("word"))
+      .join(broadcast(wordStats), "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"),
+        sum(col("fp")).as("fp"), sum(col("rt_fail")).as("n_rt_fail"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q224Sql: String =
+    s"""WITH $unigramTrainCtes,
+       |$unigramEncodeCtes,
+       |toks AS (
+       |  SELECT doc_id, substr(word, 1, $UnigramMaxW) AS word
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |        FROM documents)
+       |  WHERE length(word) > 0)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(np) AS BIGINT) AS n_pieces,
+       |  CAST(SUM(fp) AS BIGINT) AS fp,
+       |  CAST(SUM(rt_fail) AS BIGINT) AS n_rt_fail
+       |FROM toks JOIN wfp USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q162's fertility/compression evaluation RERUN under the unigram
+    * tokenizer — the cross-family comparison the two-tokenizer engine
+    * exists for (BPE fertility: q162). Stats are over the
+    * truncated-word corpus the tokenizer is defined on: n_words,
+    * pieces per word (fertility), characters per piece (compression),
+    * per language.
+    */
+  def q225(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val vocab = graft.llm.UnigramLM.train(d, "text", rounds = UnigramRounds,
+      maxWordLen = UnigramMaxW, maxPieceLen = UnigramMaxP,
+      maxMulti = UnigramMulti)
+    val wp = graft.llm.UnigramLM
+      .wordPieces(d, "text", vocab, UnigramMaxW, UnigramMaxP)
+      .select(col("word"), size(col("pieces")).cast("long").as("np"))
+    d.select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+      .select(col("lang"), substring(col("w"), 1, UnigramMaxW).as("word"))
+      .join(broadcast(wp), "word")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_pieces"), col("n_chars"),
+        round(col("n_pieces") / col("n_words").cast("double"), 6).as("fertility"),
+        round(col("n_chars") / col("n_pieces").cast("double"), 6)
+          .as("chars_per_piece"))
+      .orderBy(col("lang"))
+  }
+
+  val q225Sql: String =
+    s"""WITH $unigramTrainCtes,
+       |$unigramEncodeCtes,
+       |toks AS (
+       |  SELECT lang, substr(word, 1, $UnigramMaxW) AS word
+       |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+       |        FROM documents)
+       |  WHERE length(word) > 0)
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(np) AS BIGINT) AS n_pieces,
+       |  CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+       |  ROUND(SUM(np) / CAST(COUNT(*) AS DOUBLE), 6) AS fertility,
+       |  ROUND(SUM(length(word)) / CAST(SUM(np) AS DOUBLE), 6) AS chars_per_piece
+       |FROM toks JOIN wfp USING (word)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_token_stats", q34 _, Some(q34Sql)),
     ("q35_lang_id_confusion", q35 _, Some(q35Sql)),
@@ -2659,7 +2893,10 @@ object Text {
     ("q213_unicode_normalize", q213 _, Some(q213Sql)),
     ("q215_l_diversity", q215 _, Some(q215Sql)),
     ("q218_qld_search", q218 _, Some(q218Sql)),
-    ("q220_conformal_coverage", q220 _, Some(q220Sql))
+    ("q220_conformal_coverage", q220 _, Some(q220Sql)),
+    ("q223_unigram_train", q223 _, Some(q223Sql)),
+    ("q224_unigram_encode_roundtrip", q224 _, Some(q224Sql)),
+    ("q225_unigram_fertility", q225 _, Some(q225Sql))
   )
 
 }
