@@ -118,8 +118,10 @@ object KMeans {
     *  2. `rounds` oversampling rounds: each point x is drawn with
     *     probability min(1, ℓ·d²(x,C)/φ), φ = Σ d², using a
     *     DETERMINISTIC Bernoulli draw in place of the paper's RNG —
-    *     point x enters iff `(poly_hash('kpp<r>:' ++ id) mod 2²⁰)·φ
-    *     < ℓ·d²·2²⁰`, exact integer arithmetic on both engines
+    *     point x enters iff `draw(x, r)·φ < ℓ·d²·2²⁰`, where draw =
+    *     two Lehmer/MINSTD steps over poly_hash('kpp<r>:' ++ id)
+    *     taken mod 2²⁰ (see the in-code note on low-bit uniformity),
+    *     exact integer arithmetic on both engines
     *     (φ ≤ N·64·(2.4·10⁶)² needs 128-bit: DECIMAL(38,0) here,
     *     HUGEINT in the oracle; the products stay ≤ ~10²⁶ ≪ 10³⁸).
     *     A point already in C has d² = 0 and can never re-enter;
@@ -163,8 +165,19 @@ object KMeans {
         assignExpr(col("sv"), cents).getField("d2").as("d2"))
       val phi = d2.agg(sum(col("d2").cast(dec))).head().getDecimal(0)
       if (phi != null && phi.signum > 0) {
-        val draw = call_function("poly_hash",
-          concat(lit(s"kpp$r:"), col(idCol).cast("string"))) % lit(M)
+        // poly_hash alone is NOT a usable draw: the base-31
+        // polynomial's low 20 bits are badly non-uniform on short
+        // sequential-id strings (measured at sf1: zero values below
+        // 19606 of 2²⁰ — zero draws ever fired; a hash-of-hash still
+        // clustered into [77k, 650k]). Two Lehmer/MINSTD steps
+        // (×48271 mod 2³¹−1 — full-period multiplier, products
+        // < 2⁴⁷ so no overflow in either engine) scramble it to
+        // Poisson-consistent uniformity at every tested scale.
+        val p31 = lit(2147483647L)
+        val h1 = call_function("poly_hash",
+          concat(lit(s"kpp$r:"), col(idCol).cast("string")))
+        val draw =
+          (h1 + lit(1L)) * lit(48271L) % p31 * lit(48271L) % p31 % lit(M)
         val selected = d2
           .where(draw.cast(dec) * lit(phi) <
             col("d2").cast(dec) * lit(ell * M))

@@ -2352,13 +2352,16 @@ object Similarity {
          |    GROUP BY 1, 2) p
          |  GROUP BY 1)""".stripMargin
     def round(r: Int): String = {
+      // Lehmer-mixed draw (see trainParallelInit: the raw hash's low
+      // bits are non-uniform on sequential-id strings)
       val h = graft.functions.PolyHash
         .duckdbSql(s"'kpp$r:' || CAST(v.vec_id AS VARCHAR)")
+      val draw = s"((($h) + 1) * 48271) % 2147483647 * 48271 % 2147483647 % $M"
       s"""${dmin(s"d$r", s"k${r - 1}")},
          |p$r AS MATERIALIZED (SELECT SUM(CAST(d2 AS HUGEINT)) AS phi FROM d$r),
          |s$r AS MATERIALIZED (
          |  SELECT v.vec_id, v.sv FROM sv v JOIN d$r dd USING (vec_id) CROSS JOIN p$r
-         |  WHERE CAST(($h) % $M AS HUGEINT) * phi
+         |  WHERE CAST(($draw) AS HUGEINT) * phi
          |      < CAST(dd.d2 AS HUGEINT) * ${ell * M}),
          |k$r AS MATERIALIZED (SELECT * FROM k${r - 1} UNION ALL SELECT * FROM s$r)""".stripMargin
     }
