@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * [[MediaCodec]], one per modality, ALL REAL: [[ImageIoCodec]]
   * decodes PNG/JPEG on the JDK's built-in `javax.imageio` (q108
   * round-trips actual PNG bytes through it under an oracle);
-  * [[WavCodec]] decodes WAV/PCM on the JDK's `javax.sound.sampled`
+  * [[WavCodec]] decodes WAV/PCM through the [[Wav]] RIFF demux
   * (q121, same trick for audio); [[AviMjpegCodec]] decodes
   * MJPEG-in-AVI video — a RIFF container walk ([[AviMjpeg]]) plus a
   * per-frame `javax.imageio` JPEG decode (q221, same trick through
@@ -83,6 +83,7 @@ final class ImageIoCodec(val featureDim: Int = 8) extends MediaCodec {
   override val mediaType: String = "image/png"
 
   override def decode(blob: MediaBlob): MediaFeatures = {
+    ImageIoTuning.ensure
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob.data))
     require(img != null, s"undecodable image blob for doc ${blob.doc_id}")
     val w = img.getWidth
@@ -111,9 +112,10 @@ final class ImageIoCodec(val featureDim: Int = 8) extends MediaCodec {
   }
 }
 
-/** REAL audio codec over the JDK's built-in `javax.sound.sampled`
-  * WAV support (no external libraries) — the audio analogue of
-  * [[ImageIoCodec]]: parses the RIFF/WAVE container, streams the PCM
+/** REAL audio codec: parses the RIFF/WAVE container ([[Wav]] — the
+  * hand-rolled demux that replaced `javax.sound.sampled` in the hot
+  * path, see [[Wav]]'s scaladoc for why; interop with AudioSystem is
+  * spec-pinned), streams the PCM
   * payload, and emits `[sampleRate, nSamples, sum, sumAbs, maxAbs]`
   * as the feature vector, every value computed from decoded 16-bit
   * samples. Sums stay exact in Float well past this data's
@@ -127,14 +129,7 @@ final class WavCodec(val featureDim: Int = 8) extends MediaCodec {
   override val mediaType: String = "audio/wav"
 
   override def decode(blob: MediaBlob): MediaFeatures = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(blob.data))
-    val fmt = ais.getFormat
-    require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
-        && fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1
-        && !fmt.isBigEndian,
-      s"doc ${blob.doc_id}: expected mono 16-bit little-endian PCM, got $fmt")
-    val pcm = ais.readAllBytes()
+    val (rate, pcm) = Wav.readPcm16Mono(blob.data, blob.doc_id)
     val n = pcm.length / 2
     var sum = 0L; var sumAbs = 0L; var maxAbs = 0L
     var i = 0
@@ -147,7 +142,7 @@ final class WavCodec(val featureDim: Int = 8) extends MediaCodec {
       i += 1
     }
     val feature = new Array[Float](featureDim)
-    feature(0) = fmt.getSampleRate
+    feature(0) = rate.toFloat
     feature(1) = n.toFloat
     feature(2) = sum.toFloat
     feature(3) = sumAbs.toFloat
@@ -155,6 +150,88 @@ final class WavCodec(val featureDim: Int = 8) extends MediaCodec {
     MediaFeatures(blob.doc_id, mediaType, blob.data.length.toLong, n,
       blob.data.take(4), feature)
   }
+}
+
+/** Minimal RIFF/WAVE mux/demux for PCM16 mono little-endian — the
+  * HOT-PATH replacement for `javax.sound.sampled.AudioSystem`, which
+  * under Spark's task context classloader re-scans audio service
+  * providers on EVERY call (measured at sf1: 50k encodes run 0.7 s on
+  * plain JDK threads but ~6 s inside Spark tasks, serializing the
+  * whole audio family). The container layout is byte-identical to
+  * AudioSystem's canonical output (44-byte header: RIFF/WAVE, 16-byte
+  * PCM `fmt `, `data`); the reader is a defensive chunk walker like
+  * [[AviMjpeg.readFrames]], so it also accepts WAVs with extra
+  * chunks. Interop both directions (we read what AudioSystem writes,
+  * AudioSystem reads what we write) is pinned in `MultimodalSuite`.
+  */
+object Wav {
+  def writePcm16Mono(pcm: Array[Byte], sampleRate: Int): Array[Byte] = {
+    require(pcm.length % 2 == 0, "PCM16 payload must be even-length")
+    val out = new Array[Byte](44 + pcm.length)
+    def cc(o: Int, s: String): Unit = { val b = s.getBytes("US-ASCII")
+      System.arraycopy(b, 0, out, o, 4) }
+    def u32(o: Int, v: Long): Unit = { out(o) = (v & 0xff).toByte
+      out(o + 1) = ((v >> 8) & 0xff).toByte
+      out(o + 2) = ((v >> 16) & 0xff).toByte
+      out(o + 3) = ((v >> 24) & 0xff).toByte }
+    def u16(o: Int, v: Int): Unit = { out(o) = (v & 0xff).toByte
+      out(o + 1) = ((v >> 8) & 0xff).toByte }
+    cc(0, "RIFF"); u32(4, 36L + pcm.length); cc(8, "WAVE")
+    cc(12, "fmt "); u32(16, 16L)
+    u16(20, 1); u16(22, 1)                      // PCM, mono
+    u32(24, sampleRate.toLong); u32(28, sampleRate.toLong * 2)
+    u16(32, 2); u16(34, 16)                     // block align, bits
+    cc(36, "data"); u32(40, pcm.length.toLong)
+    System.arraycopy(pcm, 0, out, 44, pcm.length)
+    out
+  }
+
+  private def le32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+  /** (sampleRate, pcm payload) of a PCM16 mono LE WAV; throws on any
+    * other format — same contract the AudioSystem path enforced. */
+  def readPcm16Mono(wav: Array[Byte], docId: Long): (Int, Array[Byte]) = {
+    require(wav.length >= 12 && new String(wav, 0, 4, "US-ASCII") == "RIFF"
+        && new String(wav, 8, 4, "US-ASCII") == "WAVE",
+      s"doc $docId: not a RIFF/WAVE container (${wav.length} bytes)")
+    val end = math.min(wav.length.toLong, 8L + le32(wav, 4))
+    var rate = -1; var ok = false
+    var pcm: Array[Byte] = null
+    var p = 12L
+    while (p + 8 <= end) {
+      val id = new String(wav, p.toInt, 4, "US-ASCII")
+      val size = le32(wav, p.toInt + 4)
+      require(p + 8 + size <= end, s"doc $docId: truncated WAV chunk '$id'")
+      if (id == "fmt ") {
+        require(size >= 16, s"doc $docId: short fmt chunk")
+        val o = p.toInt + 8
+        val codec = le16(wav, o); val ch = le16(wav, o + 2)
+        val bits = le16(wav, o + 14)
+        require(codec == 1 && ch == 1 && bits == 16,
+          s"doc $docId: expected mono 16-bit PCM, got codec=$codec ch=$ch bits=$bits")
+        rate = le32(wav, o + 4).toInt
+        ok = true
+      } else if (id == "data") {
+        pcm = java.util.Arrays.copyOfRange(wav, p.toInt + 8, (p + 8 + size).toInt)
+      }
+      p += 8 + size + (size % 2)
+    }
+    require(ok && pcm != null, s"doc $docId: WAV missing fmt/data chunk")
+    (rate, pcm)
+  }
+}
+
+/** One-time JVM tuning for `javax.imageio`: the default ImageIO
+  * read/write path spools every stream through a DISK-cached
+  * `ImageInputStream` (a temp file per image — pure overhead for the
+  * in-memory blobs every codec here decodes). Referenced lazily from
+  * each codec pass so it runs once per executor JVM. */
+object ImageIoTuning extends Serializable {
+  @transient lazy val ensure: Unit = javax.imageio.ImageIO.setUseCache(false)
 }
 
 /** Minimal-but-valid AVI (RIFF) container support for MJPEG video —
@@ -298,6 +375,7 @@ object AviMjpeg {
     * values in `MultimodalSuite`.
     */
   def encodeJpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
+    ImageIoTuning.ensure
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
     val param = writer.getDefaultWriteParam
     param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
@@ -328,6 +406,7 @@ final class AviMjpegCodec(val featureDim: Int = 8) extends MediaCodec {
   override val mediaType: String = "video/x-msvideo"
 
   override def decode(blob: MediaBlob): MediaFeatures = {
+    ImageIoTuning.ensure
     val frames = AviMjpeg.readFrames(blob.data)
     require(frames.nonEmpty, s"doc ${blob.doc_id}: AVI with no frames")
     var w = -1; var h = -1
@@ -364,6 +443,19 @@ final class AviMjpegCodec(val featureDim: Int = 8) extends MediaCodec {
 
 object Multimodal {
 
+  /** Codec passes are CPU-bound but their INPUT is byte-tiny (a
+    * doc_id column of a small parquet file reads as ONE split —
+    * measured at sf1: the whole encode+decode family ran on a single
+    * core of 24, q121 3× slower than its parallel shape). Media work
+    * must parallelize by ROW COUNT, not byte size: an explicit
+    * repartition to the session's shuffle parallelism costs an
+    * 8-byte/row shuffle and buys cluster-wide decode. At 100 TB real
+    * blobs are byte-huge and split naturally; this guard is for the
+    * narrow-input-heavy-CPU shape.
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+
   /** Batched partition pass: decodes `batchSize` blobs at a time with
     * one codec per partition — the exact batch shape a vectorized
     * (Arrow/Pandas-style) UDF would use, so a columnar decoder drops
@@ -385,9 +477,9 @@ object Multimodal {
     */
   def documentBlobs(spark: SparkSession, sfDir: String): Dataset[MediaBlob] = {
     import spark.implicits._
-    graft.Tables.load(spark, sfDir, "documents")
+    spread(graft.Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), lit("text/utf-8").as("media_type"),
-        encode(col("text"), "UTF-8").as("data"))
+        encode(col("text"), "UTF-8").as("data")))
       .as[MediaBlob]
   }
 
@@ -412,9 +504,10 @@ object Multimodal {
     */
   def syntheticPngBlobs(spark: SparkSession, sfDir: String): Dataset[MediaBlob] = {
     import spark.implicits._
-    graft.Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id")).as[Long]
+    spread(graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"))).as[Long]
       .mapPartitions { it =>
+        ImageIoTuning.ensure
         it.map { id =>
           val w = 1 + (id % 16).toInt
           val h = 1 + (id % 8).toInt
@@ -479,15 +572,16 @@ object Multimodal {
     * whose length and sample values derive arithmetically from
     * `doc_id` (sample i = (i·k mod 2048) − 1024, k = 1 + doc_id mod
     * 7 — a sawtooth that exercises every sample position), packaged
-    * into a real RIFF/WAVE container by `javax.sound.sampled` inside
+    * into a real RIFF/WAVE container ([[Wav.writePcm16Mono]] — byte-
+    * identical to AudioSystem's canonical layout) inside
     * the partition pass. Deterministic by construction, so the
     * decoded sample statistics are SQL-recomputable — q108's
     * real-codec-under-an-oracle trick, for audio.
     */
   def syntheticWavBlobs(spark: SparkSession, sfDir: String): Dataset[MediaBlob] = {
     import spark.implicits._
-    graft.Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id")).as[Long]
+    spread(graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"))).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val n = 64 + (id % 128).toInt
@@ -500,13 +594,7 @@ object Multimodal {
             pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
             i += 1
           }
-          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
-          val ais = new javax.sound.sampled.AudioInputStream(
-            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.sound.sampled.AudioSystem.write(ais,
-            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-          MediaBlob(id, "audio/wav", bos.toByteArray)
+          MediaBlob(id, "audio/wav", Wav.writePcm16Mono(pcm, 8000))
         }
       }
   }
@@ -562,6 +650,7 @@ object Multimodal {
   def perceptualHashes(blobs: Dataset[MediaBlob], batchSize: Int = 64): DataFrame = {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions { it =>
+      ImageIoTuning.ensure
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { blob =>
           val img = javax.imageio.ImageIO.read(
@@ -652,6 +741,7 @@ object Multimodal {
     require(num >= 1 && den >= 1, "resize ratio must be positive")
     import blobs.sparkSession.implicits._
     blobs.mapPartitions { it =>
+      ImageIoTuning.ensure
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { blob =>
           val img = javax.imageio.ImageIO.read(
@@ -747,14 +837,7 @@ object Multimodal {
     blobs.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { blob =>
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(blob.data))
-          val fmt = ais.getFormat
-          require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
-              && fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1
-              && !fmt.isBigEndian,
-            s"doc ${blob.doc_id}: expected mono 16-bit little-endian PCM, got $fmt")
-          val pcm = ais.readAllBytes()
+          val (rate, pcm) = Wav.readPcm16Mono(blob.data, blob.doc_id)
           val n = pcm.length / 2
           var sum = 0L; var sumAbs = 0L; var maxAbs = 0L; var n2 = 0
           var i = 0
@@ -767,7 +850,7 @@ object Multimodal {
             n2 += 1
             i += k
           }
-          (blob.doc_id, (fmt.getSampleRate / k).toInt, n2, sum, sumAbs, maxAbs)
+          (blob.doc_id, rate / k, n2, sum, sumAbs, maxAbs)
         }
       }
     }.toDF("doc_id", "sample_rate", "n_samples", "sum_s", "sum_abs", "max_abs")
@@ -820,14 +903,7 @@ object Multimodal {
     blobs.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { blob =>
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(blob.data))
-          val fmt = ais.getFormat
-          require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
-              && fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1
-              && !fmt.isBigEndian,
-            s"doc ${blob.doc_id}: expected mono 16-bit little-endian PCM, got $fmt")
-          val pcm = ais.readAllBytes()
+          val (rate, pcm) = Wav.readPcm16Mono(blob.data, blob.doc_id)
           val n = pcm.length / 2
           def sample(i: Int): Long =
             if (i < 0 || i >= n) 0L
@@ -849,7 +925,7 @@ object Multimodal {
             nOut += 1
             j += 1
           }
-          (blob.doc_id, (fmt.getSampleRate / k).toInt, nOut, sum, sumAbs, maxAbs)
+          (blob.doc_id, rate / k, nOut, sum, sumAbs, maxAbs)
         }
       }
     }.toDF("doc_id", "sample_rate", "n_samples", "sum_s", "sum_abs", "max_abs")
@@ -921,7 +997,7 @@ object Multimodal {
     * separates voiced from unvoiced). All-integer arithmetic on the
     * 16-bit PCM samples, so the oracle replays the q121 sawtooth
     * generator exactly; every value still passes through a real
-    * RIFF/WAVE byte stream and `javax.sound.sampled` decode. Same
+    * RIFF/WAVE byte stream and [[Wav]] decode. Same
     * embarrassingly-parallel partition pass as q121 — one decoder
     * pass per row, no shuffle before the final order.
     */
@@ -931,13 +1007,7 @@ object Multimodal {
     val frame = 32
     blobs.mapPartitions { it =>
       it.map { blob =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(blob.data))
-        val fmt = ais.getFormat
-        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1
-            && !fmt.isBigEndian,
-          s"doc ${blob.doc_id}: expected mono 16-bit little-endian PCM, got $fmt")
-        val pcm = ais.readAllBytes()
+        val (_, pcm) = Wav.readPcm16Mono(blob.data, blob.doc_id)
         val n = pcm.length / 2
         var zc = 0L; var total = 0L; var maxF = 0L; var nFrames = 0
         var cur = 0L; var prevNonNeg = true
@@ -995,8 +1065,8 @@ object Multimodal {
     */
   def syntheticAviBlobs(spark: SparkSession, sfDir: String): Dataset[MediaBlob] = {
     import spark.implicits._
-    graft.Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id")).as[Long]
+    spread(graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"))).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val nf = 1 + (id % 5).toInt

@@ -129,6 +129,38 @@ class MultimodalSuite extends AnyFunSuite {
     assert(f.header.toSeq == wav.take(4).toSeq)
   }
 
+  test("Wav mux/demux interops with javax AudioSystem both directions") {
+    val samples = Seq(-1024, -1, 0, 7, 1023)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    // our writer's bytes are byte-identical to AudioSystem's canonical
+    // output for the same PCM payload
+    val ours = Wav.writePcm16Mono(pcm, 8000)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    assert(ours.toSeq == bos.toByteArray.toSeq,
+      "hand-rolled WAV must match AudioSystem's canonical layout")
+    // AudioSystem decodes our writer's output
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(ours))
+    assert(ais.getFormat.getSampleRate == 8000f)
+    assert(ais.readAllBytes().toSeq == pcm.toSeq)
+    // our reader decodes AudioSystem's output (and rejects garbage)
+    val (rate, back) = Wav.readPcm16Mono(bos.toByteArray, 1L)
+    assert(rate == 8000 && back.toSeq == pcm.toSeq)
+    intercept[IllegalArgumentException] { Wav.readPcm16Mono("nope".getBytes, 2L) }
+    intercept[IllegalArgumentException] {
+      Wav.readPcm16Mono(ours.take(ours.length - 3), 3L) // truncated data chunk
+    }
+  }
+
   test("q121: distributed WAV encode/decode matches the sawtooth arithmetic") {
     val rows = Multimodal.audioDecode(spark, "/root/testdata/sf0.001").collect()
     assert(rows.length == 500)
