@@ -76,9 +76,39 @@ object Tables {
 
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    if (name == "events") loadEvents(spark, sfDir) else
-      spark.read.parquet(path(sfDir, name))
+  /** Row-count keys of the fact tables whose queries run CPU-heavy
+    * pre-shuffle map stages (tokenize / shingle / hash / decode /
+    * JSON-parse). Parquet assigns read tasks by BYTES and can never
+    * split below a row group — at sf1, documents.parquet is 0.84 MB
+    * in ONE row group, so the whole text/media family was running its
+    * expensive map stage on a single core of 24 (measured round 14:
+    * q121 12.3 s → 0.7 s once parallelized). Media/text work must
+    * parallelize by ROW COUNT, not byte size; when one of these
+    * tables arrives with fewer splits than half the session's shuffle
+    * parallelism, [[load]] hash-repartitions it on its key (an
+    * 8-byte/row-ish shuffle). At production scale the tables are
+    * byte-huge, split naturally, and the guard never fires.
+    *
+    * NOT spread: `embeddings` — its family is join/agg-shaped (in-row
+    * argmin against literals, candidate joins), and injecting a
+    * repartition exchange under the IVF pipeline's multiply-referenced
+    * assignment subtree regressed q166 18× at sf1 (measured round 14);
+    * its map stages were never partition-starved enough to matter.
+    */
+  private val spreadKeys =
+    Map("documents" -> "doc_id", "events" -> "event_id")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df =
+      if (name == "events") loadEvents(spark, sfDir)
+      else spark.read.parquet(path(sfDir, name))
+    val target = spark.sessionState.conf.numShufflePartitions
+    spreadKeys.get(name) match {
+      case Some(k) if df.rdd.getNumPartitions < math.max(2, target / 2) =>
+        df.repartition(target, org.apache.spark.sql.functions.col(k))
+      case _ => df
+    }
+  }
 
   /** `events.ts` has shipped with two different parquet logical types
     * across testdata drops: TIMESTAMP(MICROS) (current), which Spark

@@ -443,19 +443,6 @@ final class AviMjpegCodec(val featureDim: Int = 8) extends MediaCodec {
 
 object Multimodal {
 
-  /** Codec passes are CPU-bound but their INPUT is byte-tiny (a
-    * doc_id column of a small parquet file reads as ONE split —
-    * measured at sf1: the whole encode+decode family ran on a single
-    * core of 24, q121 3× slower than its parallel shape). Media work
-    * must parallelize by ROW COUNT, not byte size: an explicit
-    * repartition to the session's shuffle parallelism costs an
-    * 8-byte/row shuffle and buys cluster-wide decode. At 100 TB real
-    * blobs are byte-huge and split naturally; this guard is for the
-    * narrow-input-heavy-CPU shape.
-    */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
-
   /** Batched partition pass: decodes `batchSize` blobs at a time with
     * one codec per partition — the exact batch shape a vectorized
     * (Arrow/Pandas-style) UDF would use, so a columnar decoder drops
@@ -477,9 +464,9 @@ object Multimodal {
     */
   def documentBlobs(spark: SparkSession, sfDir: String): Dataset[MediaBlob] = {
     import spark.implicits._
-    spread(graft.Tables.load(spark, sfDir, "documents")
+    graft.Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), lit("text/utf-8").as("media_type"),
-        encode(col("text"), "UTF-8").as("data")))
+        encode(col("text"), "UTF-8").as("data"))
       .as[MediaBlob]
   }
 
@@ -504,8 +491,8 @@ object Multimodal {
     */
   def syntheticPngBlobs(spark: SparkSession, sfDir: String): Dataset[MediaBlob] = {
     import spark.implicits._
-    spread(graft.Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id"))).as[Long]
+    graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         ImageIoTuning.ensure
         it.map { id =>
@@ -580,8 +567,8 @@ object Multimodal {
     */
   def syntheticWavBlobs(spark: SparkSession, sfDir: String): Dataset[MediaBlob] = {
     import spark.implicits._
-    spread(graft.Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id"))).as[Long]
+    graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val n = 64 + (id % 128).toInt
@@ -1065,8 +1052,8 @@ object Multimodal {
     */
   def syntheticAviBlobs(spark: SparkSession, sfDir: String): Dataset[MediaBlob] = {
     import spark.implicits._
-    spread(graft.Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id"))).as[Long]
+    graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val nf = 1 + (id % 5).toInt
