@@ -89,14 +89,18 @@ object Tables {
     * 8-byte/row-ish shuffle). At production scale the tables are
     * byte-huge, split naturally, and the guard never fires.
     *
-    * NOT spread: `embeddings` — its family is join/agg-shaped (in-row
-    * argmin against literals, candidate joins), and injecting a
-    * repartition exchange under the IVF pipeline's multiply-referenced
-    * assignment subtree regressed q166 18× at sf1 (measured round 14);
-    * its map stages were never partition-starved enough to matter.
+    * `embeddings` spreads too (round 15): round 14 had excluded it
+    * because the repartition exchange under the IVF pipeline's
+    * multiply-referenced assignment subtree regressed q166 18× at sf1
+    * — fixed at the consumer instead of pinning the input layout: the
+    * k-means training input and the IVF assignment table are now
+    * pinned once (`KMeans.train` / `VectorSearch.ivfSearch`
+    * localCheckpoint their bounded intermediates), so an upstream
+    * exchange is evaluated once per pipeline, not once per job.
     */
   private val spreadKeys =
-    Map("documents" -> "doc_id", "events" -> "event_id")
+    Map("documents" -> "doc_id", "events" -> "event_id",
+      "embeddings" -> "vec_id")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df =
@@ -104,6 +108,9 @@ object Tables {
       else spark.read.parquet(path(sfDir, name))
     val target = spark.sessionState.conf.numShufflePartitions
     spreadKeys.get(name) match {
+      // the getNumPartitions probe (a plan-to-RDD conversion: file
+      // listing + split planning) runs only for spread-keyed tables —
+      // non-keyed loads never pay it
       case Some(k) if df.rdd.getNumPartitions < math.max(2, target / 2) =>
         df.repartition(target, org.apache.spark.sql.functions.col(k))
       case _ => df

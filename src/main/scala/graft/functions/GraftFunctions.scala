@@ -44,6 +44,12 @@ object GraftFunctions {
       children(2).eval().asInstanceOf[Int])),
     "freq_candidates" -> (children => FreqItemsAgg(children(0),
       children(1).eval().asInstanceOf[Int]).toAggregateExpression()),
+    "qdigest_sketch" -> (children => QDigestSketchAgg(children(0),
+      children(1).eval().asInstanceOf[Int],
+      children(2).eval().asInstanceOf[Int]).toAggregateExpression()),
+    "qdigest_merge" -> (children => QDigestMergeAgg(children(0),
+      children(1).eval().asInstanceOf[Int],
+      children(2).eval().asInstanceOf[Int]).toAggregateExpression()),
     "cdc_chunk_hashes" -> (children => CdcChunkHashes(children(0),
       children(1).eval().asInstanceOf[Int], children(2).eval().asInstanceOf[Int])),
     "multi_needle_count" -> (children => MultiNeedleCount(children(0), children(1))),

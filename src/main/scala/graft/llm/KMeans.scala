@@ -65,7 +65,13 @@ object KMeans {
             k: Int = 8, passes: Int = 2): Seq[(Int, Array[Long])] = {
     require(k >= 1 && passes >= 1, "k and passes must be >= 1")
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    // pinned: the seed collect plus every Lloyd round re-scans this,
+    // and the input may carry an upstream exchange (Tables.load spreads
+    // byte-small embedding files) — evaluate it once, like MLlib's
+    // handlePersistence. Bounded: (id, quantized vec) rows, reclaimed
+    // by the ContextCleaner when training returns.
     val sv = df.select(col(idCol), quantize(col(vecCol)).as("sv"))
+      .localCheckpoint()
 
     // deterministic seed: the k smallest ids' vectors, cid = rank.
     // k rows to the driver — the codebook collect, not a data collect.
@@ -164,6 +170,17 @@ object KMeans {
       val d2 = sv.select(col(idCol), col("sv"),
         assignExpr(col("sv"), cents).getField("d2").as("d2"))
       val phi = d2.agg(sum(col("d2").cast(dec))).head().getDecimal(0)
+      // Loud guard on the scaladoc'd φ bound: past it, Spark's
+      // non-ANSI DECIMAL(38,0) multiply in the Bernoulli filter NULLs
+      // silently (rows silently unselected) while the oracle's HUGEINT
+      // errors — fail here instead of silently diverging. draw < 2²⁰,
+      // so draw·φ stays exact while φ < 10³⁸/2²⁰ ≈ 9.5·10³¹; the
+      // require uses 10³¹ for an order-of-magnitude headroom.
+      require(phi == null ||
+        phi.compareTo(new java.math.BigDecimal("1e31")) < 0,
+        s"k-means|| oversampling potential phi=$phi exceeds the exact " +
+          "DECIMAL(38,0) draw bound (1e31); quantize coarser or " +
+          "subsample the corpus before trainParallelInit")
       if (phi != null && phi.signum > 0) {
         // poly_hash alone is NOT a usable draw: the base-31
         // polynomial's low 20 bits are badly non-uniform on short

@@ -116,6 +116,39 @@ object QualityClassifier {
     w
   }
 
+  /** Train-once / evaluate-many: the frozen-model store. Returns the
+    * committed weight table at `store` if one exists; otherwise
+    * featurizes `docs`, trains, publishes the (B+2)-row table to
+    * `store` (parquet commit — the `_SUCCESS` marker is the
+    * completed-build signal, the q171/q198 store discipline), and
+    * returns the published copy. Training is exact deterministic
+    * arithmetic, so a rebuild by any session writes byte-identical
+    * weights — evaluation queries reading the store score against the
+    * SAME model the training query published, which is what makes the
+    * family's shared oracle (which replays training once) valid for
+    * all of them.
+    *
+    * Scale shape: this is the production classifier lifecycle — the
+    * expensive train pass runs once; every evaluation
+    * (calibration, threshold sweep, AUC, conformal coverage) and every
+    * scoring batch reads 66 frozen rows and pays only its own
+    * featurize-and-score scan. */
+  def loadOrTrainWeights(docs: DataFrame, idCol: String, textCol: String,
+                         labels: DataFrame, cfg: Config,
+                         store: String): DataFrame = {
+    val spark = docs.sparkSession
+    val success = new org.apache.hadoop.fs.Path(s"$store/_SUCCESS")
+    val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(success)) {
+      val feats = featurize(docs, idCol, textCol, cfg)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val w = train(feats, labels, cfg) // eagerly checkpointed per round
+      feats.unpersist(blocking = false)
+      w.coalesce(1).write.mode("overwrite").parquet(store)
+    }
+    spark.read.parquet(store)
+  }
+
   /** Per-doc quality score σ₉(Σ_b x·w) ∈ [0, 1] under a trained
     * weight table — one broadcast join + one per-doc reduce over the
     * pool, the cheap full-corpus pass of the production filter. */

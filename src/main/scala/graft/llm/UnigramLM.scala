@@ -42,7 +42,18 @@ import org.apache.spark.sql.functions._
   * bounds the oracle's DP unroll; SentencePiece similarly caps
   * sentence and piece lengths). Truncation happens BEFORE the
   * distinct, so two words sharing a 12-codepoint prefix train and
-  * encode as one.
+  * encode as one. Real-corpus consequence: at the default 12,
+  * morphologically rich or compounding languages (German, Finnish,
+  * Turkish agglutination) segment on a truncated prefix — long
+  * compounds lose their tails from BOTH the training statistics and
+  * the encode path, biasing piece probabilities toward word-initial
+  * morphemes and under-counting fertility for exactly the words
+  * subword tokenizers exist to handle. Production training should
+  * raise `maxWordLen` to cover the corpus's long tail (SentencePiece
+  * defaults its analogous sentence cap orders of magnitude higher);
+  * the cost is linear in the cap for the Spark side (one Viterbi
+  * lattice row per codepoint) but combinatorial for the declared
+  * oracle's unrolled DP, which is why the DECLARED queries keep 12.
   */
 object UnigramLM {
 

@@ -216,6 +216,11 @@ object Wav {
         rate = le32(wav, o + 4).toInt
         ok = true
       } else if (id == "data") {
+        // a second 'data' chunk is a malformed container, not an
+        // extra-chunk variant the defensive walker should tolerate —
+        // reject loudly (AudioSystem, the path this replaced, errors
+        // on that shape too, so interop behavior is preserved)
+        require(pcm == null, s"doc $docId: WAV with multiple data chunks")
         pcm = java.util.Arrays.copyOfRange(wav, p.toInt + 8, (p + 8 + size).toInt)
       }
       p += 8 + size + (size % 2)

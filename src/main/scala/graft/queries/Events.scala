@@ -1663,6 +1663,275 @@ object Events {
       |GROUP BY t.event_type, th.x_k1
       |ORDER BY t.event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q226
+  /** Mergeable QUANTILE sketch — the missing third monitoring sketch
+    * beside HLL (distinct, q78/q99) and Count-Min (frequency,
+    * q194/q198): a q-digest ([[graft.operators.QDigest]]; Shrivastava
+    * et al. SenSys 2004, mergeability per Agarwal et al. PODS 2012)
+    * over `events.value`, built the mergeable way — one digest per
+    * (event_type, day) via the [[graft.functions.QDigestSketchAgg]]
+    * typed aggregate, merged per type by
+    * [[graft.functions.QDigestMergeAgg]] (node-wise addition + ONE
+    * recompression, the paper's merge). Values quantize to a 2^12
+    * dyadic universe (bucket = ⌊value·8⌋ clamped — [0, 512) in value
+    * space); k = 256 gives the paper's rank envelope
+    * ε·n = levels·⌊n/k⌋ ≈ 4.7%·n.
+    *
+    * Output per type: digest size, p50/p90/p99 estimates with their
+    * exact counterparts (computed on the same bucket lattice) and
+    * deterministic envelope booleans — est's exact rank must reach the
+    * target (guaranteed by the in-order walk: every counted node ends
+    * at or below est) and overshoot it by at most 2·levels·⌊n/k⌋ (2×
+    * the paper's bound: merged digests can carry up to double mass per
+    * node before recompression re-checks them). The oracle replays the
+    * ENTIRE two-stage path — per-day build+compress, node-sum, final
+    * recompress — as programmatically generated CTE chains (the q222
+    * materialized-round discipline), because q-digest merge is NOT
+    * linear and a one-shot oracle would not be a valid check.
+    *
+    * Scale shape: the sketch pass is one partial-aggregated shuffle
+    * (buffers are leaf histograms bounded by the 4096-bucket universe,
+    * never the corpus); the merge shuffles ≤ 3k nodes per day; serve
+    * windows run over digest nodes. The exact sides exist only because
+    * the evaluation reports estimate vs truth — production serves from
+    * the digest alone and never rescans.
+    */
+  private val qdLevels = 12
+  private val qdK = 256
+  private val qdPcts = Seq(50, 90, 99)
+
+  /** ⌊value·8⌋ clamped to the [0, 4096) bucket universe — [0, 512) in
+    * value space covers events.value's [0.01, ~490] range. */
+  private def qdBucket(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    least(lit(4095L), greatest(lit(0L), floor(v * 8).cast("long")))
+
+  /** q226/q227's shared report tail: per event_type, digest size and
+    * p50/p90/p99 estimate-vs-exact with envelope booleans. `e` carries
+    * (event_type, b); `digests` carries (event_type, nodes). */
+  private def qdReport(e: DataFrame, digests: DataFrame): DataFrame = {
+    import graft.operators.QDigest
+    val est = QDigest.quantiles(digests, Seq("event_type"), "nodes", qdPcts)
+    val bc = e.groupBy(col("event_type"), col("b")).agg(count(lit(1)).as("c"))
+    // per-type window over ≤ 4096 bucket rows — bounded by the
+    // universe, not the corpus (the digest-read exception)
+    val wb = Window.partitionBy(col("event_type")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val bcum = bc.withColumn("cum", sum(col("c")).over(wb))
+    val exact = est.select(col("event_type"), col("pct"), col("tgt"))
+      .join(bcum, Seq("event_type"))
+      .where(col("cum") >= col("tgt"))
+      .groupBy(col("event_type"), col("pct"))
+      .agg(min(col("b")).as("ex_b"))
+    val ranks = est.select(col("event_type"), col("pct"), col("est_b"))
+      .join(bc, Seq("event_type"))
+      .groupBy(col("event_type"), col("pct"))
+      .agg(sum(when(col("b") < col("est_b"), col("c")).otherwise(0L)).as("r_lo"),
+        sum(when(col("b") <= col("est_b"), col("c")).otherwise(0L)).as("r_hi"))
+    def pc(p: Int, c: org.apache.spark.sql.Column) = max(when(col("pct") === p, c))
+    est.join(exact, Seq("event_type", "pct"))
+      .join(ranks, Seq("event_type", "pct"))
+      .withColumn("within", col("r_hi") >= col("tgt") &&
+        col("r_lo") <= col("tgt") +
+          lit(2L * qdLevels) * greatest(lit(1L), expr(s"n div $qdK")))
+      .groupBy(col("event_type"), col("n"), col("n_nodes"))
+      .agg(
+        pc(50, col("est_b").cast("double") / 8).as("p50_est"),
+        pc(50, col("ex_b").cast("double") / 8).as("p50_exact"),
+        pc(50, col("within")).as("w50"),
+        pc(90, col("est_b").cast("double") / 8).as("p90_est"),
+        pc(90, col("ex_b").cast("double") / 8).as("p90_exact"),
+        pc(90, col("within")).as("w90"),
+        pc(99, col("est_b").cast("double") / 8).as("p99_est"),
+        pc(99, col("ex_b").cast("double") / 8).as("p99_exact"),
+        pc(99, col("within")).as("w99"))
+      .select(col("event_type"), col("n"), col("n_nodes"),
+        col("p50_est"), col("p50_exact"), col("w50"),
+        col("p90_est"), col("p90_exact"), col("w90"),
+        col("p99_est"), col("p99_exact"), col("w99"))
+      .orderBy(col("event_type"))
+  }
+
+  def q226(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val e = ev(spark, sfDir).select(col("event_type"),
+      to_date(col("ts")).as("day"), qdBucket(col("value")).as("b"))
+    val daily = e.groupBy(col("event_type"), col("day"))
+      .agg(expr(s"qdigest_sketch(b, $qdLevels, $qdK)").as("nodes"))
+    val merged = daily.groupBy(col("event_type"))
+      .agg(expr(s"qdigest_merge(nodes, $qdLevels, $qdK)").as("nodes"))
+    qdReport(e.select(col("event_type"), col("b")), merged)
+  }
+
+  /** One q-digest compression chain as unrolled CTEs: takes `{p}s0`
+    * (keys*, lvl, idx, cnt) and `tTbl` (keys*, t), emits `{p}s1` …
+    * `{p}s{levels}` replaying [[graft.functions.QDigestBuf.finish]]'s
+    * per-level rule exactly. */
+  private def qdCompressSql(p: String, keys: Seq[String], tTbl: String): String = {
+    val kl = keys.mkString(", ")
+    (0 until qdLevels).map { l =>
+      val cq = keys.map(k => s"c.$k = q.$k").mkString(" AND ")
+      val nd = keys.map(k => s"n.$k = d.$k").mkString(" AND ")
+      val tn = keys.map(k => s"t.$k = n.$k").mkString(" AND ")
+      val td = keys.map(k => s"t.$k = d.$k").mkString(" AND ")
+      val coal = keys.map(k => s"COALESCE(c.$k, q.$k) AS $k").mkString(", ")
+      val nk = keys.map(k => s"n.$k").mkString(", ")
+      val dk = keys.map(k => s"d.$k").mkString(", ")
+      s"""${p}ch$l AS MATERIALIZED (
+         |  SELECT $kl, idx // 2 AS p, SUM(cnt) AS csum
+         |  FROM ${p}s$l WHERE lvl = $l GROUP BY $kl, idx // 2),
+         |${p}pr$l AS MATERIALIZED (
+         |  SELECT $kl, idx AS p, cnt AS pcnt FROM ${p}s$l WHERE lvl = ${l + 1}),
+         |${p}de$l AS MATERIALIZED (
+         |  SELECT $coal, COALESCE(c.p, q.p) AS p,
+         |    COALESCE(c.csum, 0) AS csum, COALESCE(q.pcnt, 0) AS pcnt
+         |  FROM ${p}ch$l c FULL JOIN ${p}pr$l q ON $cq AND c.p = q.p),
+         |${p}s${l + 1} AS MATERIALIZED (
+         |  SELECT $kl, lvl, idx, cnt FROM ${p}s$l WHERE lvl <> $l AND lvl <> ${l + 1}
+         |  UNION ALL
+         |  SELECT $nk, n.lvl, n.idx, n.cnt
+         |  FROM ${p}s$l n
+         |    JOIN ${p}de$l d ON $nd AND n.idx // 2 = d.p
+         |    JOIN $tTbl t ON $tn
+         |  WHERE n.lvl = $l AND d.csum + d.pcnt > t.t
+         |  UNION ALL
+         |  SELECT $dk, ${l + 1} AS lvl, d.p AS idx,
+         |    CASE WHEN d.csum + d.pcnt <= t.t THEN d.csum + d.pcnt ELSE d.pcnt END AS cnt
+         |  FROM ${p}de$l d JOIN $tTbl t ON $td
+         |  WHERE CASE WHEN d.csum + d.pcnt <= t.t THEN d.csum + d.pcnt ELSE d.pcnt END > 0)""".stripMargin
+    }.mkString(",\n")
+  }
+
+  /** The serve tail shared by both oracles: quantiles from `ms12`
+    * (g, lvl, idx, cnt) + exact/envelope sides from `qe` (g, b),
+    * using `mn` (g, n). */
+  private val qdServeSql: String =
+    s"""nodes AS (
+       |  SELECT g, cnt, idx * (1 << lvl) AS lo, (idx + 1) * (1 << lvl) - 1 AS hi
+       |  FROM ms$qdLevels),
+       |cum AS (
+       |  SELECT g, hi, lo, cnt, SUM(cnt) OVER (PARTITION BY g ORDER BY hi ASC, lo DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM nodes),
+       |nn AS (SELECT g, CAST(COUNT(*) AS INT) AS n_nodes FROM ms$qdLevels GROUP BY g),
+       |tg AS MATERIALIZED (
+       |  SELECT g, n, pct, (n * pct + 99) // 100 AS tgt
+       |  FROM mn CROSS JOIN (VALUES (50), (90), (99)) pcts(pct)),
+       |est AS MATERIALIZED (
+       |  SELECT t.g, t.pct, t.tgt, t.n, MIN(c.hi) AS est_b
+       |  FROM tg t JOIN cum c ON c.g = t.g AND c.cum >= t.tgt
+       |  GROUP BY t.g, t.pct, t.tgt, t.n),
+       |bc AS MATERIALIZED (SELECT g, b, COUNT(*) AS c FROM qe GROUP BY g, b),
+       |bcum AS (
+       |  SELECT g, b, SUM(c) OVER (PARTITION BY g ORDER BY b
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM bc),
+       |ex AS (
+       |  SELECT t.g, t.pct, MIN(b.b) AS ex_b
+       |  FROM tg t JOIN bcum b ON b.g = t.g AND b.cum >= t.tgt
+       |  GROUP BY t.g, t.pct),
+       |rk AS (
+       |  SELECT e.g, e.pct,
+       |    COALESCE(SUM(CASE WHEN bc.b < e.est_b THEN bc.c ELSE 0 END), 0) AS r_lo,
+       |    COALESCE(SUM(CASE WHEN bc.b <= e.est_b THEN bc.c ELSE 0 END), 0) AS r_hi
+       |  FROM est e JOIN bc ON bc.g = e.g GROUP BY e.g, e.pct),
+       |fin AS (
+       |  SELECT e.g, e.n, e.pct, e.est_b, x.ex_b,
+       |    (r.r_hi >= e.tgt AND
+       |     r.r_lo <= e.tgt + 2 * $qdLevels * GREATEST(1, e.n // $qdK)) AS within
+       |  FROM est e JOIN ex x ON x.g = e.g AND x.pct = e.pct
+       |    JOIN rk r ON r.g = e.g AND r.pct = e.pct)
+       |SELECT f.g AS event_type, f.n AS n, nn.n_nodes,
+       |  MAX(CASE WHEN pct = 50 THEN CAST(est_b AS DOUBLE) / 8 END) AS p50_est,
+       |  MAX(CASE WHEN pct = 50 THEN CAST(ex_b AS DOUBLE) / 8 END) AS p50_exact,
+       |  MAX(CASE WHEN pct = 50 THEN within END) AS w50,
+       |  MAX(CASE WHEN pct = 90 THEN CAST(est_b AS DOUBLE) / 8 END) AS p90_est,
+       |  MAX(CASE WHEN pct = 90 THEN CAST(ex_b AS DOUBLE) / 8 END) AS p90_exact,
+       |  MAX(CASE WHEN pct = 90 THEN within END) AS w90,
+       |  MAX(CASE WHEN pct = 99 THEN CAST(est_b AS DOUBLE) / 8 END) AS p99_est,
+       |  MAX(CASE WHEN pct = 99 THEN CAST(ex_b AS DOUBLE) / 8 END) AS p99_exact,
+       |  MAX(CASE WHEN pct = 99 THEN within END) AS w99
+       |FROM fin f JOIN nn ON nn.g = f.g
+       |GROUP BY f.g, f.n, nn.n_nodes
+       |ORDER BY event_type""".stripMargin
+
+  val q226Sql: String =
+    s"""WITH qe AS MATERIALIZED (
+       |  SELECT event_type AS g, CAST(ts AS DATE) AS day,
+       |    LEAST(4095, GREATEST(0, CAST(floor(value * 8) AS BIGINT))) AS b
+       |  FROM events),
+       |dn AS MATERIALIZED (SELECT g, day, CAST(COUNT(*) AS BIGINT) AS n FROM qe GROUP BY g, day),
+       |dt AS MATERIALIZED (SELECT g, day, n // $qdK AS t FROM dn),
+       |ds0 AS MATERIALIZED (SELECT g, day, 0 AS lvl, b AS idx, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM qe GROUP BY g, day, b),
+       |${qdCompressSql("d", Seq("g", "day"), "dt")},
+       |ms0 AS MATERIALIZED (SELECT g, lvl, idx, CAST(SUM(cnt) AS BIGINT) AS cnt
+       |  FROM ds$qdLevels GROUP BY g, lvl, idx),
+       |mn AS MATERIALIZED (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n FROM ms0 GROUP BY g),
+       |mt AS MATERIALIZED (SELECT g, n // $qdK AS t FROM mn),
+       |${qdCompressSql("m", Seq("g"), "mt")},
+       |$qdServeSql""".stripMargin
+
+  // ---------------------------------------------------------------- q227
+  /** STREAMING q-digest store maintenance — the q198 lifecycle applied
+    * to the quantile sketch, on the LINEAR tier (see
+    * [[graft.operators.QDigest]]'s two-tier scaladoc): events arrive
+    * as two mtime-ordered micro-batches; each `foreachBatch` persists
+    * ONLY its own per-type LEAF HISTOGRAM (bounded by the 4096-bucket
+    * universe, batchId-idempotent, replay-safe across compaction via
+    * the high-water mark); history is never read during absorption.
+    * After the drain, compaction merges partials by plain addition
+    * (write-then-swap) and serving compresses the merged histogram
+    * once ([[graft.operators.QDigest.digestOfHist]]) before the same
+    * quantile report as q226. The oracle is the ONE-SHOT build (leaf
+    * histogram → single compression): unlike q226's compressed-partial
+    * path, linear partials make the batch split provably invisible —
+    * the convergence pin that justifies the tier.
+    */
+  def q227(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.QDigest
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val e = ev(spark, sfDir).select(col("event_id"), col("event_type"),
+      qdBucket(col("value")).as("b"))
+    val base = graft.Tables.scratchDir(spark, "qdstream", sfDir)
+    val stager = graft.streaming.FileStager(spark, base)
+    val srcDir = stager.srcDir
+    val now = System.currentTimeMillis()
+    stager.stage(e.where(pmod(col("event_id"), lit(2)) === 0), "batch1", now - 60000)
+    stager.stage(e.where(pmod(col("event_id"), lit(2)) === 1), "batch2", now - 30000)
+    val store = s"$base/store"
+    val schema = StructType(Seq(
+      StructField("event_id", LongType, nullable = false),
+      StructField("event_type", StringType, nullable = false),
+      StructField("b", LongType, nullable = false)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        QDigest.appendBatchHist(batch, "b", Seq("event_type"), store,
+          batchId = Some(bid))
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    QDigest.compactHistStore(spark, store, Seq("event_type"))
+    val digests = QDigest.digestOfHist(
+      QDigest.readMergedHist(spark, store, Seq("event_type")),
+      Seq("event_type"), qdLevels, qdK)
+    qdReport(e.select(col("event_type"), col("b")), digests)
+  }
+
+  val q227Sql: String =
+    s"""WITH qe AS MATERIALIZED (
+       |  SELECT event_type AS g,
+       |    LEAST(4095, GREATEST(0, CAST(floor(value * 8) AS BIGINT))) AS b
+       |  FROM events),
+       |ms0 AS MATERIALIZED (SELECT g, 0 AS lvl, b AS idx, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM qe GROUP BY g, b),
+       |mn AS MATERIALIZED (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n FROM ms0 GROUP BY g),
+       |mt AS MATERIALIZED (SELECT g, n // $qdK AS t FROM mn),
+       |${qdCompressSql("m", Seq("g"), "mt")},
+       |$qdServeSql""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q23_events_json_stats", q23 _, Some(q23Sql)),
     ("q24_events_daily_window", q24 _, Some(q24Sql)),
@@ -1697,6 +1966,8 @@ object Events {
     ("q202_sequential_patterns", q202 _, Some(q202Sql)),
     ("q214_ks_drift", q214 _, Some(q214Sql)),
     ("q217_sprt_monitor", q217 _, Some(q217Sql)),
-    ("q219_hill_tail_index", q219 _, Some(q219Sql))
+    ("q219_hill_tail_index", q219 _, Some(q219Sql)),
+    ("q226_qdigest_quantiles", q226 _, Some(q226Sql)),
+    ("q227_stream_qdigest_maintain", q227 _, Some(q227Sql))
   )
 }

@@ -1071,6 +1071,11 @@ object Similarity {
     */
   def q166(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir)
+    // NOT checkpointed: ivfSearch persists its normed input once, so
+    // the assignment pass (and any upstream load exchange) is already
+    // evaluated exactly once — and a localCheckpoint here would erase
+    // the size statistics downstream broadcast decisions need (the
+    // round-15 18×-regression lesson; see ivfSearch's scaladoc)
     val cid = graft.llm.KMeans
       .assign(e, "vec_id", "embedding", k = 8, passes = 2)
       .select(col("vec_id"), col("cid"))
@@ -1105,6 +1110,8 @@ object Similarity {
   def q205(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir)
     val k = math.max(8, math.floor(math.sqrt(e.count().toDouble)).toInt)
+    // not checkpointed — same reasoning as q166 (ivfSearch persists
+    // its input once; a checkpoint here would erase join statistics)
     val cid = graft.llm.KMeans
       .assign(e, "vec_id", "embedding", k = k, passes = 2)
       .select(col("vec_id"), col("cid"))

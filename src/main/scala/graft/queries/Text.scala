@@ -2001,25 +2001,40 @@ object Text {
     * unrolled CTE rounds (the q82/q112 precedent) — per-doc scores
     * hash-checked implies every intermediate weight table matched.
     */
-  /** Shared train-and-score pass behind q203/q207/q208: the q203
-    * configuration trained on the corpus and every doc scored —
-    * (doc_id, label int, score double), eagerly pinned so each
-    * consumer aggregates a 1-scan-deep plan. */
-  private def classifierScored(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.llm.QualityClassifier
-    val cfg = QualityClassifier.Config(buckets = 64, eta = 5.0, rounds = 4)
+  /** Shared scoring pass behind the classifier family (q203/q207/q208/
+    * q209/q220): every doc scored under the q203-configuration model
+    * READ FROM THE FROZEN MODEL STORE
+    * ([[graft.llm.QualityClassifier.loadOrTrainWeights]]) —
+    * train-once/evaluate-many: the first family member a session runs
+    * trains and publishes the 66-row weight table; every later one
+    * (and q206's streaming scorer) reads it and pays only its own
+    * featurize-and-score scan. Training is deterministic, so results
+    * — and the shared oracle, which replays training inline — are
+    * identical whichever query built the store. Output: (doc_id,
+    * label int, score double), eagerly pinned so each consumer
+    * aggregates a 1-scan-deep plan. */
+  private[queries] val qcCfg =
+    graft.llm.QualityClassifier.Config(buckets = 64, eta = 5.0, rounds = 4)
+
+  private[queries] def classifierWeights(spark: SparkSession,
+                                         sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
     val labels = d.select(col("doc_id").as("id"),
       when(col("n_chars") >= 300, 1).otherwise(0).as("y"))
-    val feats = QualityClassifier.featurize(d, "doc_id", "text", cfg)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val w = QualityClassifier.train(feats, labels, cfg)
-    val out = QualityClassifier.score(feats, w)
+    graft.llm.QualityClassifier.loadOrTrainWeights(d, "doc_id", "text",
+      labels, qcCfg, graft.Tables.scratchDir(spark, "qcmodel", sfDir))
+  }
+
+  private def classifierScored(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.llm.QualityClassifier
+    val d = docs(spark, sfDir)
+    val labels = d.select(col("doc_id").as("id"),
+      when(col("n_chars") >= 300, 1).otherwise(0).as("y"))
+    val w = classifierWeights(spark, sfDir)
+    QualityClassifier.score(QualityClassifier.featurize(d, "doc_id", "text", qcCfg), w)
       .join(labels, "id")
       .select(col("id").as("doc_id"), col("y").as("label"), col("score"))
       .localCheckpoint(true)
-    feats.unpersist(blocking = false)
-    out
   }
 
   def q203(spark: SparkSession, sfDir: String): DataFrame =
@@ -2142,14 +2157,12 @@ object Text {
   def q206(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.llm.QualityClassifier
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-    val cfg = QualityClassifier.Config(buckets = 64, eta = 5.0, rounds = 4)
+    val cfg = qcCfg
     val d = docs(spark, sfDir)
-    val labels = d.select(col("doc_id").as("id"),
-      when(col("n_chars") >= 300, 1).otherwise(0).as("y"))
-    val feats = QualityClassifier.featurize(d, "doc_id", "text", cfg)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val w = QualityClassifier.train(feats, labels, cfg)
-    feats.unpersist(blocking = false)
+    // frozen-model store (shared with the whole classifier family):
+    // the streaming scorer reads the same published weights the batch
+    // evaluations read — the train-once/evaluate-many lifecycle
+    val w = classifierWeights(spark, sfDir)
     val base = graft.Tables.scratchDir(spark, "qcstream", sfDir)
     val stager = graft.streaming.FileStager(spark, base)
     val now = System.currentTimeMillis()

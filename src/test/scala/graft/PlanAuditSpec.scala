@@ -103,15 +103,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
-  test("q57's codebook join is a broadcast, not a shuffle") {
-    // IVF assignment fans every vector out against the tiny codebook;
-    // if the centroid table ever stops broadcasting, assignment turns
-    // into a full shuffle of the exploded corpus — the exact failure
-    // mode that matters at 100 TB
-    val plan = SparkEntry.queries("q57_ivf_search")(spark, sfDir)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"),
-      "expected the codebook (centroid) join to broadcast")
+  test("ivfSearch: salted shuffle-hash expansion, no SMJ re-sort of the pair stream") {
+    // The round-15 regression class: ivfSearch's public form eagerly
+    // checkpoints its result, so audit the LAZY pipeline directly.
+    // Assertions pin the scale-critical shape: (a) the expansion join
+    // stays a ShuffledHashJoin on the salted key (the explicit
+    // repartition + hint — with a handful of coarse lists the bare key
+    // has fewer distinct values than the session has cores); (b) no
+    // SortMergeJoin anywhere — an SMJ here means plan statistics were
+    // lost (the localCheckpoint-erases-stats trap: every broadcast
+    // flipped to SMJ and re-sorted the N²/nlist pair stream, measured
+    // 14 s → 430 s at sf1); (c) no cartesian. The former "codebook
+    // join broadcasts" assert is obsolete: since round 14 the centroid
+    // codebook enters as fold-in literals, not a join.
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val (plan, caches) = graft.llm.VectorSearch
+      .ivfSearchPlan(e, "vec_id", "embedding", "label", k = 3, nprobe = 2)
+    val p = plan.queryExecution.executedPlan.toString
+    caches.foreach(_.unpersist(blocking = false))
+    assert(p.contains("ShuffledHashJoin"),
+      "expected the salted expansion join to be a ShuffledHashJoin")
+    assert(!p.contains("SortMergeJoin"),
+      "SMJ in the IVF pipeline means join statistics were lost")
+    assert(!p.contains("CartesianProduct"))
   }
 
   test("q117: the partition filter prunes at the scan, not post-read") {

@@ -238,8 +238,8 @@ class MultimodalSuite extends AnyFunSuite {
   }
 
   test("AviMjpegCodec: decodes real MJPEG-in-AVI bytes to exact frame stats") {
-    // 2 frames of 32x16 gray video: frame 0 solid 100, frame 1 two
-    // 16px bands — wait, h=16 is one band; use h=32 for two bands
+    // 2 frames of 32x32 gray video, each split into two 16px bands:
+    // frame 0 bands 100/30, frame 1 bands 255/0
     val w = 32; val h = 32
     def frame(vTop: Int, vBot: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(
