@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytics, Capstone, CatalogQuery, Dedup, Events, Relational, Similarity, Skyline, Streaming, Text}
+import graft.queries.{Analytics, Capstone, CatalogQuery, Dedup, Events, Relational, Similarity, Skyline, Streaming, Text, TextClassifierEval, TextRetrieval, TextTokenizers}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,8 @@ object SparkEntry {
 
   private def registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Relational.registry ++ Events.registry ++ Dedup.registry ++
-      Similarity.registry ++ Text.registry ++ Streaming.registry ++
+      Similarity.registry ++ Text.registry ++ TextRetrieval.registry ++
+      TextTokenizers.registry ++ TextClassifierEval.registry ++ Streaming.registry ++
       graft.multimodal.Multimodal.registry ++ Skyline.registry ++
       CatalogQuery.registry ++ Analytics.registry ++ Capstone.registry
 

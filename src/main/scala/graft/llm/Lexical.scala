@@ -138,7 +138,7 @@ object Lexical {
     * in exact DECIMAL.
     *
     * `mu` is a real parameter of this operator, but the DECLARED
-    * oracle (`Text.q218Sql`) hardcodes μ = 2000 — the q218 call must
+    * oracle (`TextRetrieval.q218Sql`) hardcodes μ = 2000 — the q218 call must
     * not drift from the default or parity breaks silently.
     *
     * Scale shape: identical to BM25's — one tokenize pass partially

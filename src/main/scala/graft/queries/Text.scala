@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
-  private def docs(spark: SparkSession, sfDir: String): DataFrame = {
+  private[queries] def docs(spark: SparkSession, sfDir: String): DataFrame = {
     GraftFunctions.ensureRegistered(spark)
     Tables.load(spark, sfDir, "documents")
   }
@@ -25,7 +25,7 @@ object Text {
   /** BPE-ish regex: letter runs, digit runs, single other non-space —
     * same dialect-neutral pattern in Java regex and RE2.
     */
-  private val BpePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+  private[queries] val BpePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
 
   private val stop: Map[String, Seq[String]] = Map(
     "de" -> Seq("der", "die", "das", "und", "ist"),
@@ -341,31 +341,6 @@ object Text {
       |FROM toks JOIN vocab USING (tok)
       |ORDER BY doc_id, pos""".stripMargin
 
-  // ---------------------------------------------------------------- q66
-  /** Lexical tf·idf retrieval ([[graft.llm.Lexical]]): top-20 docs for
-    * a 3-term query with exact rational idf (`(N·1e6) div df` — the
-    * documented log-free form; see the operator scaladoc). Posting
-    * build is a pushed-down IN filter; df and N broadcast; top-k is a
-    * TakeOrdered, not a global sort.
-    */
-  def q66(spark: SparkSession, sfDir: String): DataFrame =
-    graft.llm.Lexical.search(docs(spark, sfDir), "doc_id", "text",
-      Seq("spark", "vector", "customer"), topK = 20)
-
-  val q66Sql: String =
-    """WITH toks AS (
-      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-      |hits AS (
-      |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
-      |  WHERE tok IN ('spark', 'vector', 'customer') GROUP BY doc_id, tok),
-      |dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS dft FROM hits GROUP BY tok),
-      |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents)
-      |SELECT h.doc_id,
-      |  CAST(SUM(h.tf * ((nd.nd * 1000000) // d.dft)) AS BIGINT) AS score,
-      |  CAST(COUNT(*) AS INT) AS n_terms
-      |FROM hits h JOIN dfreq d USING (tok) CROSS JOIN nd
-      |GROUP BY h.doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
-
   // ---------------------------------------------------------------- q67
   /** Overlapping-window chunking ([[graft.llm.Chunker]]): 32-token
     * windows at stride 24 — the training-sample prep stage. The
@@ -509,34 +484,6 @@ object Text {
       |    AS DECIMAL(27,9))) AS DOUBLE) / COUNT(*), 6) AS avg_p
       |FROM pp JOIN m USING (w1, w2) JOIN cx USING (w1) CROSS JOIN v
       |GROUP BY doc_id ORDER BY avg_p, doc_id LIMIT 20""".stripMargin
-
-  // ---------------------------------------------------------------- q90
-  /** BM25 retrieval ([[graft.llm.Lexical.bm25Search]]) for the q66
-    * query terms: adds the document-length saturation that plain
-    * tf·idf lacks, in the exact-rational (log-free) form — top-20 by
-    * score with deterministic doc-id tie-break.
-    */
-  def q90(spark: SparkSession, sfDir: String): DataFrame =
-    graft.llm.Lexical.bm25Search(docs(spark, sfDir), "doc_id", "text",
-      Seq("spark", "vector", "customer"), topK = 20)
-
-  val q90Sql: String =
-    """WITH toks AS (
-      |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
-      |    unnest(string_split(text, ' ')) AS tok FROM documents),
-      |hits AS (
-      |  SELECT doc_id, dl, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
-      |  WHERE tok IN ('spark', 'vector', 'customer') GROUP BY 1, 2, 3),
-      |dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS dft FROM hits GROUP BY tok),
-      |corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
-      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tt FROM documents)
-      |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_terms,
-      |  ROUND(CAST(SUM(CAST(ROUND(
-      |    ((2*nd - 2*dft + 1) * 22 * tt * tf)
-      |      / CAST((2*dft + 1) * (10*tt*tf + 3*tt + 9*dl*nd) AS DOUBLE), 9)
-      |    AS DECIMAL(27,9))) AS DOUBLE), 6) AS score
-      |FROM hits JOIN dfreq USING (tok) CROSS JOIN corpus
-      |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
   // ---------------------------------------------------------------- q91
   /** Per-(source, lang) quota sampling — the domain-balancing step of
@@ -684,69 +631,6 @@ object Text {
        |FROM ranked r JOIN q ON r.lang = q.lang
        |GROUP BY r.lang, q.n_total, q.quota ORDER BY r.lang""".stripMargin
 
-  // ---------------------------------------------------------------- q112
-  // Shared CTE builders for the BPE oracles (q112 learn, q120 encode),
-  // unrolling merge rounds in q82's fixed-iteration pattern.
-  /** Argmax pair of one round, counted over vocab table `w`. */
-  private def bpeBestCte(w: String, b: String): String =
-    s"""$b AS (
-       |  SELECT p.l AS l, p.r AS r, CAST(SUM(freq) AS BIGINT) AS cnt
-       |  FROM (SELECT unnest([{'l': s[i], 'r': s[i+1]} for i in range(1, len(s))]) AS p, freq
-       |        FROM (SELECT string_split(sym, ' ') AS s, freq FROM $w))
-       |  GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin
-
-  /** Token-level greedy leftmost application of `b` onto `w` → `w2`:
-    * a left fold over the symbol list that merges (l, r) whenever the
-    * accumulated tail token is exactly l and the next symbol is r —
-    * identical semantics to the engine's lookaround regex (a merged
-    * token l||r can never re-match as l within the round, so no flag
-    * is needed). A delimiter-consuming `replace` would merge only
-    * alternate occurrences of a run.
-    */
-  private def bpeMergeCte(w: String, b: String, w2: String): String =
-    s"""$w2 AS (
-       |  SELECT list_reduce(string_split(sym, ' '),
-       |    (acc, x) -> CASE WHEN (acc = b.l OR ends_with(acc, ' ' || b.l)) AND x = b.r
-       |      THEN acc || b.r ELSE acc || ' ' || x END) AS sym, freq
-       |  FROM $w CROSS JOIN $b b)""".stripMargin
-
-  private val bpeCorpusCte: String =
-    s"""w0 AS (
-       |  SELECT array_to_string(string_split(word, ''), ' ') AS sym,
-       |    CAST(COUNT(*) AS BIGINT) AS freq
-       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-       |  WHERE length(word) > 0 GROUP BY 1)""".stripMargin
-
-  /** The b1..bN round chain after `w0`; `applyLast` also materializes
-    * wN (the fully-merged vocabulary the encode oracle reads). */
-  private def bpeRoundsCtes(n: Int, applyLast: Boolean = false): String =
-    (1 to n).map { i =>
-      if (i < n || applyLast)
-        s"${bpeBestCte(s"w${i - 1}", s"b$i")},\n${bpeMergeCte(s"w${i - 1}", s"b$i", s"w$i")}"
-      else bpeBestCte(s"w${i - 1}", s"b$i")
-    }.mkString(",\n")
-
-  /** BPE merge learning ([[graft.llm.Vocab.bpeMerges]]): the first
-    * three byte-pair merges over the corpus vocabulary, each round an
-    * exact frequency-weighted pair count with lexicographic
-    * tie-break. The oracle unrolls the identical three rounds as CTEs
-    * (q82's fixed-iteration pattern): list-comprehension pair
-    * explosion, argmax by (cnt DESC, l, r), token-level greedy
-    * leftmost merge application via a list fold — so pair counts,
-    * tie-breaks AND merge application are all hash-checked.
-    */
-  def q112(spark: SparkSession, sfDir: String): DataFrame =
-    graft.llm.Vocab.bpeMerges(docs(spark, sfDir), "text", numMerges = 3)
-      .orderBy(col("rank"))
-
-  val q112Sql: String =
-    s"""WITH $bpeCorpusCte,
-       |${bpeRoundsCtes(3)}
-       |SELECT CAST(1 AS INT) AS rank, l AS "left", r AS "right", cnt AS pair_cnt FROM b1
-       |UNION ALL SELECT 2, l, r, cnt FROM b2
-       |UNION ALL SELECT 3, l, r, cnt FROM b3
-       |ORDER BY rank""".stripMargin
-
   // ---------------------------------------------------------------- q114
   /** Line-format roundtrip ([[graft.sources.TextFormats]]): documents
     * written to gzip JSONL and fully-quoted CSV, read back with
@@ -824,52 +708,6 @@ object Text {
        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
        |  CAST(SUM(ph) AS BIGINT) AS sum_hash
        |FROM h GROUP BY lang ORDER BY lang""".stripMargin
-
-  // ---------------------------------------------------------------- q120
-  /** BPE encode ([[graft.llm.Vocab.bpeEncode]]): tokenize the corpus
-    * into subwords with the merges q112 learns (four rounds here) —
-    * the encode half of the tokenizer, emitting the (doc_id, pos,
-    * subword, subword_id) stream a training pipeline ships. The
-    * oracle re-learns the same four merges (unrolled round CTEs),
-    * re-applies them to every distinct word with the same greedy
-    * fold, and re-derives positions and frequency-ranked ids — so
-    * merge application, the word→subword map, cross-word positions
-    * AND id assignment are all hash-checked.
-    */
-  def q120(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = docs(spark, sfDir)
-    val merges = graft.llm.Vocab.bpeMerges(d, "text", numMerges = 4)
-    graft.llm.Vocab.bpeEncode(d, "doc_id", "text", merges)
-      .orderBy(col("doc_id"), col("pos"))
-  }
-
-  val q120Sql: String =
-    s"""WITH $bpeCorpusCte,
-       |${bpeRoundsCtes(4, applyLast = true)},
-       |wordsubs AS (
-       |  SELECT replace(sym, ' ', '') AS word, string_split(sym, ' ') AS subs FROM w4),
-       |toks AS (
-       |  SELECT doc_id, t.wpos AS wpos, t.word AS word FROM (
-       |    SELECT doc_id, unnest([{'wpos': i, 'word': s[i]} for i in range(1, len(s) + 1)]) AS t
-       |    FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents))
-       |  WHERE length(t.word) > 0),
-       |subs AS (
-       |  SELECT doc_id, wpos, u.spos AS spos, u.subword AS subword FROM (
-       |    SELECT doc_id, wpos,
-       |      unnest([{'spos': i, 'subword': subs[i]} for i in range(1, len(subs) + 1)]) AS u
-       |    FROM toks JOIN wordsubs USING (word))),
-       |stream AS (
-       |  SELECT doc_id,
-       |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY wpos, spos) - 1 AS INT) AS pos,
-       |    subword
-       |  FROM subs),
-       |ids AS (
-       |  SELECT subword,
-       |    CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, subword) AS INT) AS subword_id
-       |  FROM stream GROUP BY subword)
-       |SELECT doc_id, pos, subword, subword_id
-       |FROM stream JOIN ids USING (subword)
-       |ORDER BY doc_id, pos""".stripMargin
 
   // ---------------------------------------------------------------- q127
   /** Temperature-based domain mixture sampling — the
@@ -981,8 +819,8 @@ object Text {
   }
 
   val q128Sql: String =
-    s"""WITH $bpeCorpusCte,
-       |${bpeRoundsCtes(4, applyLast = true)},
+    s"""WITH ${TextTokenizers.bpeCorpusCte},
+       |${TextTokenizers.bpeRoundsCtes(4, applyLast = true)},
        |wordsubs AS (
        |  SELECT replace(sym, ' ', '') AS word, string_split(sym, ' ') AS subs FROM w4),
        |toks AS (
@@ -1050,31 +888,6 @@ object Text {
        |SELECT doc_id, pos, context, w AS word, 0 AS label FROM neg
        |ORDER BY doc_id, pos, label DESC, word""".stripMargin
   }
-
-  // ---------------------------------------------------------------- q137
-  /** Exact phrase search ("slow hash batch") via the positional
-    * posting list ([[graft.llm.Lexical.phraseMatches]]): each term's
-    * postings shift by its phrase offset and chain through left-semi
-    * joins — the inverted-index phrase query, not a regex scan. The
-    * oracle recomputes matches with a token-position list
-    * comprehension, so overlapping-occurrence counting and the 0-based
-    * position convention are both pinned.
-    */
-  def q137(spark: SparkSession, sfDir: String): DataFrame =
-    graft.llm.Lexical
-      .phraseMatches(docs(spark, sfDir), "doc_id", "text",
-        Seq("slow", "hash", "batch"))
-      .orderBy(col("doc_id"))
-
-  val q137Sql: String =
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
-      |m AS (SELECT doc_id,
-      |        [i FOR i IN range(1, len(s) - 1)
-      |         IF s[i] = 'slow' AND s[i+1] = 'hash' AND s[i+2] = 'batch'] AS ps
-      |      FROM t)
-      |SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_matches,
-      |  CAST(ps[1] - 1 AS INT) AS first_pos
-      |FROM m WHERE len(ps) > 0 ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q144
   /** Length-weighted deterministic document sample
@@ -1224,155 +1037,6 @@ object Text {
        |FROM top t CROSS JOIN v JOIN vocab w ON w.rank = ($h) % v.vs
        |ORDER BY t.cnt DESC, t.center, t.context""".stripMargin
   }
-
-  // ---------------------------------------------------------------- q158
-  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher, K = 60) of the
-    * two lexical rankings the engine already produces for the shared
-    * query terms — tf·idf (q66) and BM25 (q90):
-    * `rrf(d) = Σ_lists 1/(K + rank_d)`. RRF is the standard
-    * score-scale-free way to combine retrieval backends (lexical +
-    * dense, multiple indexes) without calibrating their scores; docs
-    * missing from a list simply contribute nothing.
-    *
-    * Determinism: each addend is rounded to 9 decimals and summed as
-    * DECIMAL (exact, order-independent — the q89 discipline); ranks
-    * are integers from the already-deterministic (score, doc_id)
-    * orderings. The rank windows are unpartitioned but run over the
-    * topK = 20 fused candidates, not the corpus.
-    */
-  def q158(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val terms = Seq("spark", "vector", "customer")
-    val d = docs(spark, sfDir)
-    def ranked(res: DataFrame): DataFrame = res.select(col("doc_id"),
-      row_number().over(
-        Window.orderBy(col("score").desc, col("doc_id"))).as("r"))
-    val lists =
-      ranked(graft.llm.Lexical.search(d, "doc_id", "text", terms, topK = 20))
-        .unionByName(
-          ranked(graft.llm.Lexical.bm25Search(d, "doc_id", "text", terms, topK = 20)))
-    lists.groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("int").as("n_lists"),
-        sum(expr(
-          "CAST(round(CAST(1.0 AS DOUBLE) / (60 + r), 9) AS DECIMAL(18,9))"))
-          .as("rrf_dec"))
-      .select(col("doc_id"), col("n_lists"),
-        round(col("rrf_dec").cast("double"), 6).as("rrf"))
-      .orderBy(col("rrf").desc, col("doc_id"))
-      .limit(20)
-  }
-
-  val q158Sql: String =
-    s"""WITH t1 AS ($q66Sql),
-       |t2 AS ($q90Sql),
-       |r1 AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r FROM t1),
-       |r2 AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r FROM t2),
-       |u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
-       |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_lists,
-       |  ROUND(CAST(SUM(CAST(ROUND(CAST(1.0 AS DOUBLE) / (60 + r), 9) AS DECIMAL(18,9))) AS DOUBLE), 6) AS rrf
-       |FROM u GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
-
-  // ---------------------------------------------------------------- q159
-  /** INCREMENTAL inverted-index maintenance for BM25 through the
-    * [[graft.llm.Lexical]] store API: history (75% of docs,
-    * `doc_id % 4 != 0`) entered the store as two appended batches in
-    * previous runs, the store was then COMPACTED between cycles
-    * ([[graft.llm.Lexical.compactBm25Store]] — df fragments merged by
-    * per-term addition, (N, T) to one row, postings rewritten sorted
-    * by term), and the refresh appends ONLY the new batch. Every BM25
-    * input is an additive sufficient statistic, so the served top-20
-    * equals the full-corpus recompute bit-for-bit, which is exactly
-    * what the oracle (q90's full-corpus SQL) checks — across appends
-    * AND across the compaction boundary.
-    *
-    * Scale: at 100 TB the postings store IS the searchable asset; a
-    * refresh costs one tokenize pass over the batch plus an appended
-    * fragment set, a query reads only its terms' posting rows
-    * (predicate pushdown on `tok`, plan-asserted), and compaction
-    * bounds fragment accumulation with a write-then-swap rewrite —
-    * history text is never rescanned by any of the three.
-    */
-  def q159(spark: SparkSession, sfDir: String): DataFrame = {
-    val terms = Seq("spark", "vector", "customer")
-    val d = docs(spark, sfDir)
-    val hist = d.where(pmod(col("doc_id"), lit(4)) =!= 0)
-    val batch = d.where(pmod(col("doc_id"), lit(4)) === 0)
-    val store = graft.Tables.scratchDir(spark, "bm25idx", sfDir)
-    // fresh store per invocation: appends are not idempotent, so a
-    // re-run (bench warm-up, repeated Verify) must not double-index
-    val fs = new org.apache.hadoop.fs.Path(store)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(store), true)
-    // previous runs' persisted state: history as two appended batches
-    graft.llm.Lexical.appendBm25Batch(
-      hist.where(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text", store)
-    graft.llm.Lexical.appendBm25Batch(
-      hist.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text", store)
-    // maintenance between refresh cycles
-    graft.llm.Lexical.compactBm25Store(spark, store)
-    // the refresh: tokenize ONLY the new batch, append its fragments
-    graft.llm.Lexical.appendBm25Batch(batch, "doc_id", "text", store)
-    graft.llm.Lexical.bm25StoreSearch(spark, store, "doc_id", terms, topK = 20)
-  }
-
-  // ---------------------------------------------------------------- q162
-  /** Tokenizer quality per language: fertility (subword tokens per
-    * whitespace word) and compression (non-space characters per token)
-    * of the corpus-trained BPE (q112's merges applied by q120's
-    * encoder) — the standard pair of metrics for judging whether a
-    * tokenizer serves every language equally; high-fertility languages
-    * pay more sequence length for the same text, which is a real
-    * training-cost and context-budget skew at 100 TB.
-    *
-    * All counts are integers; each output ratio is one exact
-    * integer-over-integer division rounded once. Scale rides q120's
-    * shape: encoding is per *distinct word* then broadcast back.
-    */
-  def q162(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = docs(spark, sfDir)
-    val merges = graft.llm.Vocab.bpeMerges(d, "text", numMerges = 4)
-    val perDocTok = graft.llm.Vocab.bpeEncode(d, "doc_id", "text", merges)
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
-    d.select(col("doc_id"), col("lang"),
-        size(filter(split(col("text"), " "), w => length(w) > 0))
-          .cast("long").as("n_words"),
-        length(regexp_replace(col("text"), " ", "")).cast("long").as("n_chars"))
-      .join(perDocTok, "doc_id")
-      .groupBy(col("lang"))
-      .agg(sum(col("n_words")).as("n_words"),
-        sum(col("n_tok")).as("n_tokens"),
-        sum(col("n_chars")).as("n_chars"))
-      .select(col("lang"), col("n_words"), col("n_tokens"), col("n_chars"),
-        round(col("n_tokens") / col("n_words").cast("double"), 6).as("fertility"),
-        round(col("n_chars") / col("n_tokens").cast("double"), 6)
-          .as("chars_per_token"))
-      .orderBy(col("lang"))
-  }
-
-  val q162Sql: String =
-    s"""WITH $bpeCorpusCte,
-       |${bpeRoundsCtes(4, applyLast = true)},
-       |wordsubs AS (
-       |  SELECT replace(sym, ' ', '') AS word, string_split(sym, ' ') AS subs FROM w4),
-       |toks AS (
-       |  SELECT doc_id, t.word AS word FROM (
-       |    SELECT doc_id, unnest([{'wpos': i, 'word': s[i]} for i in range(1, len(s) + 1)]) AS t
-       |    FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents))
-       |  WHERE length(t.word) > 0),
-       |tok AS (
-       |  SELECT doc_id, CAST(SUM(len(subs)) AS BIGINT) AS n_tok
-       |  FROM toks JOIN wordsubs USING (word) GROUP BY doc_id),
-       |meta AS (
-       |  SELECT doc_id, lang,
-       |    CAST(len(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS BIGINT) AS n_words,
-       |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars
-       |  FROM documents)
-       |SELECT lang, CAST(SUM(n_words) AS BIGINT) AS n_words,
-       |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
-       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
-       |  ROUND(SUM(n_tok) / CAST(SUM(n_words) AS DOUBLE), 6) AS fertility,
-       |  ROUND(SUM(n_chars) / CAST(SUM(n_tok) AS DOUBLE), 6) AS chars_per_token
-       |FROM meta JOIN tok USING (doc_id) GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------- q163
   /** Collocation mining by PMI lift: rank bigrams by
@@ -1854,42 +1518,6 @@ object Text {
       |  ROUND(CAST(SUM(CAST(term AS DECIMAL(27, 9))) AS DOUBLE), 6) AS kl
       |FROM terms GROUP BY source ORDER BY source""".stripMargin
 
-  // ---------------------------------------------------------------- q188
-  /** MaxScore-pruned BM25 ([[graft.llm.Lexical.bm25MaxScorePruned]]):
-    * q90's retrieval through the classic dynamic-pruning tier —
-    * per-term score upper bounds sieve out documents that cannot
-    * reach the seed threshold before the exact decimal aggregation
-    * runs. Lossless by the UB+ε argument in the operator scaladoc,
-    * which is exactly what sharing q90's exhaustive-scoring oracle
-    * hash-checks; pruned ≡ full is also suite-pinned in
-    * `LexicalSpec` on corpora where the prune demonstrably fires.
-    */
-  def q188(spark: SparkSession, sfDir: String): DataFrame =
-    graft.llm.Lexical.bm25MaxScorePruned(docs(spark, sfDir), "doc_id", "text",
-      Seq("spark", "vector", "customer"), topK = 20)
-
-  // ---------------------------------------------------------------- q189
-  /** Champion-list BM25 serving ([[graft.llm.Lexical.buildChampionLists]]
-    * + [[graft.llm.Lexical.championBm25Search]]): q188 moved MaxScore
-    * pruning into the query; q189 moves it into the INDEX — per-term
-    * top-m postings are materialized as a serving artifact and the
-    * search reads champion-list-sized candidates, shipping the result
-    * only when the per-term `cub` bounds PROVE no non-candidate can
-    * reach the top-k (exhaustive fallback otherwise — every outcome
-    * exact, which sharing q90's oracle hash-checks). Both the
-    * proven-complete and fallback paths are pinned in `LexicalSpec`.
-    */
-  def q189(spark: SparkSession, sfDir: String): DataFrame = {
-    val store = graft.Tables.scratchDir(spark, "bm25champ", sfDir)
-    val fs = new org.apache.hadoop.fs.Path(store)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(store), true)
-    graft.llm.Lexical.appendBm25Batch(docs(spark, sfDir), "doc_id", "text", store)
-    graft.llm.Lexical.buildChampionLists(spark, store, "doc_id", m = 64)
-    graft.llm.Lexical.championBm25Search(spark, store, "doc_id",
-      Seq("spark", "vector", "customer"), topK = 20)
-  }
-
   // ---------------------------------------------------------------- q197
   /** Per-document n-gram NOVELTY against a training corpus — the
     * train/eval overlap metric behind memorization evals (Carlini et
@@ -1977,414 +1605,6 @@ object Text {
         keyCols = Seq("doc_id", "lang"), textCol = "text", n = n)
       .orderBy(col("doc_id"))
   }
-
-  // ---------------------------------------------------------------- q203
-  /** Trained quality classifier over the document pool
-    * ([[graft.llm.QualityClassifier]]) — the learned filter verb the
-    * rule-based selectors (q172 DSIR, q173 Stupid-Backoff, q36
-    * heuristics) can't express: hashed bag-of-words + intercept +
-    * length features, logistic regression fit by 4 exact-arithmetic
-    * full-batch GD rounds, then score + threshold over every doc.
-    * The label here is the C4-style length heuristic
-    * (n_chars ≥ 300) standing in for human/curated-vs-crawl labels —
-    * the synthetic corpus carries no real quality signal (token
-    * distributions are flat across langs), so the DEMO label is one
-    * the model can provably learn (~91% train accuracy); the
-    * pipeline — featurize, train, score, filter — is the verb, and
-    * `QualityClassifierSpec` pins that it learns a planted
-    * content-based signal too. In the nine-stage pretraining
-    * capstone (q184) this slots between the heuristic quality gate
-    * and the dedup stages: train on the curated slice, score the
-    * pool, keep above threshold.
-    *
-    * Oracle: the ENTIRE training run is replayed by DuckDB as 4
-    * unrolled CTE rounds (the q82/q112 precedent) — per-doc scores
-    * hash-checked implies every intermediate weight table matched.
-    */
-  /** Shared scoring pass behind the classifier family (q203/q207/q208/
-    * q209/q220): every doc scored under the q203-configuration model
-    * READ FROM THE FROZEN MODEL STORE
-    * ([[graft.llm.QualityClassifier.loadOrTrainWeights]]) —
-    * train-once/evaluate-many: the first family member a session runs
-    * trains and publishes the 66-row weight table; every later one
-    * (and q206's streaming scorer) reads it and pays only its own
-    * featurize-and-score scan. Training is deterministic, so results
-    * — and the shared oracle, which replays training inline — are
-    * identical whichever query built the store. Output: (doc_id,
-    * label int, score double), eagerly pinned so each consumer
-    * aggregates a 1-scan-deep plan. */
-  private[queries] val qcCfg =
-    graft.llm.QualityClassifier.Config(buckets = 64, eta = 5.0, rounds = 4)
-
-  private[queries] def classifierWeights(spark: SparkSession,
-                                         sfDir: String): DataFrame = {
-    val d = docs(spark, sfDir)
-    val labels = d.select(col("doc_id").as("id"),
-      when(col("n_chars") >= 300, 1).otherwise(0).as("y"))
-    graft.llm.QualityClassifier.loadOrTrainWeights(d, "doc_id", "text",
-      labels, qcCfg, graft.Tables.scratchDir(spark, "qcmodel", sfDir))
-  }
-
-  private def classifierScored(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.llm.QualityClassifier
-    val d = docs(spark, sfDir)
-    val labels = d.select(col("doc_id").as("id"),
-      when(col("n_chars") >= 300, 1).otherwise(0).as("y"))
-    val w = classifierWeights(spark, sfDir)
-    QualityClassifier.score(QualityClassifier.featurize(d, "doc_id", "text", qcCfg), w)
-      .join(labels, "id")
-      .select(col("id").as("doc_id"), col("y").as("label"), col("score"))
-      .localCheckpoint(true)
-  }
-
-  def q203(spark: SparkSession, sfDir: String): DataFrame =
-    classifierScored(spark, sfDir)
-      .withColumn("keep", col("score") >= 0.5)
-      .orderBy(col("doc_id"))
-
-  /** The q203 training replay up to a `scored` CTE — shared oracle
-    * prefix for q203 (keep/threshold), q207 (calibration bins) and
-    * q208 (threshold sweep). */
-  private val q203Ctes: String = {
-    val ph = graft.functions.PolyHash.duckdbSql("t")
-    val B = 64
-    val head =
-      s"""WITH base AS (
-         |  SELECT doc_id, CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y,
-         |    string_split(text, ' ') AS s
-         |  FROM documents WHERE len(string_split(text, ' ')) >= 1),
-         |meta AS (SELECT doc_id, y, len(s) AS l FROM base),
-         |tk AS (SELECT doc_id, $ph % $B AS b
-         |       FROM (SELECT doc_id, unnest(s) AS t FROM base)),
-         |bow AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS n FROM tk GROUP BY 1, 2),
-         |f AS (
-         |  SELECT doc_id, b, CAST(ROUND(CAST(n AS DOUBLE) / l, 9) AS DECIMAL(12,9)) AS x
-         |  FROM bow JOIN meta USING (doc_id)
-         |  UNION ALL SELECT doc_id, $B AS b, CAST(1 AS DECIMAL(12,9)) AS x FROM meta
-         |  UNION ALL SELECT doc_id, ${B + 1} AS b,
-         |    CAST(ROUND(l / 100.0, 9) AS DECIMAL(12,9)) AS x FROM meta),
-         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM meta),
-         |w0 AS (SELECT CAST(r.i AS BIGINT) AS b, CAST(0 AS DECIMAL(18,9)) AS w
-         |       FROM range(0, ${B + 2}) r(i))""".stripMargin
-    val gd = (1 to 4).map { r =>
-      s""",
-         |e$r AS (
-         |  SELECT doc_id, CAST(ROUND(y - ROUND(1.0 / (1.0 + EXP(-CAST(z AS DOUBLE))), 9), 9)
-         |    AS DECIMAL(10,9)) AS e
-         |  FROM (SELECT doc_id, SUM(x * w) AS z FROM f JOIN w${r - 1} USING (b) GROUP BY doc_id)
-         |  JOIN meta USING (doc_id)),
-         |g$r AS (SELECT b, SUM(e * x) AS g FROM f JOIN e$r USING (doc_id) GROUP BY b),
-         |w$r AS (
-         |  SELECT b, CAST(ROUND(CAST(w AS DOUBLE) +
-         |    5.0 * CAST(COALESCE(g, 0) AS DOUBLE) / n, 9) AS DECIMAL(18,9)) AS w
-         |  FROM w${r - 1} LEFT JOIN g$r USING (b) CROSS JOIN nn)""".stripMargin
-    }.mkString
-    val tail =
-      s""",
-         |scored AS (
-         |  SELECT m.doc_id, m.y AS label,
-         |    ROUND(1.0 / (1.0 + EXP(-CAST(z AS DOUBLE))), 9) AS score
-         |  FROM (SELECT doc_id, SUM(x * w) AS z FROM f JOIN w4 USING (b) GROUP BY doc_id) zf
-         |  JOIN meta m USING (doc_id))""".stripMargin
-    head + gd + tail
-  }
-
-  val q203Sql: String =
-    s"""$q203Ctes
-       |SELECT doc_id, label, score, (score >= 0.5) AS keep
-       |FROM scored ORDER BY doc_id""".stripMargin
-
-  // ---------------------------------------------------------------- q204
-  /** Tokenizer round-trip at corpus scale — BPE DECODE
-    * ([[graft.llm.Vocab.bpeDecode]]): learn the same four merges as
-    * q120, encode every document with Sennrich's end-of-word marker
-    * (the extra terminal subword that makes the flat stream
-    * invertible), decode the flat (doc_id, pos, subword) stream back
-    * to text, and emit each document's decoded content hash plus an
-    * engine-side equality flag against the original. The oracle is
-    * the q114/q168 round-trip pattern: it computes the hash STRAIGHT
-    * FROM PARQUET (whitespace-normalized — BPE's token alphabet
-    * can't represent space runs; this corpus is single-spaced so
-    * normalization is the identity), so the identity
-    * decode(encode(x)) = x is hash-checked for every document — a
-    * lossy merge application, id mapping, position ordering, or
-    * marker handling anywhere in the encode/decode pair becomes a
-    * parity mismatch.
-    */
-  def q204(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = docs(spark, sfDir)
-    val merges = graft.llm.Vocab.bpeMerges(d, "text", numMerges = 4)
-    val enc = graft.llm.Vocab.bpeEncode(d, "doc_id", "text", merges,
-      endOfWord = Some("</w>"))
-    val dec = graft.llm.Vocab.bpeDecode(enc, "doc_id")
-    val norm = d.select(col("doc_id"), expr(
-      "array_join(filter(split(text, ' '), w -> w != ''), ' ')").as("orig"))
-    dec.join(norm, "doc_id")
-      .select(col("doc_id"), GraftFunctions.polyHash("text").as("decoded_hash"),
-        (col("text") === col("orig")).as("matches"))
-      .orderBy(col("doc_id"))
-  }
-
-  val q204Sql: String = {
-    val norm = "array_to_string(list_filter(string_split(text, ' '), w -> len(w) > 0), ' ')"
-    s"""SELECT doc_id,
-       |  ${graft.functions.PolyHash.duckdbSql(norm)} AS decoded_hash,
-       |  TRUE AS matches
-       |FROM documents ORDER BY doc_id""".stripMargin
-  }
-
-  // ---------------------------------------------------------------- q206
-  /** q203's trained quality filter SERVED STREAMING — the production
-    * "train offline, score online" shape: the classifier trains once
-    * on the static corpus (frozen (B+2)-row weight table), then the
-    * documents arrive as three file-source micro-batches and each
-    * batch is featurized and scored in `foreachBatch` against the
-    * broadcast frozen weights, appending to a batchId-idempotent
-    * score store (the q171/q183/q198 replay discipline: a replayed
-    * micro-batch whose subdirectory committed skips the write). The
-    * oracle IS q203's: streamed per-batch scoring must reproduce the
-    * one-shot corpus scoring row-for-row, which pins that
-    * featurization is genuinely per-document (any corpus-level
-    * statistic leaking into [[graft.llm.QualityClassifier.featurize]]
-    * would make batch and corpus features diverge) and that serving
-    * never retrains.
-    *
-    * Scale shape: per micro-batch work is one in-row featurize pass +
-    * one broadcast join — no history read, no state beyond the O(B)
-    * weight table; the score store appends forever without
-    * compaction pressure (one row per doc, row-granular identity).
-    */
-  def q206(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.llm.QualityClassifier
-    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-    val cfg = qcCfg
-    val d = docs(spark, sfDir)
-    // frozen-model store (shared with the whole classifier family):
-    // the streaming scorer reads the same published weights the batch
-    // evaluations read — the train-once/evaluate-many lifecycle
-    val w = classifierWeights(spark, sfDir)
-    val base = graft.Tables.scratchDir(spark, "qcstream", sfDir)
-    val stager = graft.streaming.FileStager(spark, base)
-    val now = System.currentTimeMillis()
-    val src = d.select(col("doc_id"), col("n_chars"), col("text"))
-    stager.stage(src.where(col("doc_id") % 3 === 0), "batch1", now - 90000)
-    stager.stage(src.where(col("doc_id") % 3 === 1), "batch2", now - 60000)
-    stager.stage(src.where(col("doc_id") % 3 === 2), "batch3", now - 30000)
-    val store = s"$base/scores"
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType, nullable = false),
-      StructField("n_chars", LongType, nullable = false),
-      StructField("text", StringType, nullable = false)))
-    val q = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(stager.srcDir)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, bid: Long) =>
-        val bf = QualityClassifier.featurize(batch, "doc_id", "text", cfg)
-        val scored = QualityClassifier.score(bf, w)
-          .join(batch.select(col("doc_id").as("id"),
-            when(col("n_chars") >= 300, 1).otherwise(0).as("y")), "id")
-          .select(col("id").as("doc_id"), col("y").as("label"),
-            col("score"), (col("score") >= 0.5).as("keep"))
-        val sub = s"$store/batch_$bid"
-        val ok = new org.apache.hadoop.fs.Path(s"$sub/_SUCCESS")
-        if (!ok.getFileSystem(batch.sparkSession.sparkContext
-            .hadoopConfiguration).exists(ok))
-          scored.write.mode("overwrite").parquet(sub)
-        ()
-      }
-      .option("checkpointLocation", s"$base/ckpt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.read.option("recursiveFileLookup", "true").parquet(store)
-      .orderBy(col("doc_id"))
-  }
-
-  /** Exact score-decile bin: the scale-9 score is lifted to an exact
-    * integer (round kills the float ulp) before the decile division,
-    * so 0.3 lands in bin 3 in both engines — `floor(score*10)` on raw
-    * doubles would bin 0.3 as 2 (0.3·10 = 2.999…96 in IEEE). */
-  private val binExpr =
-    "least(9, cast(round(score * 1000000000) as bigint) div 100000000)"
-  private val binExprDuck =
-    "LEAST(9, CAST(round(score * 1000000000) AS BIGINT) // 100000000)"
-
-  // ---------------------------------------------------------------- q207
-  /** Calibration audit of the trained quality classifier (q203) —
-    * the reliability-diagram verb (Guo et al., "On Calibration of
-    * Modern Neural Networks", ICML 2017) every production filter
-    * needs before its scores can be thresholded or mixed: scores
-    * bucketed into deciles, each bin reporting its size, mean
-    * predicted probability and empirical positive rate, and the
-    * |confidence − accuracy| gap whose n-weighted sum is ECE. The
-    * logistic filter is trusted only where the gap is small; a large
-    * top-bin gap means the 0.5 cut of q203 keeps junk with
-    * confidence. Arithmetic discipline: bin membership is decided in
-    * exact integers (see [[binExpr]]), bin means accumulate the
-    * scale-9 score decimals exactly then round once at 6.
-    *
-    * Scale shape: one aggregation of the scored pool to ≤10 bin rows
-    * — partial-aggregated, corpus-independent output; composes with
-    * q206's streamed scores unchanged (the store holds the same
-    * (doc_id, label, score) rows).
-    */
-  def q207(spark: SparkSession, sfDir: String): DataFrame =
-    classifierScored(spark, sfDir)
-      .withColumn("bin", expr(binExpr))
-      .groupBy(col("bin"))
-      .agg(count(lit(1)).as("n"), sum(col("label")).as("pos"),
-        round(sum(col("score").cast("decimal(12,9)")).cast("double") /
-          count(lit(1)), 6).as("avg_score"))
-      .withColumn("pos_rate", round(col("pos").cast("double") / col("n"), 6))
-      .withColumn("gap", round(abs(col("avg_score") - col("pos_rate")), 6))
-      .select(col("bin").cast("int").as("bin"), col("n"), col("pos"),
-        col("avg_score"), col("pos_rate"), col("gap"))
-      .orderBy(col("bin"))
-
-  val q207Sql: String =
-    s"""$q203Ctes,
-       |agg AS (
-       |  SELECT $binExprDuck AS bin, CAST(COUNT(*) AS BIGINT) AS n,
-       |    CAST(SUM(label) AS BIGINT) AS pos,
-       |    ROUND(CAST(SUM(CAST(score AS DECIMAL(12,9))) AS DOUBLE) / COUNT(*), 6) AS avg_score
-       |  FROM scored GROUP BY 1)
-       |SELECT CAST(bin AS INT) AS bin, n, pos, avg_score,
-       |  ROUND(CAST(pos AS DOUBLE) / n, 6) AS pos_rate,
-       |  ROUND(ABS(avg_score - ROUND(CAST(pos AS DOUBLE) / n, 6)), 6) AS gap
-       |FROM agg ORDER BY bin""".stripMargin
-
-  // ---------------------------------------------------------------- q208
-  /** Operating-point sweep for the trained filter (q203) — the
-    * precision/recall/F1 curve over decile thresholds that picks the
-    * production cut: at each threshold t ∈ {0.0, 0.1, …, 0.9}, a doc
-    * is kept iff score ≥ t, and the sweep reports the confusion
-    * counts and rates. All counts are exact integer cumulative sums
-    * down the decile spine; each rate is one rational rounded at 6
-    * (F1 computed directly as 2tp/(2tp+fp+fn) — never from the
-    * already-rounded precision/recall). Empty cells guard to NULL.
-    *
-    * Scale shape: the corpus reduces to ≤10 bin rows in one partial
-    * aggregation; the cumulative window runs over the 10-row decile
-    * spine (bounded by construction, not by data — allowlisted in
-    * `PlanAuditSpec` with this justification).
-    */
-  def q208(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val agg = classifierScored(spark, sfDir)
-      .withColumn("bin", expr(binExpr))
-      .groupBy(col("bin"))
-      .agg(count(lit(1)).as("n"), sum(col("label")).as("pos"))
-    val spine = spark.range(0, 10).select(col("id").as("t10"))
-    val j = spine
-      .join(agg.withColumnRenamed("bin", "t10"), Seq("t10"), "left")
-      .na.fill(0L, Seq("n", "pos"))
-    val cum = Window.orderBy(col("t10").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val all = Window.partitionBy()
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    j.withColumn("tp", sum(col("pos")).over(cum))
-      .withColumn("fp", sum(col("n") - col("pos")).over(cum))
-      .withColumn("fn", sum(col("pos")).over(all) - col("tp"))
-      .select(col("t10").cast("int").as("t10"), col("tp"), col("fp"), col("fn"),
-        when(col("tp") + col("fp") === 0, lit(null))
-          .otherwise(round(col("tp").cast("double") / (col("tp") + col("fp")), 6))
-          .as("prec"),
-        when(col("tp") + col("fn") === 0, lit(null))
-          .otherwise(round(col("tp").cast("double") / (col("tp") + col("fn")), 6))
-          .as("rec"),
-        when(lit(2) * col("tp") + col("fp") + col("fn") === 0, lit(null))
-          .otherwise(round(lit(2.0) * col("tp") /
-            (lit(2) * col("tp") + col("fp") + col("fn")), 6))
-          .as("f1"))
-      .orderBy(col("t10"))
-  }
-
-  val q208Sql: String =
-    s"""$q203Ctes,
-       |agg AS (
-       |  SELECT $binExprDuck AS bin, CAST(COUNT(*) AS BIGINT) AS n,
-       |    CAST(SUM(label) AS BIGINT) AS pos
-       |  FROM scored GROUP BY 1),
-       |filled AS (
-       |  SELECT s.i AS t10, COALESCE(a.n, 0) AS n, COALESCE(a.pos, 0) AS pos
-       |  FROM range(0, 10) s(i) LEFT JOIN agg a ON a.bin = s.i),
-       |cum AS (
-       |  SELECT t10,
-       |    CAST(SUM(pos) OVER (ORDER BY t10 DESC
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
-       |    CAST(SUM(n - pos) OVER (ORDER BY t10 DESC
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp,
-       |    CAST(SUM(pos) OVER () AS BIGINT) AS allpos
-       |  FROM filled)
-       |SELECT CAST(t10 AS INT) AS t10, tp, fp, (allpos - tp) AS fn,
-       |  CASE WHEN tp + fp = 0 THEN NULL
-       |       ELSE ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS prec,
-       |  CASE WHEN allpos = 0 THEN NULL
-       |       ELSE ROUND(CAST(tp AS DOUBLE) / allpos, 6) END AS rec,
-       |  CASE WHEN 2 * tp + fp + (allpos - tp) = 0 THEN NULL
-       |       ELSE ROUND(2.0 * tp / (2 * tp + fp + (allpos - tp)), 6) END AS f1
-       |FROM cum ORDER BY t10""".stripMargin
-
-  // ---------------------------------------------------------------- q209
-  /** Exact ROC-AUC of the trained quality classifier — the
-    * threshold-free ranking metric completing the q207/q208 eval
-    * family (Hanley & McNeil 1982: AUC = P(score⁺ > score⁻), the
-    * Mann-Whitney U statistic). Computed EXACTLY from the pair
-    * identity: 2·U = Σ_groups 2·pos_g·cumneg_<g + pos_g·neg_g (ties
-    * count half, kept integer by the doubling), over per-distinct-
-    * score groups; AUC = 2U / (2·npos·nneg), one rational rounded
-    * at 6.
-    *
-    * Scale shape: the pool reduces to per-distinct-score groups in
-    * one partial aggregation; the cumulative negative count below
-    * each group is [[graft.operators.GlobalRank.withPrefixSum]] —
-    * range-repartitioned, per-partition windowed, offset by a
-    * partition-count-sized table — so NO data-sized single-partition
-    * window anywhere (a naked `SUM() OVER (ORDER BY score)` would be
-    * exactly the cliff the GlobalRank family removes). The (npos,
-    * nneg) totals ride a 1-row broadcast. 2·npos·nneg overflows
-    * int64 beyond ~2·10⁹ positives×negatives — widen the U sum to
-    * decimal at that scale (q172's documented trade).
-    */
-  def q209(spark: SparkSession, sfDir: String): DataFrame = {
-    val scored = classifierScored(spark, sfDir)
-    val groups = scored.groupBy(col("score"))
-      .agg(sum(col("label")).cast("long").as("pos_g"),
-        sum(lit(1L) - col("label")).cast("long").as("neg_g"))
-    val withCum = graft.operators.GlobalRank
-      .withPrefixSum(groups, Seq(col("score")), "neg_g", "cumneg")
-    val tot = scored.agg(sum(col("label")).cast("long").as("npos"),
-      sum(lit(1L) - col("label")).cast("long").as("nneg"))
-    withCum
-      .select((lit(2L) * col("pos_g") * col("cumneg") +
-        col("pos_g") * col("neg_g")).as("u2"))
-      .agg(sum(col("u2")).as("u2"))
-      .crossJoin(broadcast(tot))
-      .select(col("npos"), col("nneg"),
-        (col("npos") * col("nneg")).as("pairs"),
-        round(col("u2").cast("double") /
-          (lit(2.0) * col("npos") * col("nneg")), 6).as("auc"))
-  }
-
-  val q209Sql: String =
-    s"""$q203Ctes,
-       |groups AS (
-       |  SELECT score, CAST(SUM(label) AS BIGINT) AS pos_g,
-       |    CAST(SUM(1 - label) AS BIGINT) AS neg_g
-       |  FROM scored GROUP BY score),
-       |cum AS (
-       |  SELECT pos_g, neg_g,
-       |    CAST(COALESCE(SUM(neg_g) OVER (ORDER BY score
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumneg
-       |  FROM groups),
-       |tot AS (
-       |  SELECT CAST(SUM(label) AS BIGINT) AS npos,
-       |    CAST(SUM(1 - label) AS BIGINT) AS nneg
-       |  FROM scored),
-       |u AS (SELECT CAST(SUM(2 * pos_g * cumneg + pos_g * neg_g) AS BIGINT) AS u2 FROM cum)
-       |SELECT npos, nneg, (npos * nneg) AS pairs,
-       |  ROUND(CAST(u2 AS DOUBLE) / (2.0 * npos * nneg), 6) AS auc
-       |FROM u CROSS JOIN tot""".stripMargin
 
   // ---------------------------------------------------------------- q210
   /** Interpolated Kneser–Ney bigram probabilities
@@ -2499,343 +1719,6 @@ object Text {
        |  entropy >= ${math.log(3.0)} AS entropy_ok
        |FROM t ORDER BY c_nationkey, c_mktsegment""".stripMargin
 
-  // ---------------------------------------------------------------- q218
-  /** Dirichlet-smoothed query-likelihood retrieval
-    * ([[graft.llm.Lexical.qldSearch]], μ = 2000, same query terms as
-    * q90) — the language-modeling ranking family beside BM25's
-    * probabilistic-relevance family: a candidate is scored on every
-    * query term, missing terms contributing their background
-    * probability, which is what makes partial matches rank sensibly.
-    */
-  def q218(spark: SparkSession, sfDir: String): DataFrame =
-    graft.llm.Lexical.qldSearch(docs(spark, sfDir), "doc_id", "text",
-      Seq("spark", "vector", "customer"), topK = 20)
-
-  val q218Sql: String =
-    """WITH toks AS (
-      |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
-      |    unnest(string_split(text, ' ')) AS tok FROM documents),
-      |qt AS (SELECT * FROM toks WHERE tok IN ('spark', 'vector', 'customer')),
-      |hits AS (SELECT doc_id, dl, tok, CAST(COUNT(*) AS BIGINT) AS tf
-      |         FROM qt GROUP BY 1, 2, 3),
-      |cf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cf FROM qt GROUP BY tok),
-      |corpus AS (SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tt
-      |           FROM documents),
-      |sp AS (SELECT c.doc_id, c.dl, cf.tok, cf.cf
-      |       FROM (SELECT DISTINCT doc_id, dl FROM hits) c CROSS JOIN cf),
-      |sc AS (SELECT sp.doc_id, sp.dl, sp.tok, sp.cf, COALESCE(h.tf, 0) AS tf
-      |       FROM sp LEFT JOIN hits h
-      |         ON sp.doc_id = h.doc_id AND sp.tok = h.tok)
-      |SELECT doc_id,
-      |  CAST(COUNT(CASE WHEN tf > 0 THEN 1 END) AS INT) AS n_terms,
-      |  ROUND(CAST(SUM(CAST(ROUND(ln(
-      |    (CAST(tf AS DOUBLE) + 2000.0 * CAST(cf AS DOUBLE) / tt) /
-      |    (CAST(dl AS DOUBLE) + 2000.0)), 9) AS DECIMAL(27,9))) AS DOUBLE), 6) AS score
-      |FROM sc CROSS JOIN corpus
-      |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
-
-  // ---------------------------------------------------------------- q220
-  /** Split-conformal calibration of the trained classifier (Vovk et
-    * al. 2005; the Angelopoulos & Bates 2023 split recipe) — the
-    * distribution-free uncertainty layer that completes the q203
-    * evaluation suite: a deterministic 20% calibration split
-    * (doc_id mod 5), nonconformity = 1 − score of the TRUE class,
-    * conformal threshold = the ⌈(n+1)(1−α)⌉-th smallest calibration
-    * nonconformity at α = 0.1 (an exact order statistic via
-    * [[graft.operators.GlobalRank]] — partition-parallel, never a
-    * single-partition sort), then the two conformal guarantees
-    * measured on the held-out 80%: achieved coverage (≥ 1−α in
-    * expectation under exchangeability) and mean prediction-set size
-    * (the efficiency metric — a set of 2 on a binary task means the
-    * classifier abstained). Every comparison is between scale-9
-    * doubles both engines compute identically.
-    */
-  def q220(spark: SparkSession, sfDir: String): DataFrame = {
-    val withE = classifierScored(spark, sfDir)
-      .withColumn("e_true", when(col("label") === 1,
-        round(lit(1.0) - col("score"), 9)).otherwise(col("score")))
-    val cal = withE.where(col("doc_id") % 5 === 0)
-    val hold = withE.where(col("doc_id") % 5 =!= 0)
-    val nc = cal.agg(count(lit(1)).as("n_cal"))
-    val thr = graft.operators.GlobalRank
-      .withGlobalRank(cal.select(col("doc_id"), col("e_true")),
-        Seq(col("e_true"), col("doc_id")), "rk")
-      .crossJoin(broadcast(nc))
-      .where(col("rk") === expr("(9 * (n_cal + 1) + 9) div 10"))
-      .select(col("n_cal"), col("rk").as("m"), col("e_true").as("thr"))
-    hold.crossJoin(broadcast(thr))
-      .groupBy(col("n_cal"), col("m"), col("thr"))
-      .agg(count(lit(1)).as("n_eval"),
-        round(sum(when(col("e_true") <= col("thr"), 1L).otherwise(0L)) /
-          count(lit(1)).cast("double"), 6).as("coverage"),
-        round(sum(when(round(lit(1.0) - col("score"), 9) <= col("thr"), 1L)
-            .otherwise(0L) +
-          when(col("score") <= col("thr"), 1L).otherwise(0L)) /
-          count(lit(1)).cast("double"), 6).as("avg_set_size"))
-      .select(col("n_cal"), col("m"), col("thr"), col("n_eval"),
-        col("coverage"), col("avg_set_size"))
-  }
-
-  val q220Sql: String =
-    s"""$q203Ctes,
-       |ev AS (
-       |  SELECT doc_id, label, score,
-       |    CASE WHEN label = 1 THEN ROUND(1.0 - score, 9) ELSE score END AS e_true
-       |  FROM scored),
-       |cal AS (SELECT * FROM ev WHERE doc_id % 5 = 0),
-       |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal),
-       |rkd AS (
-       |  SELECT e_true,
-       |    ROW_NUMBER() OVER (ORDER BY e_true, doc_id) AS rk
-       |  FROM cal),
-       |th AS (
-       |  SELECT n_cal, CAST(rk AS BIGINT) AS m, e_true AS thr
-       |  FROM rkd CROSS JOIN nc
-       |  WHERE rk = (9 * (n_cal + 1) + 9) // 10),
-       |hold AS (SELECT * FROM ev WHERE doc_id % 5 <> 0)
-       |SELECT n_cal, m, thr, CAST(COUNT(*) AS BIGINT) AS n_eval,
-       |  ROUND(SUM(CASE WHEN e_true <= thr THEN 1 ELSE 0 END) /
-       |    CAST(COUNT(*) AS DOUBLE), 6) AS coverage,
-       |  ROUND(SUM((CASE WHEN ROUND(1.0 - score, 9) <= thr THEN 1 ELSE 0 END) +
-       |            (CASE WHEN score <= thr THEN 1 ELSE 0 END)) /
-       |    CAST(COUNT(*) AS DOUBLE), 6) AS avg_set_size
-       |FROM hold CROSS JOIN th
-       |GROUP BY n_cal, m, thr""".stripMargin
-
-  // ------------------------------------------------------ q223/q224/q225
-  // Unigram-LM tokenizer (SentencePiece family) — oracle CTE builders.
-  // The DP unrolls over word positions (words are truncated to
-  // UnigramMaxW codepoints BEFORE the distinct, both engines), each
-  // position joining the ≤ UnigramMaxP prior best-states against the
-  // round's vocabulary; backtracking unrolls the same depth. Every
-  // stage is MATERIALIZED: the b-chain references each prior level up
-  // to 4 times and DuckDB's default CTE inlining would re-expand it
-  // exponentially (the q222 lesson).
-  private val UnigramMaxW = 12 // max word codepoints (bounds the DP unroll)
-  private val UnigramMaxP = 4  // max piece codepoints
-  private val UnigramMulti = 64 // multi-char seed vocabulary size
-  private val UnigramRounds = 2 // hard-EM rounds
-
-  /** One Viterbi DP + backtrack over `dw` against vocabulary scores
-    * `lpTab`, producing `{p}pieces` = (word, k, piece) with k the
-    * 1-based step FROM THE WORD END. */
-  private def unigramDpCtes(p: String, lpTab: String): String = {
-    val bs = (1 to UnigramMaxW).map { i =>
-      val priors = (math.max(0, i - UnigramMaxP) until i)
-        .map(j => s"SELECT * FROM ${p}b$j").mkString(" UNION ALL ")
-      s"""${p}b$i AS MATERIALIZED (
-         |  SELECT word, i, s, j FROM (
-         |    SELECT b.word, $i AS i, b.s + v.lp AS s, b.i AS j,
-         |      ROW_NUMBER() OVER (PARTITION BY b.word
-         |        ORDER BY b.s + v.lp DESC, b.i) AS rn
-         |    FROM ($priors) b
-         |    JOIN $lpTab v ON v.piece = substr(b.word, b.i + 1, $i - b.i)
-         |    WHERE length(b.word) >= $i) WHERE rn = 1)""".stripMargin
-    }
-    val ball = s"""${p}ball AS MATERIALIZED (${(1 to UnigramMaxW)
-      .map(i => s"SELECT * FROM ${p}b$i").mkString(" UNION ALL ")})"""
-    val ts = (1 to UnigramMaxW).map { k =>
-      s"""${p}p$k AS MATERIALIZED (
-         |  SELECT t.word, b.j, t.i, $k AS k,
-         |    substr(t.word, b.j + 1, t.i - b.j) AS piece
-         |  FROM ${p}t${k - 1} t JOIN ${p}ball b ON b.word = t.word AND b.i = t.i
-         |  WHERE t.i > 0),
-         |${p}t$k AS (SELECT word, j AS i FROM ${p}p$k)""".stripMargin
-    }
-    val pieces = s"""${p}pieces AS MATERIALIZED (${(1 to UnigramMaxW)
-      .map(i => s"SELECT word, k, piece FROM ${p}p$i").mkString(" UNION ALL ")})"""
-    (s"""${p}b0 AS MATERIALIZED (
-        |  SELECT word, 0 AS i, CAST(0 AS DECIMAL(27,9)) AS s, 0 AS j FROM dw)""".stripMargin
-      +: bs) ++ Seq(
-      ball,
-      s"${p}t0 AS (SELECT word, length(word) AS i FROM dw)") ++
-      ts :+ pieces
-  }.mkString(",\n")
-
-  /** lp table of a vocabulary CTE: portable-log piece scores. */
-  private def unigramLpCte(name: String, vocab: String): String =
-    s"""$name AS MATERIALIZED (
-       |  SELECT piece,
-       |    CAST(ROUND(ln(CAST(cnt AS DOUBLE) / t.t), 9) AS DECIMAL(27,9)) AS lp
-       |  FROM $vocab CROSS JOIN
-       |    (SELECT CAST(SUM(cnt) AS DOUBLE) AS t FROM $vocab) t)""".stripMargin
-
-  /** The full training chain: corpus → seed → `UnigramRounds` of
-    * (lp → DP → votes → pruned/floored vocab). Ends at v$UnigramRounds. */
-  private def unigramTrainCtes: String = {
-    val head =
-      s"""w0 AS MATERIALIZED (
-         |  SELECT substr(word, 1, $UnigramMaxW) AS word,
-         |    CAST(COUNT(*) AS BIGINT) AS freq
-         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-         |  WHERE length(word) > 0 GROUP BY 1),
-         |dw AS MATERIALIZED (SELECT word FROM w0),
-         |sub AS MATERIALIZED (
-         |  SELECT substr(word, s.i + 1, l.j) AS piece,
-         |    CAST(SUM(freq) AS BIGINT) AS cnt
-         |  FROM w0 CROSS JOIN range(0, $UnigramMaxW) s(i)
-         |    CROSS JOIN range(1, ${UnigramMaxP + 1}) l(j)
-         |  WHERE s.i + l.j <= length(word) GROUP BY 1),
-         |v0 AS MATERIALIZED (
-         |  SELECT piece, cnt FROM sub WHERE length(piece) = 1
-         |  UNION ALL
-         |  SELECT piece, cnt FROM (
-         |    SELECT piece, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rn
-         |    FROM sub WHERE length(piece) >= 2) WHERE rn <= $UnigramMulti)""".stripMargin
-    val rounds = (1 to UnigramRounds).map { r =>
-      s"""${unigramLpCte(s"lp${r - 1}", s"v${r - 1}")},
-         |${unigramDpCtes(s"r${r}_", s"lp${r - 1}")},
-         |votes$r AS MATERIALIZED (
-         |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
-         |  FROM r${r}_pieces JOIN w0 USING (word) GROUP BY piece),
-         |v$r AS MATERIALIZED (
-         |  SELECT v.piece, GREATEST(COALESCE(vt.cnt, 0), 1) AS cnt
-         |  FROM v${r - 1} v LEFT JOIN votes$r vt USING (piece)
-         |  WHERE length(v.piece) = 1
-         |  UNION ALL
-         |  SELECT v.piece, vt.cnt FROM v${r - 1} v JOIN votes$r vt USING (piece)
-         |  WHERE length(v.piece) >= 2)""".stripMargin
-    }
-    (head +: rounds).mkString(",\n")
-  }
-
-  /** Encode chain on top of training: segment `dw` under the final
-    * vocabulary and aggregate per-word piece stats. */
-  private def unigramEncodeCtes: String =
-    s"""${unigramLpCte("lpf", s"v$UnigramRounds")},
-       |${unigramDpCtes("enc_", "lpf")},
-       |wnp AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS np
-       |        FROM enc_pieces GROUP BY word),
-       |wfp AS MATERIALIZED (
-       |  SELECT p.word, ANY_VALUE(w.np) AS np,
-       |    CAST(SUM((w.np - p.k + 1) *
-       |      (${graft.functions.PolyHash.duckdbSql("p.piece")})) AS BIGINT) AS fp,
-       |    CASE WHEN string_agg(p.piece, '' ORDER BY p.k DESC) = p.word
-       |         THEN 0 ELSE 1 END AS rt_fail
-       |  FROM enc_pieces p JOIN wnp w USING (word) GROUP BY p.word)""".stripMargin
-
-  /** Unigram-LM tokenizer TRAINING ([[graft.llm.UnigramLM.train]]):
-    * all-substring seed vocabulary (every char + top-64 multi-char by
-    * weighted count), then 2 rounds of determinized Viterbi hard-EM —
-    * segment every distinct word under ln(c/T) scores (portable-log
-    * fixed-point, exact max-plus DP), recount pieces from the Viterbi
-    * segmentations, prune unused multi-char pieces, floor chars at 1.
-    * Output: the final (piece, cnt) vocabulary. The oracle unrolls
-    * the ENTIRE training — seed, both DP/backtrack rounds, prune —
-    * as ~90 materialized CTEs, so seeding, scoring, tie-breaks,
-    * pruning and the char floor are all hash-checked.
-    */
-  def q223(spark: SparkSession, sfDir: String): DataFrame = {
-    val s = spark
-    import s.implicits._
-    graft.llm.UnigramLM
-      .train(docs(spark, sfDir), "text", rounds = UnigramRounds,
-        maxWordLen = UnigramMaxW, maxPieceLen = UnigramMaxP,
-        maxMulti = UnigramMulti)
-      .map(p => (p.piece, p.cnt)).toDF("piece", "cnt")
-      .orderBy(col("piece"))
-  }
-
-  val q223Sql: String =
-    s"""WITH $unigramTrainCtes
-       |SELECT piece, cnt FROM v$UnigramRounds ORDER BY piece""".stripMargin
-
-  /** Unigram-LM ENCODE + round-trip ([[graft.llm.UnigramLM.encode]] /
-    * `decode`): the trained tokenizer segments the corpus; per
-    * document the query pins the word count, total piece count, an
-    * order-sensitive fingerprint Σ (piece_index+1)·poly_hash(piece)
-    * over every word's segmentation, and the number of words whose
-    * pieces do NOT concatenate back to the word (must be 0 — the
-    * decode identity, asserted through real data rather than by
-    * construction). Scale: train on the distinct-word table, one
-    * broadcast of the word→pieces map onto the token stream.
-    */
-  def q224(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = docs(spark, sfDir)
-    val vocab = graft.llm.UnigramLM.train(d, "text", rounds = UnigramRounds,
-      maxWordLen = UnigramMaxW, maxPieceLen = UnigramMaxP,
-      maxMulti = UnigramMulti)
-    val wp = graft.llm.UnigramLM
-      .wordPieces(d, "text", vocab, UnigramMaxW, UnigramMaxP)
-      .localCheckpoint() // one segmentation pass, three consumers
-    val wordStats = wp
-      .select(col("word"), posexplode(col("pieces")).as(Seq("ppos", "piece")))
-      .groupBy(col("word"))
-      .agg(count(lit(1)).as("np"),
-        sum((col("ppos") + 1) * GraftFunctions.polyHash("piece")).as("fp"))
-      .join(wp.select(col("word"),
-        when(concat_ws("", col("pieces")) === col("word"), 0L)
-          .otherwise(1L).as("rt_fail")), "word")
-    d.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .where(col("w") =!= "")
-      .select(col("doc_id"), substring(col("w"), 1, UnigramMaxW).as("word"))
-      .join(broadcast(wordStats), "word")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"),
-        sum(col("fp")).as("fp"), sum(col("rt_fail")).as("n_rt_fail"))
-      .orderBy(col("doc_id"))
-  }
-
-  val q224Sql: String =
-    s"""WITH $unigramTrainCtes,
-       |$unigramEncodeCtes,
-       |toks AS (
-       |  SELECT doc_id, substr(word, 1, $UnigramMaxW) AS word
-       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-       |        FROM documents)
-       |  WHERE length(word) > 0)
-       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
-       |  CAST(SUM(np) AS BIGINT) AS n_pieces,
-       |  CAST(SUM(fp) AS BIGINT) AS fp,
-       |  CAST(SUM(rt_fail) AS BIGINT) AS n_rt_fail
-       |FROM toks JOIN wfp USING (word)
-       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
-
-  /** q162's fertility/compression evaluation RERUN under the unigram
-    * tokenizer — the cross-family comparison the two-tokenizer engine
-    * exists for (BPE fertility: q162). Stats are over the
-    * truncated-word corpus the tokenizer is defined on: n_words,
-    * pieces per word (fertility), characters per piece (compression),
-    * per language.
-    */
-  def q225(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = docs(spark, sfDir)
-    val vocab = graft.llm.UnigramLM.train(d, "text", rounds = UnigramRounds,
-      maxWordLen = UnigramMaxW, maxPieceLen = UnigramMaxP,
-      maxMulti = UnigramMulti)
-    val wp = graft.llm.UnigramLM
-      .wordPieces(d, "text", vocab, UnigramMaxW, UnigramMaxP)
-      .select(col("word"), size(col("pieces")).cast("long").as("np"))
-    d.select(col("lang"), explode(split(col("text"), " ")).as("w"))
-      .where(col("w") =!= "")
-      .select(col("lang"), substring(col("w"), 1, UnigramMaxW).as("word"))
-      .join(broadcast(wp), "word")
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"),
-        sum(length(col("word")).cast("long")).as("n_chars"))
-      .select(col("lang"), col("n_words"), col("n_pieces"), col("n_chars"),
-        round(col("n_pieces") / col("n_words").cast("double"), 6).as("fertility"),
-        round(col("n_chars") / col("n_pieces").cast("double"), 6)
-          .as("chars_per_piece"))
-      .orderBy(col("lang"))
-  }
-
-  val q225Sql: String =
-    s"""WITH $unigramTrainCtes,
-       |$unigramEncodeCtes,
-       |toks AS (
-       |  SELECT lang, substr(word, 1, $UnigramMaxW) AS word
-       |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
-       |        FROM documents)
-       |  WHERE length(word) > 0)
-       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
-       |  CAST(SUM(np) AS BIGINT) AS n_pieces,
-       |  CAST(SUM(length(word)) AS BIGINT) AS n_chars,
-       |  ROUND(SUM(np) / CAST(COUNT(*) AS DOUBLE), 6) AS fertility,
-       |  ROUND(SUM(length(word)) / CAST(SUM(np) AS DOUBLE), 6) AS chars_per_piece
-       |FROM toks JOIN wfp USING (word)
-       |GROUP BY lang ORDER BY lang""".stripMargin
-
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q34_token_stats", q34 _, Some(q34Sql)),
     ("q35_lang_id_confusion", q35 _, Some(q35Sql)),
@@ -2845,34 +1728,23 @@ object Text {
     ("q59_repetition_quality", q59 _, Some(q59Sql)),
     ("q63_pii_redaction", q63 _, Some(q63Sql)),
     ("q65_vocab_encode", q65 _, Some(q65Sql)),
-    ("q66_tfidf_search", q66 _, Some(q66Sql)),
     ("q67_chunk_windows", q67 _, Some(q67Sql)),
     ("q70_sequence_pack", q70 _, Some(q70Sql)),
     ("q74_bigram_model", q74 _, Some(q74Sql)),
     ("q85_heavy_hitters", q85 _, Some(q85Sql)),
     ("q89_bigram_surprise", q89 _, Some(q89Sql)),
-    ("q90_bm25_search", q90 _, Some(q90Sql)),
     ("q91_domain_quota", q91 _, Some(q91Sql)),
     ("q97_chisq_independence", q97 _, Some(q97Sql)),
     ("q100_weighted_allocation", q100 _, Some(q100Sql)),
-    ("q112_bpe_merges", q112 _, Some(q112Sql)),
     ("q114_lineformat_roundtrip", q114 _, Some(q114Sql)),
     ("q168_xml_roundtrip", q168 _, Some(q168Sql)),
-    ("q120_bpe_encode", q120 _, Some(q120Sql)),
     ("q127_temperature_mixture", q127 _, Some(q127Sql)),
     ("q128_tokenize_pack", q128 _, Some(q128Sql)),
     ("q133_lm_examples", q133 _, Some(q133Sql)),
-    ("q137_phrase_search", q137 _, Some(q137Sql)),
     ("q144_weighted_sample", q144 _, Some(q144Sql)),
     ("q145_k_anonymity", q145 _, Some(q145Sql)),
     ("q148_fd_audit", q148 _, Some(q148Sql)),
     ("q152_skipgram_pairs", q152 _, Some(q152Sql)),
-    ("q158_rrf_fusion", q158 _, Some(q158Sql)),
-    // oracle = q90's full-corpus BM25: merged sufficient statistics
-    // must reproduce the from-scratch ranking exactly (q122's
-    // reuse-the-batch-oracle precedent)
-    ("q159_bm25_incremental", q159 _, Some(q90Sql)),
-    ("q162_tokenizer_fertility", q162 _, Some(q162Sql)),
     ("q163_collocation_lift", q163 _, Some(q163Sql)),
     ("q172_dsir_sample", q172 _, Some(q172Sql)),
     ("q173_lm_quality_filter", q173 _, Some(q173Sql)),
@@ -2880,36 +1752,14 @@ object Text {
     ("q180_zipf_fit", q180 _, Some(q180Sql)),
     ("q186_blocklist_filter", q186 _, Some(q186Sql)),
     ("q187_source_kl_divergence", q187 _, Some(q187Sql)),
-    // oracle = q90's exhaustive BM25: the MaxScore prune must
-    // reproduce the full ranking exactly (the q159/q122 precedent of
-    // sharing the unpruned oracle)
-    ("q188_bm25_maxscore", q188 _, Some(q90Sql)),
-    // oracle = q90's exhaustive BM25 again: the champion-list serving
-    // path (or its provably-needed fallback) must reproduce the full
-    // ranking exactly
-    ("q189_bm25_champion_lists", q189 _, Some(q90Sql)),
     ("q197_ngram_novelty", q197 _, Some(q197Sql)),
     // oracle = q197's: the incrementally-built window store must
     // converge to the one-shot train-window set (the q183/q198
     // shared-oracle precedent)
     ("q200_novelty_store", q200 _, Some(q197Sql)),
-    ("q203_quality_classifier", q203 _, Some(q203Sql)),
-    ("q204_bpe_decode_roundtrip", q204 _, Some(q204Sql)),
-    // oracle = q203's: streamed frozen-weight scoring must reproduce
-    // the one-shot corpus scoring row-for-row (the q159/q188/q198
-    // shared-oracle precedent)
-    ("q206_stream_quality_scoring", q206 _, Some(q203Sql)),
-    ("q207_classifier_calibration", q207 _, Some(q207Sql)),
-    ("q208_threshold_sweep", q208 _, Some(q208Sql)),
-    ("q209_classifier_auc", q209 _, Some(q209Sql)),
     ("q210_kneser_ney_bigram", q210 _, Some(q210Sql)),
     ("q213_unicode_normalize", q213 _, Some(q213Sql)),
-    ("q215_l_diversity", q215 _, Some(q215Sql)),
-    ("q218_qld_search", q218 _, Some(q218Sql)),
-    ("q220_conformal_coverage", q220 _, Some(q220Sql)),
-    ("q223_unigram_train", q223 _, Some(q223Sql)),
-    ("q224_unigram_encode_roundtrip", q224 _, Some(q224Sql)),
-    ("q225_unigram_fertility", q225 _, Some(q225Sql))
+    ("q215_l_diversity", q215 _, Some(q215Sql))
   )
 
 }

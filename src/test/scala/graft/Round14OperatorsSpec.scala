@@ -55,7 +55,7 @@ class Round14OperatorsSpec extends AnyFunSuite {
       .where($"text" =!= $"ref").count()
     assert(bad == 0, s"$bad documents failed the decode round-trip")
     // and the declared query agrees: zero round-trip failures
-    val fails = graft.queries.Text.q224(s, sfDir)
+    val fails = graft.queries.TextTokenizers.q224(s, sfDir)
       .agg(org.apache.spark.sql.functions.sum("n_rt_fail")).head().getLong(0)
     assert(fails == 0)
   }
