@@ -34,7 +34,15 @@ object Bench {
     // per-query state cleanup so accumulated caches / memory-sink
     // tables from earlier queries don't tax later timings
     def resetState(): Unit = {
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // SQL-level cache entries first (CacheManager holds references
+      // that keep InMemoryRelations alive even after the RDD-level
+      // unpersist below), then any remaining persistent RDDs —
+      // BLOCKING, so a queued async unpersist can't overlap the next
+      // query's timed region (round-15 found the q16x–q20x bench
+      // region reading ~3× its isolated time from exactly this
+      // accumulated debris)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       spark.catalog.listTables().collect()
         .filter(_.isTemporary).foreach(t => spark.catalog.dropTempView(t.name))
       // broadcast blocks are only reclaimed when their driver-side

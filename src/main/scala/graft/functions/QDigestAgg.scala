@@ -122,6 +122,13 @@ object QDigestBuf {
   * partitions × distinct-buckets rows; the single deterministic
   * compression runs at eval. Output: sorted array<struct<lvl, idx,
   * cnt>>.
+  *
+  * `levels` is capped at 20: the buffer being the UNCOMPRESSED leaf
+  * histogram, a partial's worst case is 2^levels entries (~16 MB
+  * serialized at 20) — past that the "bounded by the universe" size
+  * argument stops bounding anything useful. Wider domains should
+  * pre-bucket (divide) into a ≤2^20 universe first; the digest's
+  * rank envelope is over buckets either way.
   */
 case class QDigestSketchAgg(
     child: Expression, levels: Int, k: Int,
@@ -134,10 +141,10 @@ case class QDigestSketchAgg(
   override def prettyName: String = "qdigest_sketch"
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == LongType && levels >= 1 && levels <= 30 && k >= 1)
+    if (child.dataType == LongType && levels >= 1 && levels <= 20 && k >= 1)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"qdigest_sketch requires (bigint bucket, 1<=levels<=30, k>=1), " +
+      s"qdigest_sketch requires (bigint bucket, 1<=levels<=20, k>=1), " +
         s"got ${child.dataType.sql}")
 
   override def createAggregationBuffer(): QDigestBuf = new QDigestBuf(levels, k)
@@ -193,11 +200,11 @@ case class QDigestMergeAgg(
           Seq(("lvl", IntegerType), ("idx", LongType), ("cnt", LongType))
       case _ => false
     }
-    if (ok && levels >= 1 && levels <= 30 && k >= 1)
+    if (ok && levels >= 1 && levels <= 20 && k >= 1)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"qdigest_merge requires (array<struct<lvl int, idx bigint, cnt " +
-        s"bigint>>, 1<=levels<=30, k>=1), got ${child.dataType.sql}")
+        s"bigint>>, 1<=levels<=20, k>=1), got ${child.dataType.sql}")
   }
 
   override def createAggregationBuffer(): QDigestBuf = new QDigestBuf(levels, k)

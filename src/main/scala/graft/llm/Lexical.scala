@@ -248,17 +248,31 @@ object Lexical {
     */
   def appendBm25Batch(df: DataFrame, idCol: String, textCol: String,
                       storePath: String): Unit = {
+    // ONE tokenize pass feeds all three substores: the postings (the
+    // partially-aggregated sufficient statistics, no text) are pinned
+    // and dfreq/stats derive from the pin — the three separate write
+    // actions otherwise re-ran the scan+explode+aggregate per substore
+    // (3 corpus passes per append; q159 paid 9). Guide §2.4 (remove
+    // repeated passes) + §5 (persist only the reused, reduced table).
+    // stats from postings: (id, dl) is one row per document (dl is
+    // functionally dependent on the id; split of a non-null text is
+    // never empty, so every document owns ≥1 posting row), so
+    // nd = row count and tt = Σ dl over that projection — identical
+    // values to the direct-from-text aggregate they replace.
     val postings = df.select(col(idCol), split(col(textCol), " ").as("t"))
       .select(col(idCol), size(col("t")).cast("long").as("dl"),
         explode(col("t")).as("tok"))
       .groupBy(col(idCol), col("dl"), col("tok"))
       .agg(count(lit(1)).as("tf"))
-    postings.write.mode("append").parquet(s"$storePath/postings")
-    postings.groupBy(col("tok")).agg(count(lit(1)).as("dft"))
-      .write.mode("append").parquet(s"$storePath/dfreq")
-    df.select(size(split(col(textCol), " ")).cast("long").as("dl"))
-      .agg(count(lit(1)).as("nd"), sum(col("dl")).as("tt"))
-      .write.mode("append").parquet(s"$storePath/stats")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      postings.write.mode("append").parquet(s"$storePath/postings")
+      postings.groupBy(col("tok")).agg(count(lit(1)).as("dft"))
+        .write.mode("append").parquet(s"$storePath/dfreq")
+      postings.groupBy(col(idCol)).agg(first(col("dl")).as("dl"))
+        .agg(count(lit(1)).as("nd"), sum(col("dl")).as("tt"))
+        .write.mode("append").parquet(s"$storePath/stats")
+    } finally postings.unpersist(blocking = false)
   }
 
   /** BM25 top-k served straight from an [[appendBm25Batch]] store:

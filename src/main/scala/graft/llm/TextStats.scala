@@ -192,7 +192,12 @@ object TextStats {
       .select(explode(expr(
         "transform(slice(t, 1, size(t) - 1), (w, i) -> struct(w AS w1, t[i + 1] AS w2))")).as("p"))
       .select(col("p.w1"), col("p.w2"))
+    // the model (vocabulary²-bounded) materializes once — its FOUR
+    // consumers below (ctx, cont, types, the join spine) would
+    // otherwise each re-run the final aggregate over the (reused)
+    // pair-stream exchange; the bigramSurprise pin, same reasoning
     val counts = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val ctx = counts.groupBy(col("w1"))
       .agg(sum(col("cnt")).as("ctx_cnt"), count(lit(1)).as("n1p_left"))
     val cont = counts.groupBy(col("w2")).agg(count(lit(1)).as("cont_cnt"))

@@ -141,13 +141,12 @@ object CountMin {
   private def writeHighWater(spark: org.apache.spark.sql.SparkSession,
                              store: String, id: Long): Unit = {
     val marker = new org.apache.hadoop.fs.Path(s"$store/compacted_upto")
-    val tmp = new org.apache.hadoop.fs.Path(s"$store/compacted_upto.tmp")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(tmp, true)
+    // single create-overwrite publish (see QDigest.writeHighWater):
+    // the delete-then-rename it replaces left a no-marker crash
+    // window in which a replayed batch would double-count.
+    val out = fs.create(marker, true)
     try out.write(id.toString.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(marker)) fs.delete(marker, false)
-    if (!fs.rename(tmp, marker))
-      throw new java.io.IOException(s"cannot publish high-water mark $marker")
   }
 
   /** The store's merged grid: every persisted partial summed

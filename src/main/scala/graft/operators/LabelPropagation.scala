@@ -43,29 +43,36 @@ object LabelPropagation {
     * @return (node, label) after `iters` rounds
     */
   def run(edges: DataFrame, iters: Int): DataFrame = {
+    // the edge table is |E|-bounded narrow longs and feeds EVERY
+    // round's vote join (each round is its own checkpoint action) —
+    // persist it or the upstream edge derivation (a distinct over the
+    // source fact table in q211) re-runs once per round
     val e = edges.select(col("src"), col("dst"))
-    var labels = e.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-    for (_ <- 1 to iters) {
-      val votes = e
-        .join(labels.withColumnRenamed("node", "dst"), "dst")
-        .groupBy(col("src"), col("label"))
-        .agg(count(lit(1)).as("cnt"))
-      val winners = votes
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("src"))
-            .orderBy(col("cnt").desc, col("label"))))
-        .where(col("rk") === 1)
-        .select(col("src").as("node"), col("label").as("new_label"))
-      // `labels` feeds BOTH the vote join above and the keep-prior
-      // coalesce below — pin it each round or the plan self-references
-      // twice per round and replays ~2^rounds times (the classifier
-      // lineage trap, round 13)
-      labels = labels.join(winners, Seq("node"), "left")
-        .select(col("node"),
-          coalesce(col("new_label"), col("label")).as("label"))
-        .localCheckpoint()
-    }
-    labels
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = e.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node"))
+      for (_ <- 1 to iters) {
+        val votes = e
+          .join(labels.withColumnRenamed("node", "dst"), "dst")
+          .groupBy(col("src"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+        val winners = votes
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("src"))
+              .orderBy(col("cnt").desc, col("label"))))
+          .where(col("rk") === 1)
+          .select(col("src").as("node"), col("label").as("new_label"))
+        // `labels` feeds BOTH the vote join above and the keep-prior
+        // coalesce below — pin it each round or the plan self-references
+        // twice per round and replays ~2^rounds times (the classifier
+        // lineage trap, round 13)
+        labels = labels.join(winners, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("new_label"), col("label")).as("label"))
+          .localCheckpoint()
+      }
+      labels
+    } finally e.unpersist(blocking = false)
   }
 }

@@ -132,13 +132,16 @@ object QDigest {
   private def writeHighWater(spark: org.apache.spark.sql.SparkSession,
                              store: String, id: Long): Unit = {
     val marker = new org.apache.hadoop.fs.Path(s"$store/compacted_upto")
-    val tmp = new org.apache.hadoop.fs.Path(s"$store/compacted_upto.tmp")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(tmp, true)
+    // single create-overwrite publish: the delete-then-rename this
+    // replaces had a crash window (marker deleted, rename not yet
+    // done) in which NO marker existed while compaction had already
+    // removed old batch_ dirs — a replayed batch would re-append mass
+    // already folded into the compacted histogram. A crash mid-write
+    // now leaves a partial marker that fails highWater's toLong
+    // loudly instead of silently double-counting.
+    val out = fs.create(marker, true)
     try out.write(id.toString.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(marker)) fs.delete(marker, false)
-    if (!fs.rename(tmp, marker))
-      throw new java.io.IOException(s"cannot publish high-water mark $marker")
   }
 
   /** The store's merged histogram: every persisted partial summed

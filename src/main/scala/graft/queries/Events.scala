@@ -1753,8 +1753,15 @@ object Events {
 
   def q226(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    val e = ev(spark, sfDir).select(col("event_type"),
-      to_date(col("ts")).as("day"), qdBucket(col("value")).as("b"))
+    // NULL values are excluded EXPLICITLY on both sides (see q226Sql):
+    // qdigest_sketch skips nulls while the exact side would bucket
+    // them as a NULL group, and Spark's nulls-first vs DuckDB's
+    // nulls-last window order over b would diverge the cumulative
+    // ranks — the contract must not rest on the generator never
+    // emitting one.
+    val e = ev(spark, sfDir).where(col("value").isNotNull)
+      .select(col("event_type"),
+        to_date(col("ts")).as("day"), qdBucket(col("value")).as("b"))
     val daily = e.groupBy(col("event_type"), col("day"))
       .agg(expr(s"qdigest_sketch(b, $qdLevels, $qdK)").as("nodes"))
     val merged = daily.groupBy(col("event_type"))
@@ -1856,7 +1863,7 @@ object Events {
     s"""WITH qe AS MATERIALIZED (
        |  SELECT event_type AS g, CAST(ts AS DATE) AS day,
        |    LEAST(4095, GREATEST(0, CAST(floor(value * 8) AS BIGINT))) AS b
-       |  FROM events),
+       |  FROM events WHERE value IS NOT NULL),
        |dn AS MATERIALIZED (SELECT g, day, CAST(COUNT(*) AS BIGINT) AS n FROM qe GROUP BY g, day),
        |dt AS MATERIALIZED (SELECT g, day, n // $qdK AS t FROM dn),
        |ds0 AS MATERIALIZED (SELECT g, day, 0 AS lvl, b AS idx, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -1888,8 +1895,11 @@ object Events {
   def q227(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.QDigest
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-    val e = ev(spark, sfDir).select(col("event_id"), col("event_type"),
-      qdBucket(col("value")).as("b"))
+    // same explicit NULL exclusion (both sides) as q226 — the digest
+    // skips nulls, the exact side would not
+    val e = ev(spark, sfDir).where(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        qdBucket(col("value")).as("b"))
     val base = graft.Tables.scratchDir(spark, "qdstream", sfDir)
     val stager = graft.streaming.FileStager(spark, base)
     val srcDir = stager.srcDir
@@ -1924,7 +1934,7 @@ object Events {
     s"""WITH qe AS MATERIALIZED (
        |  SELECT event_type AS g,
        |    LEAST(4095, GREATEST(0, CAST(floor(value * 8) AS BIGINT))) AS b
-       |  FROM events),
+       |  FROM events WHERE value IS NOT NULL),
        |ms0 AS MATERIALIZED (SELECT g, 0 AS lvl, b AS idx, CAST(COUNT(*) AS BIGINT) AS cnt
        |  FROM qe GROUP BY g, b),
        |mn AS MATERIALIZED (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n FROM ms0 GROUP BY g),

@@ -117,6 +117,22 @@ class TestdataCanarySpec extends AnyFunSuite {
     assert(agg.getLong(1) == 30L, "events must span 30 distinct days")
     assert(agg.getInt(2) == 2024 && agg.getInt(3) == 2024)
   }
+
+  test("events.value stays inside q226/q227's [0, 512) bucket universe") {
+    assume(new java.io.File(s"$sfDir/events.parquet").exists(),
+      "driver testdata not present")
+    // qdBucket (queries/Events.scala) maps value via ⌊value·8⌋ into
+    // [0, 4096) and SATURATES silently at the top bucket — a testdata
+    // drift past 512 (or below 0, or to NULL) would skew every
+    // quantile estimate without failing parity loudly. Pin it here.
+    val agg = Tables.load(spark, sfDir, "events").agg(
+      min($"value").as("mn"), max($"value").as("mx"),
+      sum(when($"value".isNull, 1L).otherwise(0L)).as("n_null")).collect()(0)
+    assert(agg.getLong(2) == 0L, "events.value must be non-null")
+    assert(agg.getDouble(0) >= 0.0, "events.value must be >= 0")
+    assert(agg.getDouble(1) < 512.0,
+      s"events.value max ${agg.getDouble(1)} would saturate the q226 top bucket")
+  }
 }
 
 /** Pins the scratch-store lifecycle: prior sessions' stale stores are

@@ -48,6 +48,22 @@ object FunctionProperties extends Properties("functions") {
       }
     }
 
+  /** Pure reference for simhash: per-gram weights as a Seq of
+    * (hash, weight) PAIRS, never a Map keyed by hash — two distinct
+    * grams can collide under PolyHash (e.g. "the" and "uJF" both hash
+    * to 114801) and a Map would silently drop one gram's weight, while
+    * the engine (explode → GROUP BY gram → sum) correctly sums both.
+    */
+  private def simhashRef(toks: List[String], n: Int, bits: Int): Long = {
+    val counts = toks.sliding(n).map(_.mkString(" ")).toSeq
+      .groupBy(identity).toSeq
+      .map { case (g, occ) => (PolyHash.hash(g), occ.size.toLong) }
+    (0 until bits).map { j =>
+      val s = counts.map { case (h, w) => (((h >> j) & 1L) * 2L - 1L) * w }.sum
+      if (s > 0) 1L << j else 0L
+    }.sum
+  }
+
   property("simhash_fp matches the pure weighted-bit-sum reference") =
     forAll(tokens, Gen.choose(1, 3), Gen.oneOf(16, 32, 64)) { (toks, n, bits) =>
       val arr = ArrayData.toArrayData(
@@ -55,16 +71,21 @@ object FunctionProperties extends Properties("functions") {
       val got = SimHashFp(Literal.create(arr, ArrayType(StringType)), n, bits)
         .eval(null)
       if (toks.length < n) got == null
-      else {
-        val counts = toks.sliding(n).map(_.mkString(" ")).toSeq
-          .groupBy(identity).map { case (g, occ) => (PolyHash.hash(g), occ.size.toLong) }
-        val expected = (0 until bits).map { j =>
-          val s = counts.map { case (h, w) => (((h >> j) & 1L) * 2L - 1L) * w }.sum
-          if (s > 0) 1L << j else 0L
-        }.sum
-        got == expected
-      }
+      else got == simhashRef(toks, n, bits)
     }
+
+  property("simhash_fp: PolyHash-colliding grams both contribute weight") = {
+    // regression: PolyHash("the") == PolyHash("uJF") == 114801; a
+    // hash-keyed Map reference collapses them (round-15 flake)
+    require(PolyHash.hash("the") == PolyHash.hash("uJF"),
+      "collision fixture drifted: 'the'/'uJF' no longer collide")
+    val toks = List("the", "uJF", "a")
+    val arr = ArrayData.toArrayData(
+      toks.map(t => UTF8String.fromString(t): Any).toArray)
+    val got = SimHashFp(Literal.create(arr, ArrayType(StringType)), 1, 64)
+      .eval(null)
+    forAll(Gen.const(0)) { _ => got == simhashRef(toks, 1, 64) }
+  }
 
   property("minhash_sig equals the typed MinHashAggregator fold") =
     forAll(Gen.nonEmptyListOf(Gen.choose(0L, PolyHash.Mod - 1)).map(_.take(50)),
