@@ -26,6 +26,21 @@ object Sessions {
       .config("spark.sql.warehouse.dir",
         s"${sys.props("java.io.tmpdir")}/graft-warehouse")
       .config("spark.ui.enabled", "false")
+      // Driver status stores (guide §5: the driver should hold almost
+      // no data): Bench/Verify execute ~700 query actions in ONE JVM,
+      // and the default retention — 1000 jobs, 1000 stages with task
+      // summaries, 1000 SQL executions each carrying its full plan
+      // graph + per-operator metrics — accumulates into a multi-GB
+      // old-gen live set by mid-suite. The UI is disabled, nothing
+      // reads these stores; round-16 measured the tail of the bench
+      // suite (q7x–q12x region) at 2–3× its isolated time from
+      // exactly this pressure. Retention is slashed to a debugging
+      // minimum; production jobs run few queries per driver and are
+      // unaffected by these bounds.
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
+      .config("spark.sql.ui.retainedExecutions", "10")
       .getOrCreate()
 }
 
