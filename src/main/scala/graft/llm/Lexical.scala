@@ -73,6 +73,13 @@ object Lexical {
 
   /** The shared sufficient-statistics pass: per-(doc, term) postings
     * with doc length, per-term document frequencies, corpus (N, T).
+    *
+    * `hits` (query-term-filtered, so tiny) and the 1-row `corpus` are
+    * PINNED: every consumer reference otherwise re-runs a full corpus
+    * tokenize pass — [[bm25MaxScorePruned]] references the scored-term
+    * table five times (UB, seed, θ, sieve, final scoring), which was
+    * ~5 corpus scans per query (§2.4). Both pins are reduced tables
+    * (no text column), the documented persist discipline.
     */
   private def bm25Stats(df: DataFrame, idCol: String, textCol: String,
                         terms: Seq[String]): (DataFrame, DataFrame, DataFrame) = {
@@ -84,9 +91,11 @@ object Lexical {
     // free and carries the length through to the scoring join
     val hits = toks.where(col("tok").isin(terms: _*))
       .groupBy(col(idCol), col("dl"), col("tok")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = hits.groupBy(col("tok")).agg(count(lit(1)).as("dft"))
     val corpus = df.select(size(split(col(textCol), " ")).cast("long").as("dl"))
       .agg(count(lit(1)).as("nd"), sum(col("dl")).as("tt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (hits, dfreq, corpus)
   }
 
@@ -245,6 +254,15 @@ object Lexical {
     * [[compactBm25Store]]-compacted store answer identically.
     * Contract: each document enters the store exactly once — postings
     * rows are unique per (id, tok) across fragments by construction.
+    *
+    * PRECONDITIONS (required for the stats derivation below): every
+    * row's `textCol` is NON-NULL (a null text would contribute no
+    * posting rows, so nd/tt would silently under-count it; the legacy
+    * direct-from-text aggregate counted it with dl = 1 for empty /
+    * -1-ish for null) and `idCol` is UNIQUE within the batch (a
+    * duplicated id would collapse to one (id, dl) row here where the
+    * direct aggregate counted it per-row). Both hold for the
+    * `documents` table contract and are canary-pinned in the suite.
     */
   def appendBm25Batch(df: DataFrame, idCol: String, textCol: String,
                       storePath: String): Unit = {
@@ -351,15 +369,22 @@ object Lexical {
       .agg(sum(col("nd")).as("nd"), sum(col("tt")).as("tt"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("tok")).orderBy(col("term_score").desc, col(idCol))
+    // two write actions consume the champion table; the pin stops the
+    // full-postings scoring + per-term window from running twice
+    // (§2.4). Pinned AFTER the top-m filter, so the cache holds at
+    // most m rows per term, not the postings.
     val champs = scoredTerms(postings, dfreq, corpus)
       .withColumn("crn", row_number().over(w))
       .where(col("crn") <= m)
-    champs.select(col("tok"), col(idCol))
-      .write.mode("overwrite").parquet(s"$storePath/champions")
-    champs.groupBy(col("tok"))
-      .agg(count(lit(1)).as("kept"), min(col("term_score")).as("cub"))
-      .join(dfreq, "tok")
-      .write.mode("overwrite").parquet(s"$storePath/ub")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      champs.select(col("tok"), col(idCol))
+        .write.mode("overwrite").parquet(s"$storePath/champions")
+      champs.groupBy(col("tok"))
+        .agg(count(lit(1)).as("kept"), min(col("term_score")).as("cub"))
+        .join(dfreq, "tok")
+        .write.mode("overwrite").parquet(s"$storePath/ub")
+    } finally champs.unpersist(blocking = false)
   }
 
   /** BM25 top-k served from champion lists, LOSSLESS: candidates come

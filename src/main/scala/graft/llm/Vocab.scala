@@ -67,6 +67,25 @@ object Vocab {
     */
   def bpeMerges(df: DataFrame, textCol: String, numMerges: Int,
                 sep: String = " "): DataFrame = {
+    val (merges, vocab) = bpeMergesWithVocab(df, textCol, numMerges, sep)
+    vocab.unpersist(blocking = false)
+    merges
+  }
+
+  /** [[bpeMerges]] plus the fully-merged vocabulary the learner already
+    * maintains internally: returns (merges, vocab) where vocab is
+    * (sym, freq) — each distinct word's subwords space-joined with all
+    * learned merges applied, and its corpus frequency. The vocab is
+    * LEFT PERSISTED (it is the learner's own final-round cache) so
+    * [[bpeEncodeFromVocab]] reuses the one corpus word-count scan and
+    * the incremental merge applications the learner already paid,
+    * instead of re-deriving both per consumer (guide §2.4: the encode
+    * path previously re-ran the corpus aggregate plus the full regex
+    * merge chain 2-3x). Callers that need only the merge table use
+    * [[bpeMerges]], which drops the pin.
+    */
+  def bpeMergesWithVocab(df: DataFrame, textCol: String, numMerges: Int,
+                         sep: String = " "): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
     import spark.implicits._
     var vocab = df.select(explode(split(col(textCol), sep)).as("word"))
@@ -75,39 +94,37 @@ object Vocab {
       .select(concat_ws(" ", split(col("word"), "")).as("sym"), col("freq"))
       .persist()
     val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
-    try {
-      var exhausted = false
-      for (rank <- 1 to numMerges if !exhausted) {
-        val best = vocab
-          .select(col("freq"), split(col("sym"), " ").as("s"))
-          .where(size(col("s")) >= 2)
-          .select(col("freq"), explode(expr(
-            "transform(sequence(0, size(s)-2), " +
-              "i -> struct(element_at(s, i+1) AS l, element_at(s, i+2) AS r))"))
-            .as("p"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(sum(col("freq")).as("cnt"))
-          .orderBy(col("cnt").desc, col("l"), col("r"))
-          .limit(1).collect()
-        if (best.isEmpty) exhausted = true
-        else {
-          val (l, r, cnt) = (best(0).getString(0), best(0).getString(1),
-            best(0).getLong(2))
-          merges += ((rank, l, r, cnt))
-          // token-level greedy leftmost application (see scaladoc);
-          // each round's vocab is re-persisted so round j never replays
-          // rounds 1..j-1 (or the corpus scan)
-          val next = vocab.withColumn("sym",
-              regexp_replace(col("sym"), lit(mergePattern(l, r)),
-                lit(java.util.regex.Matcher.quoteReplacement(s"$l$r"))))
-            .persist()
-          next.count()
-          vocab.unpersist(blocking = false)
-          vocab = next
-        }
+    var exhausted = false
+    for (rank <- 1 to numMerges if !exhausted) {
+      val best = vocab
+        .select(col("freq"), split(col("sym"), " ").as("s"))
+        .where(size(col("s")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(s)-2), " +
+            "i -> struct(element_at(s, i+1) AS l, element_at(s, i+2) AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        merges += ((rank, l, r, cnt))
+        // token-level greedy leftmost application (see scaladoc);
+        // each round's vocab is re-persisted so round j never replays
+        // rounds 1..j-1 (or the corpus scan)
+        val next = vocab.withColumn("sym",
+            regexp_replace(col("sym"), lit(mergePattern(l, r)),
+              lit(java.util.regex.Matcher.quoteReplacement(s"$l$r"))))
+          .persist()
+        next.count()
+        vocab.unpersist(blocking = false)
+        vocab = next
       }
-    } finally vocab.unpersist(blocking = false)
-    merges.toSeq.toDF("rank", "left", "right", "pair_cnt")
+    }
+    (merges.toSeq.toDF("rank", "left", "right", "pair_cnt"), vocab)
   }
 
   /** Lookaround pattern matching `l r` only at token boundaries of the
@@ -149,17 +166,49 @@ object Vocab {
         regexp_replace(c, lit(mergePattern(l, r)),
           lit(java.util.regex.Matcher.quoteReplacement(s"$l$r")))
     }
-    // Sennrich's end-of-word marker: an extra terminal subword per
-    // word makes the FLAT subword stream invertible ([[bpeDecode]]) —
-    // without it word boundaries are lost at decode time. Appended
-    // after merge application, so segmentation is unchanged and the
-    // marker is just one more vocabulary entry with its own id.
-    val subsCol = endOfWord match {
-      case Some(m) => concat(split(symFinal, " "), array(lit(m)))
-      case None => split(symFinal, " ")
-    }
     val wordSubs = words
-      .select(col("word"), col("freq"), subsCol.as("subs"))
+      .select(col("word"), col("freq"), withMarker(symFinal, endOfWord).as("subs"))
+    encodeFromWordSubs(df, idCol, textCol, wordSubs, sep)
+  }
+
+  /** [[bpeEncode]] fed by [[bpeMergesWithVocab]]'s pinned merged
+    * vocabulary instead of the merge table: the word→subwords map is a
+    * projection of the (cached) vocab — `word` is the sym with its
+    * spaces removed, `subs` the sym split on spaces — so the corpus
+    * word-count scan and the regex merge chain run ZERO more times
+    * here (the legacy [[bpeEncode]] re-ran both once per consumer of
+    * `wordSubs`). Values are identical by construction: the learner
+    * applied the same `mergePattern` chain incrementally to the same
+    * word-count table.
+    */
+  def bpeEncodeFromVocab(df: DataFrame, idCol: String, textCol: String,
+                         mergedVocab: DataFrame, sep: String = " ",
+                         endOfWord: Option[String] = None): DataFrame = {
+    val wordSubs = mergedVocab.select(
+      translate(col("sym"), " ", "").as("word"), col("freq"),
+      withMarker(col("sym"), endOfWord).as("subs"))
+    encodeFromWordSubs(df, idCol, textCol, wordSubs, sep)
+  }
+
+  /** Sennrich's end-of-word marker: an extra terminal subword per
+    * word makes the FLAT subword stream invertible ([[bpeDecode]]) —
+    * without it word boundaries are lost at decode time. Appended
+    * after merge application, so segmentation is unchanged and the
+    * marker is just one more vocabulary entry with its own id.
+    */
+  private def withMarker(sym: org.apache.spark.sql.Column,
+                         endOfWord: Option[String]): org.apache.spark.sql.Column =
+    endOfWord match {
+      case Some(m) => concat(split(sym, " "), array(lit(m)))
+      case None => split(sym, " ")
+    }
+
+  /** The shared encode tail over a (word, freq, subs) map: subword ids
+    * from the frequency-weighted explode of the small map, the corpus
+    * stream broadcast-joined against it, per-document positions from
+    * one bounded window. */
+  private def encodeFromWordSubs(df: DataFrame, idCol: String, textCol: String,
+                                 wordSubs: DataFrame, sep: String): DataFrame = {
     val subCounts = wordSubs
       .select(col("freq"), explode(col("subs")).as("subword"))
       .groupBy(col("subword")).agg(sum(col("freq")).as("sfreq"))

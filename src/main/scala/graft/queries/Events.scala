@@ -1146,7 +1146,11 @@ object Events {
   def q194(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.CountMin
     val d = 4; val w = 128
+    // four consumers (grid build, probe set, exact counts, total) each
+    // re-scanned + re-spread the events table; pin the 2-column
+    // projection once (§2.4)
     val e = ev(spark, sfDir).select(col("user_id"), to_date(col("ts")).as("day"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grid = CountMin.merge(CountMin.sketch(e, "user_id", d, w, Seq("day")))
     cmsReport(e, grid, d, w)
   }

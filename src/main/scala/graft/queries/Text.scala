@@ -803,11 +803,15 @@ object Text {
     */
   def q128(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
-    val merges = graft.llm.Vocab.bpeMerges(d, "text", numMerges = 4)
-    val counts = graft.llm.Vocab.bpeEncode(d, "doc_id", "text", merges)
+    val (_, vocab) = graft.llm.Vocab.bpeMergesWithVocab(d, "text", numMerges = 4)
+    // per-doc subword counts are consumed twice (the pack assignment
+    // and the join back); the pin stops the corpus-sized encode
+    // stream + window from executing twice (§2.4)
+    val counts = graft.llm.Vocab.bpeEncodeFromVocab(d, "doc_id", "text", vocab)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_subwords"),
         sum(col("subword_id").cast("long")).as("id_sum"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.llm.Packer
       .packCounts(counts, "doc_id", "n_subwords", capacity = 256, buckets = 8)
       .join(counts, "doc_id")

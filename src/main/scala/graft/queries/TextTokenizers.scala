@@ -91,8 +91,11 @@ object TextTokenizers {
     */
   def q120(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
-    val merges = graft.llm.Vocab.bpeMerges(d, "text", numMerges = 4)
-    graft.llm.Vocab.bpeEncode(d, "doc_id", "text", merges)
+    // encode from the learner's own pinned merged vocabulary — the
+    // corpus word-count scan and the regex merge chain run once, in
+    // the learner, instead of once more per wordSubs consumer (§2.4)
+    val (_, vocab) = graft.llm.Vocab.bpeMergesWithVocab(d, "text", numMerges = 4)
+    graft.llm.Vocab.bpeEncodeFromVocab(d, "doc_id", "text", vocab)
       .orderBy(col("doc_id"), col("pos"))
   }
 
@@ -139,8 +142,8 @@ object TextTokenizers {
     */
   def q162(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
-    val merges = graft.llm.Vocab.bpeMerges(d, "text", numMerges = 4)
-    val perDocTok = graft.llm.Vocab.bpeEncode(d, "doc_id", "text", merges)
+    val (_, vocab) = graft.llm.Vocab.bpeMergesWithVocab(d, "text", numMerges = 4)
+    val perDocTok = graft.llm.Vocab.bpeEncodeFromVocab(d, "doc_id", "text", vocab)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
     d.select(col("doc_id"), col("lang"),
         size(filter(split(col("text"), " "), w => length(w) > 0))
@@ -202,8 +205,8 @@ object TextTokenizers {
     */
   def q204(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
-    val merges = graft.llm.Vocab.bpeMerges(d, "text", numMerges = 4)
-    val enc = graft.llm.Vocab.bpeEncode(d, "doc_id", "text", merges,
+    val (_, vocab) = graft.llm.Vocab.bpeMergesWithVocab(d, "text", numMerges = 4)
+    val enc = graft.llm.Vocab.bpeEncodeFromVocab(d, "doc_id", "text", vocab,
       endOfWord = Some("</w>"))
     val dec = graft.llm.Vocab.bpeDecode(enc, "doc_id")
     val norm = d.select(col("doc_id"), expr(
